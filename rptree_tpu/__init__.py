@@ -1,0 +1,72 @@
+"""tpu-rpforest: a TPU-native random-projection-forest ANN engine.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the Haskell
+``rp-tree`` library (ocramz/rp-tree; sparse random projection trees per
+Hyvonen et al. 2016).  The public facade mirrors the reference's single
+exposed module ``Data.RPTree`` (``src/Data/RPTree.hs:50-113``):
+
+Construction (batch):    :func:`tree_batch`, :func:`forest_batch`
+Construction (stream):   :func:`tree`, :func:`forest`
+Parameters:              :func:`rp_tree_cfg`, :class:`RPTreeConfig`
+Queries:                 :meth:`RPForest.knn`, ``knn_h``, ``knn_pq``
+I/O:                     :func:`serialise_rp_forest`, :func:`deserialise_rp_forest`
+Statistics:              :meth:`RPForest.recall_with`
+Access:                  ``leaves``, ``levels``, ``points``, ``candidates``
+Validation:              ``tree_stats``, ``tree_size``, ``leaf_sizes``
+Vector types:            :class:`SVec` (sparse), dense = ndarray;
+                         batched sparse datasets: :class:`EllMatrix`
+Vector ops (``Inner``):  :func:`inner`, :func:`metric_l2`, ...
+Rendering:               :func:`write_csv`, :func:`knn_write_csv`,
+                         :func:`write_dot`, :func:`draw`
+Testing / generation:    :class:`BenchConfig`, :func:`rand_seed`,
+                         :func:`data_batch`, :func:`data_source`, samplers
+"""
+
+from .config import BenchConfig, ForestConfig, RPTreeConfig, rp_tree_cfg
+from .models.forest import RPForest, forest_batch, tree_batch
+from .models.plan import TreePlan, make_plan
+from .ops.sparse import (
+    EllMatrix,
+    ell_from_scipy_like,
+    ell_from_svecs,
+    ell_project,
+    ell_sq_norms,
+    ell_to_dense,
+)
+from .ops.vector import (
+    SVec,
+    add,
+    from_list_dv,
+    from_list_sv,
+    from_vector_sv,
+    inner,
+    inner_dd,
+    inner_sd,
+    inner_ss,
+    metric_dd_l2,
+    metric_l2,
+    metric_sd_l2,
+    metric_ss_l2,
+    normalize,
+    scale,
+    sub,
+    to_dense,
+)
+from .utils.gen import (
+    circle2d,
+    circle2d2,
+    data_batch,
+    data_source,
+    dense,
+    mixture2,
+    normal2,
+    normal_dense2,
+    normal_sparse2,
+    rand_seed,
+    sample_projections,
+    sample_wor,
+    sparse,
+)
+from .version import __version__
+
+__all__ = [name for name in dir() if not name.startswith("_")]

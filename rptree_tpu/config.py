@@ -1,0 +1,97 @@
+"""Configuration records.
+
+Mirrors the reference's configuration surface:
+
+* ``RPTreeConfig`` / ``rp_tree_cfg`` -- the auto-config heuristic of the
+  reference (``src/Data/RPTree/Conduit.hs:123-141``): closed-form defaults
+  for max tree depth, streaming chunk size, and projection nonzero density.
+* ``BenchConfig`` -- the 9-field experiment descriptor of the reference
+  (``src/Data/RPTree/Internal/Testing.hs:21-31``), extended with TPU mesh
+  fields (which have no reference counterpart; see SURVEY.md section 2.11).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class RPTreeConfig:
+    """Construction parameters for one RP tree / forest.
+
+    Field parity with the reference's ``RPCfg`` record
+    (``src/Data/RPTree/Conduit.hs:123-128``), with min-leaf kept explicit.
+    """
+
+    max_depth: int          # fpMaxTreeDepth: max tree depth (> 1)
+    min_leaf: int           # minimum leaf size (points per leaf before stopping)
+    chunk_size: int         # fpDataChunkSize: streaming data chunk size
+    proj_nz_density: float  # fpProjNzDensity: nonzero density of projections
+
+
+def rp_tree_cfg(min_leaf: int, n: int, dim: int) -> RPTreeConfig:
+    """Auto-configure construction parameters with natural defaults.
+
+    Reproduces the closed-form heuristic of the reference
+    (``src/Data/RPTree/Conduit.hs:132-141``):
+
+    * ``max_depth = ceil(log2(n / min_leaf))``
+    * ``chunk_size = ceil(n / 100)``
+    * ``proj_nz_density = min(1 / log10(dim), 1.0)``
+    """
+    if n <= 0:
+        raise ValueError(f"dataset size must be positive, got {n}")
+    if min_leaf <= 0:
+        raise ValueError(f"min_leaf must be positive, got {min_leaf}")
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    max_depth = max(1, math.ceil(math.log2(n / min_leaf)))
+    chunk = math.ceil(n / 100)
+    pnz = min(1.0 / math.log10(dim), 1.0) if dim > 1 else 1.0
+    return RPTreeConfig(
+        max_depth=max_depth,
+        min_leaf=min_leaf,
+        chunk_size=chunk,
+        proj_nz_density=pnz,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ForestConfig:
+    """Full forest construction configuration.
+
+    Bundles the per-tree parameters with the forest size and randomness; the
+    reference passes these positionally to ``forestBatch``
+    (``src/Data/RPTree/Batch.hs:48-63``) and ``forest``
+    (``src/Data/RPTree/Conduit.hs:104-121``).
+    """
+
+    n_trees: int
+    max_depth: int
+    min_leaf: int
+    proj_nz_density: float
+    dim: int
+    chunk_size: int = 0       # only used by the streaming builder
+    dtype: str = "float32"    # compute dtype for projections / distances
+
+
+@dataclasses.dataclass(frozen=True)
+class BenchConfig:
+    """Experiment descriptor, field-for-field parity with the reference's
+    ``BenchConfig`` (``src/Data/RPTree/Internal/Testing.hs:21-31``) plus
+    TPU-only fields (mesh axes) that have no reference counterpart."""
+
+    description: str
+    max_depth: int
+    min_leaf: int
+    num_trees: int
+    chunk_size: int
+    nz_density: float
+    vector_dim: int
+    data_size: int
+    num_query_points: int
+    # TPU-only extensions
+    batch_size: int = 128        # query batch size
+    n_tree_shards: int = 1       # mesh axis over the forest (tree parallelism)
+    n_query_shards: int = 1      # mesh axis over the query batch

@@ -1,0 +1,370 @@
+"""RP forest index: construction facades and query API.
+
+The TPU-native counterpart of the reference's ``RPTree``/``RPForest`` types
+and their construction/query functions:
+
+* :func:`forest_batch` / :func:`tree_batch` -- batch construction
+  (``src/Data/RPTree/Batch.hs:29-63``);
+* :meth:`RPForest.knn` -- candidate union + exact rerank + top-k
+  (``src/Data/RPTree.hs:159-176``);
+* :meth:`RPForest.knn_h` -- margin-priority bucket selection before rerank
+  (``RPTree.hs:196-217``);
+* :meth:`RPForest.knn_pq` -- deduplicating variant (``RPTree.hs:178-194``);
+* :meth:`RPForest.candidates` -- per-tree candidate sets
+  (``RPTree.hs:289-314``);
+* :meth:`RPForest.recall_with` -- recall@k against the exact neighbours
+  (``RPTree.hs:250-285``).
+
+``RPForest`` is a host-side handle: the arrays live on device, the static
+:class:`TreePlan` parameterises the jitted kernels, and opaque per-point
+payloads (the reference's ``Embed.eData``) stay host-side keyed by row id.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ForestConfig
+from ..ops.build import TreeArrays, build_forest_arrays
+from ..ops.rerank import dedup_ids, gather_leaf_points, rerank_top_k, candidate_distances
+from ..ops.sparse import EllMatrix, ell_sq_norms, ell_to_dense
+from ..ops.traverse import traverse_tree
+from ..utils import gen as rgen
+from .plan import TreePlan, make_plan
+
+__all__ = ["RPForest", "forest_batch", "tree_batch", "DEFAULT_BUDGET"]
+
+DEFAULT_BUDGET = 32
+
+
+def _as_dense_queries(q, dim: int) -> jax.Array:
+    """Queries as f32[B, D]; single vectors are auto-batched; sparse queries
+    (SVec or EllMatrix) are densified (B is small)."""
+    from ..ops.vector import SVec, to_dense
+
+    if isinstance(q, SVec):
+        q = to_dense(q)
+    if isinstance(q, EllMatrix):
+        q = ell_to_dense(q)
+    q = jnp.asarray(q, dtype=jnp.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    if q.shape[-1] != dim:
+        raise ValueError(f"query dim {q.shape[-1]} != index dim {dim}")
+    return q
+
+
+# ---------------------------------------------------------------------------
+# jitted query pipeline (static: plan, budget, k, metric, dedup)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("plan", "budget"))
+def _traverse_forest(plan: TreePlan, arrays: TreeArrays, q: jax.Array, budget: int):
+    """All-tree traversal: returns (leaf_ids int32[T, B, F], prio f32[T, B, F])."""
+    nl = plan.n_levels
+    r_used = arrays.r[:, :nl, :]  # [T, L, D]
+    projq = jnp.einsum("bd,tld->tbl", q, r_used,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    return jax.vmap(
+        lambda th, lo, hi, pq: traverse_tree(plan, th, lo, hi, pq, budget)
+    )(arrays.thr, arrays.mgl, arrays.mgh, projq)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "budget"))
+def _candidate_ids(plan: TreePlan, arrays: TreeArrays, q: jax.Array, budget: int):
+    """Per-tree candidate point ids: int32[T, B, F * max_leaf_len], -1 pad."""
+    leaf_ids, _ = _traverse_forest(plan, arrays, q, budget)
+    return jax.vmap(lambda perm, lids: gather_leaf_points(plan, perm, lids))(
+        arrays.perm, leaf_ids
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "budget", "k", "metric", "dedup")
+)
+def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup):
+    """Forest kNN: union of per-tree candidates -> exact rerank -> top-k
+    (reference ``knn``, RPTree.hs:159-176; with dedup=True it is ``knnPQ``,
+    RPTree.hs:178-194)."""
+    cand = _candidate_ids(plan, arrays, q, budget)  # [T, B, C1]
+    t, b, c1 = cand.shape
+    union = jnp.transpose(cand, (1, 0, 2)).reshape(b, t * c1)
+    return rerank_top_k(x, sq_norms, q, union, k, metric=metric, dedup=dedup)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "budget", "k", "metric", "dedup")
+)
+def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup):
+    """Margin-priority variant (reference ``knnH``, RPTree.hs:196-217):
+    across all trees, leaf buckets are consumed in ascending margin-priority
+    order until at least k points are collected; only those buckets enter
+    the exact rerank.  (The reference returns the selected buckets unsorted
+    and untruncated; here they are reranked and truncated to k.)"""
+    leaf_ids, prio = _traverse_forest(plan, arrays, q, budget)  # [T, B, F]
+    t, b, f = leaf_ids.shape
+    leaf_ids_bt = jnp.transpose(leaf_ids, (1, 0, 2)).reshape(b, t * f)
+    prio_bt = jnp.transpose(prio, (1, 0, 2)).reshape(b, t * f)
+    tree_of = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None], (t, f)
+    ).reshape(t * f)[None, :].repeat(b, axis=0)
+
+    # order buckets by priority (empty slots have +inf priority)
+    order = jnp.argsort(prio_bt, axis=-1)
+    leaf_sorted = jnp.take_along_axis(leaf_ids_bt, order, axis=-1)
+    tree_sorted = jnp.take_along_axis(tree_of, order, axis=-1)
+    sizes = jnp.where(
+        leaf_sorted >= 0,
+        jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(leaf_sorted, 0, None)),
+        0,
+    )
+    csum = jnp.cumsum(sizes, axis=-1)
+    # reference stop rule (RPTree.hs:208-217): include buckets while the
+    # running total stays <= k; always include the first bucket
+    first = jnp.arange(t * f)[None, :] == 0
+    keep = (csum <= k) | first
+    leaf_kept = jnp.where(keep & (leaf_sorted >= 0), leaf_sorted, -1)
+
+    # expand kept buckets to point ids via each owning tree's permutation
+    perm_rows = arrays.perm[tree_sorted.reshape(-1)].reshape(b, t * f, -1)
+    lmax = max(plan.max_leaf_len, 1)
+    starts = jnp.take(jnp.asarray(plan.leaf_start), jnp.clip(leaf_kept, 0, None))
+    lens = jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(leaf_kept, 0, None))
+    offs = jnp.arange(lmax, dtype=jnp.int32)
+    pos = starts[..., None] + offs  # [B, T*F, Lmax]
+    valid = (leaf_kept >= 0)[..., None] & (offs < lens[..., None])
+    pos = jnp.where(valid, pos, 0)
+    ids = jnp.take_along_axis(perm_rows, pos, axis=-1)
+    ids = jnp.where(valid, ids, -1).reshape(b, -1)
+    return rerank_top_k(x, sq_norms, q, ids, k, metric=metric, dedup=dedup)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _brute_force(x, sq_norms, q, k, metric):
+    """Exact k nearest neighbours over the whole dataset (the ground truth
+    of ``recallWith``, RPTree.hs:280-282), as one distance GEMM + top_k."""
+    if isinstance(x, EllMatrix):
+        dots = jnp.einsum("nk,bnk->bn", x.vals,
+                          jnp.take_along_axis(q[:, None, :],
+                                              jnp.broadcast_to(x.cols, (q.shape[0],) + x.cols.shape).astype(jnp.int32),
+                                              axis=-1))
+    else:
+        dots = jnp.einsum("bd,nd->bn", q, x, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    if metric in ("l2", "sql2"):
+        d = jnp.maximum(sq_norms[None, :] - 2.0 * dots + jnp.sum(q * q, -1)[:, None], 0.0)
+        if metric == "l2":
+            d = jnp.sqrt(d)
+    elif metric == "cosine":
+        nq = jnp.sqrt(jnp.sum(q * q, -1))[:, None]
+        d = 1.0 - dots / jnp.maximum(jnp.sqrt(sq_norms)[None, :] * nq, 1e-30)
+    elif metric == "dot":
+        d = -dots
+    else:
+        raise ValueError(metric)
+    neg, idx = jax.lax.top_k(-d, k)
+    return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "budget", "k", "metric"))
+def _recall(plan, arrays, x, sq_norms, q, k, budget, metric):
+    """Mean recall@k over trees (reference ``recallWith``, RPTree.hs:259-268):
+    per tree, |candidates(q) . exact top-k| / k, averaged over the forest."""
+    _, exact_ids = _brute_force(x, sq_norms, q, k, metric)  # [B, k]
+    cand = _candidate_ids(plan, arrays, q, budget)  # [T, B, C]
+    hit = (exact_ids[None, :, :, None] == cand[:, :, None, :]) & (
+        cand[:, :, None, :] >= 0
+    )
+    found = jnp.any(hit, axis=-1)  # [T, B, k]
+    return jnp.mean(jnp.sum(found, axis=-1).astype(jnp.float32) / k, axis=0)  # [B]
+
+
+# ---------------------------------------------------------------------------
+# the index handle
+# ---------------------------------------------------------------------------
+
+class RPForest:
+    """A built RP forest index over a fixed dataset.
+
+    Attributes:
+      plan: static tree shape (shared by all trees).
+      arrays: :class:`TreeArrays` with leading ``[T]`` axis.
+      x: the indexed dataset on device (dense ``[n, D]`` or ELL sparse).
+      sq_norms: ``f32[n]`` squared norms (for factored L2 distances).
+      payloads: optional host-side sequence of opaque per-point payloads
+        (the reference's ``Embed.eData``; row ids key into it).
+    """
+
+    def __init__(self, plan: TreePlan, arrays: TreeArrays, x, sq_norms,
+                 config: ForestConfig, payloads: Optional[Sequence] = None,
+                 seed: Optional[int] = None):
+        self.plan = plan
+        self.arrays = arrays
+        self.x = x
+        self.sq_norms = sq_norms
+        self.config = config
+        self.payloads = payloads
+        self.seed = seed
+
+    # -- basic accessors (reference Internal.hs:198-208, RPTree.hs:351-367) --
+
+    @property
+    def n_trees(self) -> int:
+        return int(self.arrays.perm.shape[0])
+
+    @property
+    def n_points(self) -> int:
+        return self.plan.n
+
+    @property
+    def dim(self) -> int:
+        return self.x.dim if isinstance(self.x, EllMatrix) else int(self.x.shape[1])
+
+    def levels(self) -> int:
+        """Number of projection levels (= length of rvs in the reference,
+        ``Internal.hs:203-204``)."""
+        return int(self.arrays.r.shape[1])
+
+    def tree_size(self, t: int = 0) -> int:
+        """Points stored in tree ``t`` (reference ``treeSize``); the
+        completeness invariant says this equals ``n`` for every tree."""
+        del t
+        return self.plan.n
+
+    def leaf_sizes(self) -> np.ndarray:
+        """Per-leaf occupancy (reference ``leafSizes``); identical across
+        trees since the shape is static."""
+        return np.asarray(self.plan.leaf_len)
+
+    def tree_stats(self) -> dict:
+        """Node counts (reference ``treeStats``, which reports the number of
+        leaves -- ``length`` over the leaf-data Foldable)."""
+        return {
+            "n_leaves": self.plan.n_leaves,
+            "n_branches": self.plan.n_branches,
+            "n_levels": self.plan.n_levels,
+            "max_leaf_len": self.plan.max_leaf_len,
+        }
+
+    def leaves(self, t: int = 0) -> list:
+        """Leaf buckets of tree ``t`` as lists of point ids (reference
+        ``leaves``, Internal.hs:199-200)."""
+        perm = np.asarray(self.arrays.perm[t])
+        return [
+            perm[s : s + m].tolist()
+            for s, m in zip(self.plan.leaf_start, self.plan.leaf_len)
+        ]
+
+    def points(self) -> np.ndarray:
+        """The indexed dataset, densified (reference ``points``)."""
+        if isinstance(self.x, EllMatrix):
+            return np.asarray(ell_to_dense(self.x))
+        return np.asarray(self.x)
+
+    # -- queries -------------------------------------------------------------
+
+    def _budget(self, budget: Optional[int]) -> int:
+        if budget is None:
+            budget = min(self.plan.n_leaves, DEFAULT_BUDGET)
+        return max(1, min(int(budget), self.plan.n_leaves))
+
+    def knn(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
+            dedup: bool = True) -> Tuple[jax.Array, jax.Array]:
+        """k nearest neighbours of ``q`` (single vector or batch).
+
+        Returns ``(dists f32[B, k], ids int32[B, k])`` ordered by increasing
+        distance; ``-1`` ids mark unfilled slots.  ``dedup=False``
+        reproduces the reference ``knn``'s concatenating union
+        (RPTree.hs:176), which may return the same point more than once.
+        """
+        qb = _as_dense_queries(q, self.dim)
+        return _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
+                    self._budget(budget), metric, dedup)
+
+    def knn_pq(self, q, k: int, metric: str = "l2", budget: Optional[int] = None):
+        """Deduplicating kNN (reference ``knnPQ``, RPTree.hs:178-194)."""
+        return self.knn(q, k, metric=metric, budget=budget, dedup=True)
+
+    def knn_h(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
+              dedup: bool = True):
+        """Margin-priority kNN (reference ``knnH``, RPTree.hs:196-217)."""
+        qb = _as_dense_queries(q, self.dim)
+        return _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
+                      self._budget(budget), metric, dedup)
+
+    def candidates(self, q, budget: Optional[int] = None, tree: Optional[int] = None):
+        """Candidate point ids per tree (reference ``candidates``,
+        RPTree.hs:289-314).  Returns ``int32[T, B, C]`` (-1 padded), or
+        ``[B, C]`` for a single tree."""
+        qb = _as_dense_queries(q, self.dim)
+        cand = _candidate_ids(self.plan, self.arrays, qb, self._budget(budget))
+        return cand if tree is None else cand[tree]
+
+    def recall_with(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None) -> jax.Array:
+        """Average recall@k over the forest's trees (reference
+        ``recallWith``, RPTree.hs:250-285).  Returns ``f32[B]``."""
+        qb = _as_dense_queries(q, self.dim)
+        return _recall(self.plan, self.arrays, self.x, self.sq_norms, qb,
+                       int(k), self._budget(budget), metric)
+
+    def brute_force_knn(self, q, k: int, metric: str = "l2"):
+        """Exact kNN by full scan (ground-truth oracle)."""
+        qb = _as_dense_queries(q, self.dim)
+        return _brute_force(self.x, self.sq_norms, qb, int(k), metric)
+
+    def payload_of(self, ids) -> list:
+        """Resolve row ids to payloads (None where id < 0 or no payloads)."""
+        ids = np.asarray(ids)
+        if self.payloads is None:
+            return [None if i < 0 else int(i) for i in ids.reshape(-1)]
+        return [None if i < 0 else self.payloads[int(i)] for i in ids.reshape(-1)]
+
+    def __repr__(self):
+        return (f"RPForest(trees={self.n_trees}, n={self.n_points}, "
+                f"dim={self.dim}, {self.plan!r})")
+
+
+# ---------------------------------------------------------------------------
+# batch construction facades (reference Batch.hs)
+# ---------------------------------------------------------------------------
+
+def _prepare_data(data, dtype=jnp.float32):
+    if isinstance(data, EllMatrix):
+        x = EllMatrix(data.dim, jnp.asarray(data.cols), jnp.asarray(data.vals, dtype=dtype))
+        return x, ell_sq_norms(x), x.dim, x.n
+    x = jnp.asarray(data, dtype=dtype)
+    if x.ndim != 2:
+        raise ValueError(f"dataset must be [n, dim], got shape {x.shape}")
+    return x, jnp.sum(x * x, axis=-1), int(x.shape[1]), int(x.shape[0])
+
+
+def forest_batch(seed, max_depth: int, min_leaf: int, n_trees: int,
+                 pnz: float, data, payloads: Optional[Sequence] = None,
+                 dtype=jnp.float32) -> RPForest:
+    """Batch-build a random projection forest (reference ``forestBatch``,
+    ``src/Data/RPTree/Batch.hs:48-63``): sample ``n_trees x max_depth``
+    sparse Gaussian projection vectors from the seed, then run the
+    level-synchronous builder with a tree axis."""
+    x, sq_norms, dim, n = _prepare_data(data, dtype)
+    plan = make_plan(n, max_depth, min_leaf)
+    r = rgen.sample_projections(seed, n_trees, max_depth, dim, pnz)
+    build = jax.jit(build_forest_arrays, static_argnums=0)
+    arrays = build(plan, x, r)
+    cfg = ForestConfig(n_trees=n_trees, max_depth=max_depth, min_leaf=min_leaf,
+                       proj_nz_density=pnz, dim=dim)
+    return RPForest(plan, arrays, x, sq_norms, cfg, payloads=payloads, seed=seed)
+
+
+def tree_batch(seed, max_depth: int, min_leaf: int, pnz: float, data,
+               payloads: Optional[Sequence] = None, dtype=jnp.float32) -> RPForest:
+    """Batch-build a single tree (reference ``treeBatch``, Batch.hs:29-41):
+    a forest with one tree."""
+    return forest_batch(seed, max_depth, min_leaf, 1, pnz, data,
+                        payloads=payloads, dtype=dtype)

@@ -1,0 +1,155 @@
+"""Candidate gather, union/dedup, exact rerank, fused top-k.
+
+The query-side hot path after traversal.  The reference unions per-tree
+candidate buckets with a Semigroup fold, maps the exact distance function
+over every candidate, sorts, and takes k (``src/Data/RPTree.hs:159-176``).
+Here:
+
+* leaf buckets become a static-shape gather from each tree's permutation
+  (leaf spans are compile-time constants);
+* the union across trees is a concatenation along the candidate axis;
+  deduplication (the reference's ``knnPQ``/``nub``, ``RPTree.hs:223-227``)
+  is an id-sort + adjacent-equality mask;
+* the exact distance is computed in the factored form
+  ``d2(x, q) = |x|^2 - 2 x.q + |q|^2`` so the bulk of the work is one
+  batched GEMM over gathered candidate rows (MXU-friendly), with squared
+  norms precomputed once per dataset;
+* selection is ``lax.top_k`` over negated distances.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.plan import TreePlan
+from .sparse import EllMatrix
+
+__all__ = [
+    "gather_leaf_points",
+    "dedup_ids",
+    "rerank_top_k",
+    "candidate_distances",
+    "METRICS",
+]
+
+
+def gather_leaf_points(plan: TreePlan, perm: jax.Array, leaf_ids: jax.Array) -> jax.Array:
+    """Expand leaf ids into the point ids stored in those leaf buckets.
+
+    ``perm``: int32[n] (one tree's permutation).  ``leaf_ids``: int32[..., F]
+    with -1 for empty.  Returns int32[..., F * max_leaf_len] point ids with
+    -1 padding.  Leaf spans are static; ragged occupancy is handled by
+    masking, not padding of the index itself (SURVEY.md section 7).
+    """
+    lmax = max(plan.max_leaf_len, 1)
+    starts = jnp.asarray(plan.leaf_start)
+    lens = jnp.asarray(plan.leaf_len)
+    safe = jnp.clip(leaf_ids, 0, plan.n_leaves - 1)
+    s = jnp.take(starts, safe)
+    m = jnp.take(lens, safe)
+    offs = jnp.arange(lmax, dtype=jnp.int32)
+    pos = s[..., None] + offs
+    valid = (leaf_ids >= 0)[..., None] & (offs < m[..., None])
+    pos = jnp.where(valid, pos, 0)
+    ids = jnp.take(perm, pos.reshape(*pos.shape[:-2], -1), axis=-1)
+    return jnp.where(valid.reshape(ids.shape), ids, -1)
+
+
+def dedup_ids(ids: jax.Array) -> jax.Array:
+    """Sort candidate ids ascending and mask duplicates (and -1 padding)
+    to -1.  Input/output: int32[B, C]."""
+    ids_sorted = jnp.sort(ids, axis=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(ids_sorted[..., :1], dtype=bool),
+         ids_sorted[..., 1:] == ids_sorted[..., :-1]],
+        axis=-1,
+    )
+    return jnp.where(dup | (ids_sorted < 0), -1, ids_sorted)
+
+
+def _gather_rows(x, ids: jax.Array):
+    """Gather candidate rows; returns (rows, extra) where for dense data
+    rows is ``[B, C, D]`` and for ELL data it is a (cols, vals) pair."""
+    safe = jnp.clip(ids, 0, None)
+    if isinstance(x, EllMatrix):
+        return jnp.take(x.cols, safe, axis=0), jnp.take(x.vals, safe, axis=0)
+    return jnp.take(x, safe, axis=0), None
+
+
+def candidate_distances(
+    x,
+    sq_norms: jax.Array,
+    q: jax.Array,
+    ids: jax.Array,
+    metric: str = "l2",
+) -> jax.Array:
+    """Exact distances from each query to its candidate rows.
+
+    ``x``: dense ``[n, D]`` or :class:`EllMatrix`; ``sq_norms``: ``[n]``
+    precomputed squared norms; ``q``: dense ``[B, D]``; ``ids``:
+    ``int32[B, C]`` (-1 = invalid -> +inf distance).
+
+    Metrics (the reference's ``distf`` argument, restricted to jit-friendly
+    builtins): ``l2`` (Euclidean, the reference's ``metricL2``), ``sql2``,
+    ``cosine`` (1 - cosine similarity), ``dot`` (negative inner product,
+    for max-inner-product search).
+    """
+    valid = ids >= 0
+    if isinstance(x, EllMatrix):
+        cols, vals = _gather_rows(x, ids)  # [B, C, K]
+        qg = jnp.take_along_axis(
+            q[:, None, :], cols.astype(jnp.int32), axis=-1
+        )  # q[b, cols[b, c, k]] -> [B, C, K]
+        dots = jnp.sum(vals * qg, axis=-1)
+    else:
+        rows, _ = _gather_rows(x, ids)  # [B, C, D]
+        dots = jnp.einsum(
+            "bcd,bd->bc", rows, q, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+    sqx = jnp.take(sq_norms, jnp.clip(ids, 0, None))
+    if metric in ("l2", "sql2"):
+        sqq = jnp.sum(q * q, axis=-1)[:, None]
+        d = jnp.maximum(sqx - 2.0 * dots + sqq, 0.0)
+        if metric == "l2":
+            d = jnp.sqrt(d)
+    elif metric == "cosine":
+        nq = jnp.sqrt(jnp.sum(q * q, axis=-1))[:, None]
+        d = 1.0 - dots / jnp.maximum(jnp.sqrt(sqx) * nq, 1e-30)
+    elif metric == "dot":
+        d = -dots
+    else:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(METRICS)}")
+    return jnp.where(valid, d, jnp.inf)
+
+
+METRICS = ("l2", "sql2", "cosine", "dot")
+
+
+def rerank_top_k(
+    x,
+    sq_norms: jax.Array,
+    q: jax.Array,
+    ids: jax.Array,
+    k: int,
+    metric: str = "l2",
+    dedup: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-rerank the candidate union and select the k best.
+
+    Returns ``(dists f32[B, k], point_ids int32[B, k])`` in increasing
+    distance order; unfilled slots have ``inf`` distance and id ``-1``.
+    """
+    if dedup:
+        ids = dedup_ids(ids)
+    d = candidate_distances(x, sq_norms, q, ids, metric=metric)
+    k = min(k, ids.shape[-1])
+    neg, idx = lax.top_k(-d, k)
+    out_ids = jnp.take_along_axis(ids, idx, axis=-1)
+    dists = -neg
+    out_ids = jnp.where(jnp.isinf(dists), -1, out_ids)
+    return dists, out_ids

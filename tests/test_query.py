@@ -1,0 +1,141 @@
+"""Query-path tests: statistical assertions mirroring the reference hspec
+suite (knn hits inside the query's own disk, RPTreeSpec.hs:60-106) plus
+exact parity against the numpy oracle that re-executes the reference
+semantics."""
+
+import numpy as np
+import pytest
+
+from rptree_tpu import forest_batch, rp_tree_cfg, tree_batch
+from rptree_tpu.reference import (
+    ref_candidates,
+    ref_forest_batch,
+    ref_knn,
+    ref_recall_with,
+    leaf_spans,
+)
+from rptree_tpu.utils import gen as rgen
+
+SEED = 20260816
+
+
+@pytest.fixture(scope="module")
+def circle_forest():
+    n, ntrees, min_leaf, dim = 2048, 8, 20, 2
+    cfg = rp_tree_cfg(min_leaf, n, dim)
+    x = np.asarray(rgen.data_batch(SEED, n, rgen.circle2d2), dtype=np.float32)
+    f = forest_batch(SEED, cfg.max_depth, min_leaf, ntrees, 1.0, x)
+    return f, x
+
+
+def test_knn_hits_inside_disk(circle_forest):
+    # query at the (0,0) disk center: all k=5 hits must be inside that disk
+    # (distance < 1), the reference's statistical assertion
+    # (RPTreeSpec.hs:68-85)
+    f, _ = circle_forest
+    q = np.zeros(2, np.float32)
+    for fn in (f.knn, f.knn_pq, f.knn_h):
+        dists, ids = fn(q, 5)
+        dists = np.asarray(dists)[0]
+        assert np.all(ids[0] >= 0).item()
+        assert dists.max() < 1.0
+        assert np.all(np.diff(dists) >= 0)  # increasing distance order
+
+
+def test_knn_batch_matches_single(circle_forest):
+    f, x = circle_forest
+    qs = np.asarray([[0.0, 0.0], [2.0, 3.0], [1.0, 1.5]], np.float32)
+    db, ib = map(np.asarray, f.knn(qs, 4))
+    for i, q in enumerate(qs):
+        ds, is_ = map(np.asarray, f.knn(q, 4))
+        np.testing.assert_allclose(db[i], ds[0], rtol=1e-6)
+        np.testing.assert_array_equal(ib[i], is_[0])
+
+
+def test_recall_reasonable(circle_forest):
+    f, x = circle_forest
+    qs = np.asarray(rgen.data_batch(99, 16, rgen.circle2d2), np.float32)
+    rec = np.asarray(f.recall_with(qs, 10))
+    # per-tree mean recall on an easy 2-D dataset should be substantial
+    assert rec.mean() > 0.4
+    # and forest-level knn with full budget should recover nearly everything
+    d_exact, i_exact = map(np.asarray, f.brute_force_knn(qs, 10))
+    d_ann, i_ann = map(np.asarray, f.knn(qs, 10, budget=f.plan.n_leaves))
+    hit = (i_exact[:, :, None] == i_ann[:, None, :]).any(-1).mean()
+    assert hit > 0.9
+
+
+# ---------------------------------------------------------------------------
+# exact parity vs the numpy oracle (reference semantics)
+# ---------------------------------------------------------------------------
+
+def _build_pair(n=400, ntrees=3, max_depth=5, min_leaf=8, dim=4, seed=77):
+    x = np.asarray(rgen.data_batch(seed, n, lambda k, m: rgen.dense(k, m, dim)),
+                   dtype=np.float32)
+    f = forest_batch(seed, max_depth, min_leaf, ntrees, 1.0, x)
+    rs = np.asarray(f.arrays.r, dtype=np.float32)
+    ref = ref_forest_batch(x.astype(np.float64), rs.astype(np.float64),
+                           max_depth, min_leaf)
+    return f, ref, x
+
+
+def test_leaf_contents_match_oracle():
+    """Same projections => identical leaf buckets (up to float-sum noise,
+    which the integer check below excludes)."""
+    f, ref, x = _build_pair()
+    for t in range(f.n_trees):
+        tpu_leaves = [sorted(l) for l in f.leaves(t)]
+        orc_leaves = [sorted(ids.tolist()) for ids in leaf_spans(ref[t])]
+        assert len(tpu_leaves) == len(orc_leaves)
+        mismatched = sum(a != b for a, b in zip(tpu_leaves, orc_leaves))
+        # float32 GEMM vs float64 matvec can flip points at ulp-equal
+        # projections; require near-total agreement
+        assert mismatched <= max(1, len(tpu_leaves) // 20)
+
+
+def test_candidates_match_oracle():
+    f, ref, x = _build_pair()
+    qs = np.asarray(rgen.data_batch(5, 8, lambda k, m: rgen.dense(k, m, 4)),
+                    np.float32)
+    cand = np.asarray(f.candidates(qs, budget=f.plan.n_leaves))  # [T, B, C]
+    agree = 0
+    total = 0
+    for t in range(f.n_trees):
+        for b, q in enumerate(qs):
+            mine = set(int(i) for i in cand[t, b] if i >= 0)
+            orc = set(ref_candidates(ref[t], q.astype(np.float64)).tolist())
+            total += 1
+            if mine == orc:
+                agree += 1
+    assert agree >= total - 2  # allow ulp-level divergence on margins
+
+
+def test_knn_matches_oracle():
+    f, ref, x = _build_pair()
+    qs = np.asarray(rgen.data_batch(5, 6, lambda k, m: rgen.dense(k, m, 4)),
+                    np.float32)
+    d_t, i_t = map(np.asarray, f.knn(qs, 5, budget=f.plan.n_leaves))
+    for b, q in enumerate(qs):
+        d_o, i_o = ref_knn(ref, x.astype(np.float64), q.astype(np.float64),
+                           5, dedup=True)
+        # distances agree to float tolerance
+        np.testing.assert_allclose(d_t[b], d_o, rtol=2e-4, atol=2e-5)
+
+
+def test_recall_matches_oracle():
+    f, ref, x = _build_pair()
+    qs = np.asarray(rgen.data_batch(17, 4, lambda k, m: rgen.dense(k, m, 4)),
+                    np.float32)
+    rec_t = np.asarray(f.recall_with(qs, 5, budget=f.plan.n_leaves))
+    for b, q in enumerate(qs):
+        rec_o = ref_recall_with(ref, x.astype(np.float64),
+                                q.astype(np.float64), 5)
+        assert rec_t[b] == pytest.approx(rec_o, abs=0.15)
+
+
+def test_budget_one_still_returns_k():
+    f, _, _ = _build_pair()
+    q = np.zeros(4, np.float32)
+    d, i = map(np.asarray, f.knn(q, 3, budget=1))
+    assert (i[0] >= 0).all()
+    assert np.isfinite(d[0]).all()
