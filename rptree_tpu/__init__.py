@@ -25,6 +25,22 @@ Testing / generation:    :class:`BenchConfig`, :func:`rand_seed`,
 from .config import BenchConfig, ForestConfig, RPTreeConfig, rp_tree_cfg
 from .models.forest import RPForest, forest_batch, tree_batch
 from .models.plan import TreePlan, make_plan
+from .streaming import ForestBuilder, forest, tree
+from .utils.draw import (
+    draw,
+    knn_write_csv,
+    leaf_label_of_points,
+    to_dot,
+    tree_to_string,
+    write_csv,
+    write_dot,
+)
+from .utils.io import (
+    deserialise_rp_forest,
+    load_forest,
+    save_forest,
+    serialise_rp_forest,
+)
 from .ops.sparse import (
     EllMatrix,
     ell_from_scipy_like,
@@ -68,5 +84,64 @@ from .utils.gen import (
     sparse,
 )
 from .version import __version__
+
+
+# Function-first query API (the reference's ``knn distf k forest q`` calling
+# convention, pythonified as ``knn(forest, q, k, ...)``).
+
+def knn(forest_, q, k, **kw):
+    """k nearest neighbours (reference ``knn``, RPTree.hs:159-176)."""
+    return forest_.knn(q, k, **kw)
+
+
+def knn_h(forest_, q, k, **kw):
+    """Margin-priority kNN (reference ``knnH``, RPTree.hs:196-217)."""
+    return forest_.knn_h(q, k, **kw)
+
+
+def knn_pq(forest_, q, k, **kw):
+    """Deduplicating kNN (reference ``knnPQ``, RPTree.hs:178-194)."""
+    return forest_.knn_pq(q, k, **kw)
+
+
+def candidates(forest_, q, **kw):
+    """Candidate point ids per tree (reference ``candidates``)."""
+    return forest_.candidates(q, **kw)
+
+
+def recall_with(forest_, q, k, **kw):
+    """Mean per-tree recall@k (reference ``recallWith``)."""
+    return forest_.recall_with(q, k, **kw)
+
+
+def tree_size(forest_, t: int = 0):
+    """Points stored in a tree (reference ``treeSize``)."""
+    return forest_.tree_size(t)
+
+
+def leaf_sizes(forest_):
+    """Per-leaf occupancy (reference ``leafSizes``)."""
+    return forest_.leaf_sizes()
+
+
+def tree_stats(forest_):
+    """Node counts (reference ``treeStats``)."""
+    return forest_.tree_stats()
+
+
+def leaves(forest_, t: int = 0):
+    """Leaf buckets as point-id lists (reference ``leaves``)."""
+    return forest_.leaves(t)
+
+
+def levels(forest_):
+    """Number of projection levels (reference ``levels``)."""
+    return forest_.levels()
+
+
+def points(forest_):
+    """The indexed dataset (reference ``points``)."""
+    return forest_.points()
+
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -1,0 +1,192 @@
+"""Index serialization / checkpointing.
+
+The reference CBOR-serialises whole trees (including the points stored at
+the leaves) via the ``serialise`` package, one lazy ByteString per tree with
+undefined order (``src/Data/RPTree/Internal.hs:185-196``).  The TPU-native
+index is array-structured, so checkpoints are npz archives: projections,
+per-level thresholds/margins, permutations, the dataset, and a JSON header
+with the static plan parameters (SURVEY.md section 5, checkpoint/resume).
+
+Two surfaces:
+
+* :func:`save_forest` / :func:`load_forest` -- one file for the whole
+  forest (recommended; the dataset is stored once).
+* :func:`serialise_rp_forest` / :func:`deserialise_rp_forest` -- API parity
+  with the reference: a list of standalone per-tree blobs, each of which
+  (like the reference's) embeds the leaf data, and whose order does not
+  matter for restore.  Restore re-keys trees 0..T-1 (Internal.hs:191-196).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pickle
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ForestConfig
+from ..models.forest import RPForest
+from ..models.plan import make_plan
+from ..ops.build import TreeArrays
+from ..ops.sparse import EllMatrix, ell_sq_norms
+
+__all__ = ["save_forest", "load_forest", "serialise_rp_forest",
+           "deserialise_rp_forest"]
+
+_FORMAT_VERSION = 1
+
+
+def _header(forest: RPForest) -> dict:
+    return {
+        "format_version": _FORMAT_VERSION,
+        "n": forest.plan.n,
+        "max_depth": forest.plan.max_depth,
+        "min_leaf": forest.plan.min_leaf,
+        "n_levels": forest.plan.n_levels,
+        "n_trees": forest.n_trees,
+        "dim": forest.dim,
+        "sparse": isinstance(forest.x, EllMatrix),
+        "config": {
+            "n_trees": forest.config.n_trees,
+            "max_depth": forest.config.max_depth,
+            "min_leaf": forest.config.min_leaf,
+            "proj_nz_density": forest.config.proj_nz_density,
+            "dim": forest.config.dim,
+            "chunk_size": forest.config.chunk_size,
+            "dtype": forest.config.dtype,
+        },
+        "seed": forest.seed if isinstance(forest.seed, int) else None,
+    }
+
+
+def _pack(forest: RPForest, tree: Optional[int] = None) -> dict:
+    """Collect arrays into a flat dict for npz.  ``tree=None`` packs the
+    whole forest; an int packs a single tree's slice."""
+    sel = slice(None) if tree is None else slice(tree, tree + 1)
+    arrs = {
+        "r": np.asarray(forest.arrays.r[sel]),
+        "perm": np.asarray(forest.arrays.perm[sel]),
+    }
+    for l in range(forest.plan.n_levels):
+        arrs[f"thr_{l}"] = np.asarray(forest.arrays.thr[l][sel])
+        arrs[f"mgl_{l}"] = np.asarray(forest.arrays.mgl[l][sel])
+        arrs[f"mgh_{l}"] = np.asarray(forest.arrays.mgh[l][sel])
+    if isinstance(forest.x, EllMatrix):
+        arrs["x_cols"] = np.asarray(forest.x.cols)
+        arrs["x_vals"] = np.asarray(forest.x.vals)
+    else:
+        arrs["x"] = np.asarray(forest.x)
+    if forest.payloads is not None:
+        arrs["payloads"] = np.frombuffer(
+            pickle.dumps(list(forest.payloads)), dtype=np.uint8
+        )
+    return arrs
+
+
+def _unpack(header: dict, z) -> RPForest:
+    plan = make_plan(header["n"], header["max_depth"], header["min_leaf"])
+    if plan.n_levels != header["n_levels"]:
+        raise ValueError("checkpoint plan mismatch: "
+                         f"{plan.n_levels} != {header['n_levels']}")
+    arrays = TreeArrays(
+        r=jnp.asarray(z["r"]),
+        thr=tuple(jnp.asarray(z[f"thr_{l}"]) for l in range(plan.n_levels)),
+        mgl=tuple(jnp.asarray(z[f"mgl_{l}"]) for l in range(plan.n_levels)),
+        mgh=tuple(jnp.asarray(z[f"mgh_{l}"]) for l in range(plan.n_levels)),
+        perm=jnp.asarray(z["perm"]),
+    )
+    if header["sparse"]:
+        x = EllMatrix(header["dim"], jnp.asarray(z["x_cols"]),
+                      jnp.asarray(z["x_vals"]))
+        sq = ell_sq_norms(x)
+    else:
+        x = jnp.asarray(z["x"])
+        sq = jnp.sum(x * x, axis=-1)
+    payloads = None
+    if "payloads" in z:
+        payloads = pickle.loads(z["payloads"].tobytes())
+    cfg = ForestConfig(**header["config"])
+    return RPForest(plan, arrays, x, sq, cfg, payloads=payloads,
+                    seed=header.get("seed"))
+
+
+def save_forest(path: str, forest: RPForest) -> None:
+    """Save the whole forest index (arrays + dataset + payloads) to one
+    npz file with a JSON header."""
+    arrs = _pack(forest)
+    arrs["header"] = np.frombuffer(
+        json.dumps(_header(forest)).encode(), dtype=np.uint8
+    )
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, **arrs)
+
+
+def load_forest(path: str) -> RPForest:
+    """Restore a forest saved by :func:`save_forest`.
+
+    Note: payloads (if present) are unpickled -- only load checkpoints you
+    trust."""
+    with np.load(path, allow_pickle=False) as z:
+        header = json.loads(z["header"].tobytes().decode())
+        return _unpack(header, {k: z[k] for k in z.files})
+
+
+def serialise_rp_forest(forest: RPForest) -> List[bytes]:
+    """One standalone blob per tree (reference ``serialiseRPForest``,
+    Internal.hs:185-188).  Each blob embeds the dataset, mirroring the
+    reference where leaf data lives inside every serialized tree; prefer
+    :func:`save_forest` to store the dataset once."""
+    out = []
+    for t in range(forest.n_trees):
+        header = _header(forest)
+        header["n_trees"] = 1
+        arrs = _pack(forest, tree=t)
+        arrs["header"] = np.frombuffer(
+            json.dumps(header).encode(), dtype=np.uint8
+        )
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **arrs)
+        out.append(buf.getvalue())
+    return out
+
+
+def deserialise_rp_forest(blobs: Sequence[bytes]) -> RPForest:
+    """Reassemble a forest from per-tree blobs in any order (reference
+    ``deserialiseRPForest``, Internal.hs:191-196: trees are re-keyed
+    ``[0..]``).  Raises ``ValueError`` on malformed or inconsistent blobs
+    (the reference's ``Either String`` surface)."""
+    if not blobs:
+        raise ValueError("no blobs to deserialise")
+    headers = []
+    parts = []
+    for blob in blobs:
+        try:
+            with np.load(io.BytesIO(blob), allow_pickle=False) as z:
+                data = {k: z[k] for k in z.files}
+        except Exception as e:  # noqa: BLE001 - surface as Either-String parity
+            raise ValueError(f"deserialise failed: {e}") from e
+        headers.append(json.loads(data["header"].tobytes().decode()))
+        parts.append(data)
+    h0 = headers[0]
+    for h in headers[1:]:
+        if (h["n"], h["max_depth"], h["min_leaf"], h["dim"], h["sparse"]) != (
+            h0["n"], h0["max_depth"], h0["min_leaf"], h0["dim"], h0["sparse"]
+        ):
+            raise ValueError("inconsistent tree blobs")
+    merged = {"r": np.concatenate([p["r"] for p in parts]),
+              "perm": np.concatenate([p["perm"] for p in parts])}
+    for l in range(h0["n_levels"]):
+        for k in (f"thr_{l}", f"mgl_{l}", f"mgh_{l}"):
+            merged[k] = np.concatenate([p[k] for p in parts])
+    for k in ("x", "x_cols", "x_vals", "payloads"):
+        if k in parts[0]:
+            merged[k] = parts[0][k]
+    h0 = dict(h0)
+    h0["n_trees"] = len(parts)
+    cfg = dict(h0["config"])
+    cfg["n_trees"] = len(parts)
+    h0["config"] = cfg
+    return _unpack(h0, merged)

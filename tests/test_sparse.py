@@ -1,0 +1,83 @@
+"""Sparse-dataset path (the reference's SVector datasets, configs[2]):
+ELL packing, projections, and index build/query over sparse inputs."""
+
+import numpy as np
+import pytest
+
+import rptree_tpu as rp
+from rptree_tpu.ops.sparse import ell_project, ell_sq_norms, ell_to_dense
+from rptree_tpu.utils import gen as rgen
+
+
+def _random_svecs(n, dim, pnz, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        mask = rng.random(dim) < pnz
+        idx = np.nonzero(mask)[0]
+        if idx.size == 0:
+            idx = np.array([rng.integers(dim)])
+        out.append(rp.SVec(dim, idx, rng.normal(size=idx.size)))
+    return out
+
+
+def test_ell_pack_and_densify():
+    svs = _random_svecs(50, 20, 0.3)
+    m = rp.ell_from_svecs(svs)
+    dense = np.asarray(ell_to_dense(m))
+    expect = np.stack([rp.to_dense(s) for s in svs]).astype(np.float32)
+    np.testing.assert_allclose(dense, expect, rtol=1e-6)
+
+
+def test_ell_project_matches_dense():
+    svs = _random_svecs(30, 16, 0.4, seed=1)
+    m = rp.ell_from_svecs(svs)
+    r = np.asarray(rgen.sample_projections(1, 1, 3, 16, 1.0))[0]  # [3, 16]
+    got = np.asarray(ell_project(m, r[0]))
+    expect = np.stack([rp.to_dense(s) for s in svs]) @ r[0]
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def test_ell_sq_norms():
+    svs = _random_svecs(10, 8, 0.5, seed=2)
+    m = rp.ell_from_svecs(svs)
+    got = np.asarray(ell_sq_norms(m))
+    expect = np.array([np.sum(rp.to_dense(s) ** 2) for s in svs])
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_sparse_index_build_query_matches_densified():
+    """Build one forest from the ELL dataset and one from its densification
+    with identical projections: identical permutations and knn results."""
+    svs = _random_svecs(400, 32, 0.25, seed=3)
+    m = rp.ell_from_svecs(svs)
+    fs = rp.forest_batch(7, 5, 10, 3, 0.5, m)
+    fd = rp.forest_batch(7, 5, 10, 3, 0.5, np.asarray(ell_to_dense(m)))
+    np.testing.assert_array_equal(np.asarray(fs.arrays.perm),
+                                  np.asarray(fd.arrays.perm))
+    q = rp.to_dense(svs[0]).astype(np.float32)
+    ds, is_ = map(np.asarray, fs.knn(q, 5))
+    dd, id_ = map(np.asarray, fd.knn(q, 5))
+    np.testing.assert_array_equal(is_, id_)
+    np.testing.assert_allclose(ds, dd, rtol=1e-4, atol=1e-5)
+    # nearest neighbour of a dataset point is itself at distance ~0
+    assert is_[0, 0] == 0 and ds[0, 0] < 1e-3
+
+
+def test_sparse_query_against_sparse_index():
+    svs = _random_svecs(200, 24, 0.3, seed=4)
+    m = rp.ell_from_svecs(svs)
+    f = rp.forest_batch(11, 4, 10, 2, 1.0, m)
+    d, i = map(np.asarray, f.knn(svs[5], 3))
+    assert i[0, 0] == 5 and d[0, 0] < 1e-3
+    rec = np.asarray(f.recall_with(rp.to_dense(svs[5]), 5))
+    assert 0.0 <= rec[0] <= 1.0
+
+
+def test_high_dim_bag_of_words_shape():
+    """Sparse high-dim config (BASELINE configs[2]): dim >> nnz."""
+    svs = _random_svecs(128, 5000, 0.002, seed=5)
+    m = rp.ell_from_svecs(svs)
+    assert m.dim == 5000 and m.k < 40
+    f = rp.forest_batch(2, 4, 8, 2, 0.05, m)
+    assert f.tree_size() == 128

@@ -1,0 +1,89 @@
+"""Streaming construction tests, mirroring the reference's conduit block
+(RPTreeSpec.hs:87-106): completeness + knn closeness, plus the
+batch==streaming equivalence the reference's paired describe-blocks imply."""
+
+import numpy as np
+import pytest
+
+import rptree_tpu as rp
+from rptree_tpu.utils import gen as rgen
+
+SEED = 4242
+
+
+def test_streaming_forest_completeness_and_knn():
+    n, ntrees, min_leaf, dim = 2000, 6, 20, 2
+    cfg = rp.rp_tree_cfg(min_leaf, n, dim)
+    src = rp.data_source(SEED, n, cfg.chunk_size, rgen.circle2d2)
+    f = rp.forest(SEED, cfg.max_depth, min_leaf, ntrees, cfg.chunk_size, 1.0,
+                  dim, src)
+    assert f.tree_size() == n
+    for t in range(ntrees):
+        assert sorted(np.asarray(f.arrays.perm[t]).tolist()) == list(range(n))
+    d, i = f.knn(np.zeros(2, np.float32), 5)
+    assert np.asarray(d)[0].max() < 1.0
+    d, i = f.knn_h(np.zeros(2, np.float32), 5)
+    assert np.asarray(d)[0].max() < 1.0
+
+
+def test_streaming_equals_batch_on_same_data():
+    """With the exact-rebuild streaming design, end-of-stream result is
+    bit-identical to the batch build over the concatenated chunks."""
+    n, dim = 600, 4
+    x = np.asarray(rgen.data_batch(9, n, lambda k, m: rgen.dense(k, m, dim)),
+                   np.float32)
+    fb = rp.forest_batch(9, 5, 10, 3, 1.0, x)
+    builder = rp.ForestBuilder(9, 5, 10, 3, 1.0, dim)
+    for s in range(0, n, 100):
+        builder.insert_chunk(x[s : s + 100])
+    fs = builder.build()
+    np.testing.assert_array_equal(np.asarray(fb.arrays.perm),
+                                  np.asarray(fs.arrays.perm))
+    for l in range(fb.plan.n_levels):
+        np.testing.assert_allclose(np.asarray(fb.arrays.thr[l]),
+                                   np.asarray(fs.arrays.thr[l]))
+
+
+def test_single_tree_stream():
+    src = rp.data_source(1, 500, 100, rgen.circle2d2)
+    f = rp.tree(1, 5, 10, 100, 1.0, 2, src)
+    assert f.n_trees == 1
+    assert f.tree_size() == 500
+
+
+def test_builder_payloads_and_validation():
+    b = rp.ForestBuilder(0, 4, 5, 2, 1.0, 3)
+    b.insert_chunk(np.ones((4, 3), np.float32), payloads=["a", "b", "c", "d"])
+    b.insert_chunk(np.zeros((2, 3), np.float32), payloads=["e", "f"])
+    f = b.build()
+    assert f.payloads == ["a", "b", "c", "d", "e", "f"]
+    with pytest.raises(ValueError):
+        b.insert_chunk(np.ones((2, 5), np.float32))  # wrong dim
+    with pytest.raises(ValueError):
+        rp.ForestBuilder(0, 4, 5, 2, 1.0, 3).build()  # empty source
+
+
+def test_builder_incremental_rebuild():
+    b = rp.ForestBuilder(3, 4, 5, 2, 1.0, 2, periodic_rebuild_every=1)
+    b.insert_chunk(np.random.default_rng(0).normal(size=(50, 2)))
+    f1 = b.build()
+    assert f1.tree_size() == 50
+    b.insert_chunk(np.random.default_rng(1).normal(size=(30, 2)))
+    f2 = b.build()
+    assert f2.tree_size() == 80
+
+
+def test_streaming_oracle_refine_semantics():
+    """The numpy oracle's streaming mode follows the reference's
+    running-average thresholds and margin merging -- check the tree still
+    holds all points and queries hit near neighbours (the reference's own
+    statistical contract)."""
+    from rptree_tpu.reference import ref_build_stream, tree_size as rts, ref_knn
+
+    n, dim = 400, 2
+    x = np.asarray(rgen.data_batch(5, n, rgen.circle2d2), np.float64)
+    r = np.asarray(rgen.sample_projections(5, 1, 5, dim, 1.0)[0], np.float64)
+    t = ref_build_stream(x, r, max_depth=5, min_leaf=10, chunk_size=50)
+    assert rts(t) == n
+    d, ids = ref_knn([t], x, np.zeros(2), 5)
+    assert d.max() < 1.0
