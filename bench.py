@@ -1,0 +1,111 @@
+"""Headline benchmark: batched forest-kNN throughput, TPU engine vs a CPU
+re-execution of the reference algorithm's semantics.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is
+self-generated: the numpy oracle in :mod:`rptree_tpu.reference` runs the
+same forest (same trees, same candidate semantics) query-by-query, the way
+the reference library does (``src/Data/RPTree.hs:159-176`` is
+single-query).  ``vs_baseline`` is the TPU-QPS / oracle-QPS ratio; the
+north-star target is >= 100x (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": "knn_qps", "value": <tpu qps>, "unit": "queries/s",
+   "vs_baseline": <ratio>, ...extras}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import rptree_tpu as rt
+    from rptree_tpu import reference as ref
+
+    # SIFT-shaped workload (BASELINE.json configs[3] scaled to bench time):
+    # n=100k 128-d dense vectors, 8 trees, auto depth, k=10.
+    N, DIM, T, K = 100_000, 128, 8, 10
+    MIN_LEAF = 64
+    BUDGET = 4            # recall-equivalent to the reference's unbounded
+    #                       descent on this workload (forks are rare)
+    B = 1024              # total query batch
+    CHUNK = 512           # queries per device step (bounds rerank memory)
+    SEED = 20260816
+
+    rng = np.random.default_rng(SEED)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    q = (x[rng.integers(0, N, size=B)]
+         + 0.1 * rng.normal(size=(B, DIM)).astype(np.float32))
+
+    cfg = rt.rp_tree_cfg(MIN_LEAF, N, DIM)
+
+    # ---- TPU build -------------------------------------------------------
+    t0 = time.perf_counter()
+    f = rt.forest_batch(SEED, cfg.max_depth, MIN_LEAF, T,
+                        cfg.proj_nz_density, x)
+    np.asarray(f.arrays.perm)  # host fetch: forces real completion
+    build_s = time.perf_counter() - t0
+
+    qd = jnp.asarray(q)
+
+    def sweep():
+        outs = []
+        for s in range(0, B, CHUNK):
+            outs.append(f.knn(qd[s:s + CHUNK], K, budget=BUDGET))
+        # host fetch (NOT block_until_ready: through tunneled TPU backends
+        # block_until_ready can return before device completion)
+        return [(np.asarray(d), np.asarray(i)) for d, i in outs]
+
+    sweep()  # compile + warm
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        outs = sweep()
+    dt = (time.perf_counter() - t0) / reps
+    qps = B / dt
+
+    # quality: recall@10 of the returned neighbours vs exact top-k
+    _, exact = f.brute_force_knn(qd, K)
+    got = np.concatenate([i for _, i in outs], axis=0)
+    exact = np.asarray(exact)
+    recall = float(np.mean([
+        len(set(got[b].tolist()) & set(exact[b].tolist())) / K
+        for b in range(B)
+    ]))
+
+    # ---- CPU reference-semantics baseline (per-query, as the reference
+    # runs: one query at a time over the pointer forest) ------------------
+    r_np = np.asarray(f.arrays.r, dtype=np.float64)
+    t0 = time.perf_counter()
+    ref_forest = ref.ref_forest_batch(x, r_np, cfg.max_depth, MIN_LEAF)
+    ref_build_s = time.perf_counter() - t0
+
+    nq_ref = 32
+    t0 = time.perf_counter()
+    for b in range(nq_ref):
+        ref.ref_knn(ref_forest, x, q[b], K, dedup=True)
+    ref_dt = time.perf_counter() - t0
+    ref_qps = nq_ref / ref_dt
+
+    print(json.dumps({
+        "metric": "knn_qps",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / ref_qps, 1),
+        "recall_at_10": round(recall, 4),
+        "baseline_qps": round(ref_qps, 1),
+        "build_s": round(build_s, 3),
+        "baseline_build_s": round(ref_build_s, 3),
+        "config": {"n": N, "dim": DIM, "trees": T, "k": K,
+                   "max_depth": cfg.max_depth, "min_leaf": MIN_LEAF,
+                   "budget": BUDGET, "batch": B,
+                   "platform": jax.devices()[0].platform},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,20 @@ __all__ = ["RPForest", "forest_batch", "tree_batch", "DEFAULT_BUDGET"]
 
 DEFAULT_BUDGET = 32
 
+# matmul precision for the exact-rerank / brute-force distance GEMMs.
+# "highest" (f32-accurate MXU passes) is the parity default; "default"
+# (one bf16 MXU pass, ~6x faster) is the serving mode -- distance error
+# ~1e-2 relative, which perturbs near-tie orderings but not recall
+# statistics (measured in bench.py).
+_PRECISIONS = ("highest", "default")
+
+
+def _prec(precision: str):
+    if precision not in _PRECISIONS:
+        raise ValueError(f"precision must be one of {_PRECISIONS}")
+    return (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+
 
 def _as_dense_queries(q, dim: int) -> jax.Array:
     """Queries as f32[B, D]; single vectors are auto-batched; sparse queries
@@ -86,22 +100,27 @@ def _candidate_ids(plan: TreePlan, arrays: TreeArrays, q: jax.Array, budget: int
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "budget", "k", "metric", "dedup")
+    jax.jit,
+    static_argnames=("plan", "budget", "k", "metric", "dedup", "precision"),
 )
-def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup):
+def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
+         precision="highest"):
     """Forest kNN: union of per-tree candidates -> exact rerank -> top-k
     (reference ``knn``, RPTree.hs:159-176; with dedup=True it is ``knnPQ``,
     RPTree.hs:178-194)."""
     cand = _candidate_ids(plan, arrays, q, budget)  # [T, B, C1]
     t, b, c1 = cand.shape
     union = jnp.transpose(cand, (1, 0, 2)).reshape(b, t * c1)
-    return rerank_top_k(x, sq_norms, q, union, k, metric=metric, dedup=dedup)
+    return rerank_top_k(x, sq_norms, q, union, k, metric=metric, dedup=dedup,
+                        precision=_prec(precision))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "budget", "k", "metric", "dedup")
+    jax.jit,
+    static_argnames=("plan", "budget", "k", "metric", "dedup", "precision"),
 )
-def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup):
+def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
+           precision="highest"):
     """Margin-priority variant (reference ``knnH``, RPTree.hs:196-217):
     across all trees, leaf buckets are consumed in ascending margin-priority
     order until at least k points are collected; only those buckets enter
@@ -142,11 +161,12 @@ def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup):
     pos = jnp.where(valid, pos, 0)
     ids = jnp.take_along_axis(perm_rows, pos, axis=-1)
     ids = jnp.where(valid, ids, -1).reshape(b, -1)
-    return rerank_top_k(x, sq_norms, q, ids, k, metric=metric, dedup=dedup)
+    return rerank_top_k(x, sq_norms, q, ids, k, metric=metric, dedup=dedup,
+                        precision=_prec(precision))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
-def _brute_force(x, sq_norms, q, k, metric):
+@functools.partial(jax.jit, static_argnames=("k", "metric", "precision"))
+def _brute_force(x, sq_norms, q, k, metric, precision="highest"):
     """Exact k nearest neighbours over the whole dataset (the ground truth
     of ``recallWith``, RPTree.hs:280-282), as one distance GEMM + top_k."""
     if isinstance(x, EllMatrix):
@@ -156,7 +176,7 @@ def _brute_force(x, sq_norms, q, k, metric):
                                               axis=-1))
     else:
         dots = jnp.einsum("bd,nd->bn", q, x, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=_prec(precision))
     if metric in ("l2", "sql2"):
         d = jnp.maximum(sq_norms[None, :] - 2.0 * dots + jnp.sum(q * q, -1)[:, None], 0.0)
         if metric == "l2":
@@ -275,7 +295,8 @@ class RPForest:
         return max(1, min(int(budget), self.plan.n_leaves))
 
     def knn(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
-            dedup: bool = True) -> Tuple[jax.Array, jax.Array]:
+            dedup: bool = True,
+            precision: str = "highest") -> Tuple[jax.Array, jax.Array]:
         """k nearest neighbours of ``q`` (single vector or batch).
 
         Returns ``(dists f32[B, k], ids int32[B, k])`` ordered by increasing
@@ -285,18 +306,20 @@ class RPForest:
         """
         qb = _as_dense_queries(q, self.dim)
         return _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
-                    self._budget(budget), metric, dedup)
+                    self._budget(budget), metric, dedup, precision)
 
-    def knn_pq(self, q, k: int, metric: str = "l2", budget: Optional[int] = None):
+    def knn_pq(self, q, k: int, metric: str = "l2",
+               budget: Optional[int] = None, precision: str = "highest"):
         """Deduplicating kNN (reference ``knnPQ``, RPTree.hs:178-194)."""
-        return self.knn(q, k, metric=metric, budget=budget, dedup=True)
+        return self.knn(q, k, metric=metric, budget=budget, dedup=True,
+                        precision=precision)
 
     def knn_h(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
-              dedup: bool = True):
+              dedup: bool = True, precision: str = "highest"):
         """Margin-priority kNN (reference ``knnH``, RPTree.hs:196-217)."""
         qb = _as_dense_queries(q, self.dim)
         return _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
-                      self._budget(budget), metric, dedup)
+                      self._budget(budget), metric, dedup, precision)
 
     def candidates(self, q, budget: Optional[int] = None, tree: Optional[int] = None):
         """Candidate point ids per tree (reference ``candidates``,
@@ -314,10 +337,12 @@ class RPForest:
         return _recall(self.plan, self.arrays, self.x, self.sq_norms, qb,
                        int(k), self._budget(budget), metric)
 
-    def brute_force_knn(self, q, k: int, metric: str = "l2"):
+    def brute_force_knn(self, q, k: int, metric: str = "l2",
+                        precision: str = "highest"):
         """Exact kNN by full scan (ground-truth oracle)."""
         qb = _as_dense_queries(q, self.dim)
-        return _brute_force(self.x, self.sq_norms, qb, int(k), metric)
+        return _brute_force(self.x, self.sq_norms, qb, int(k), metric,
+                            precision)
 
     def payload_of(self, ids) -> list:
         """Resolve row ids to payloads (None where id < 0 or no payloads)."""

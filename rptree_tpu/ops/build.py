@@ -5,10 +5,15 @@ Replaces the reference's recursive ``insert``/``partitionAtMedian``
 every node's points one node at a time, with an array program that handles a
 *whole level across all trees* at once:
 
-1. one projection GEMM per level: ``proj = X @ R[:, l, :]`` -> ``[n, T]``
-   (batched over the forest by ``vmap``);
-2. one 2-key stable ``lax.sort`` per level over ``(segment_key, proj)``,
-   carrying the point permutation -- the segmented median "kernel";
+1. ONE projection GEMM for the entire tree: ``proj = X @ R.T`` -> ``[n, L]``
+   (batched over the forest by ``vmap``/``shard_map`` into ``[n, T, L]``) --
+   the MXU does all the build FLOPs in a single op;
+2. a ``lax.scan`` over levels whose body is one 2-key stable ``lax.sort``
+   over ``(segment_key, proj)``, carrying the point permutation -- the
+   segmented median "kernel".  Per-level gather positions are padded to the
+   deepest level's segment count so every iteration has identical shapes:
+   one compiled sort serves all levels (an unrolled-levels version compiled
+   ~L times slower through XLA with no runtime benefit);
 3. static gathers of the median / margin values (positions are compile-time
    constants from :class:`~rptree_tpu.models.plan.TreePlan`).
 
@@ -16,14 +21,20 @@ Sort stability plus the plan's positional split reproduce the reference's
 ``take nh / drop nh`` partition of the stably-sorted projections
 (``Internal.hs:495,508-512``) exactly, so leaf contents are bit-identical to
 the reference semantics whenever the projections themselves are.
+
+Threshold/margin layout: dense ``f32[L, S_max]`` (leading ``[T]`` for a
+forest), where ``S_max`` is the deepest level's segment count; level ``l``
+uses entries ``[0, n_segs_l)`` and the padded tail is never read (query
+traversal clips segment indices to ``n_segs_l``).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..models.plan import TreePlan
@@ -37,15 +48,15 @@ class TreeArrays(NamedTuple):
     leading ``[T]`` axis on every leaf): the TPU-native counterpart of the
     reference's ``RPTree`` record (``Internal.hs:172-177``)."""
 
-    r: jax.Array            # [depth, D] projections (forest: [T, depth, D])
-    thr: Tuple[jax.Array, ...]  # per level: [n_segs_l] median thresholds
-    mgl: Tuple[jax.Array, ...]  # per level: low margin (Max side)
-    mgh: Tuple[jax.Array, ...]  # per level: high margin (Min side)
-    perm: jax.Array         # int32[n] point ids sorted by leaf
+    r: jax.Array     # [depth, D] projections (forest: [T, depth, D])
+    thr: jax.Array   # f32[L, S_max] median thresholds per (level, segment)
+    mgl: jax.Array   # f32[L, S_max] low margin (Max side)
+    mgh: jax.Array   # f32[L, S_max] high margin (Min side)
+    perm: jax.Array  # int32[n] point ids sorted by leaf
 
 
 def project_dataset(x, r_l: jax.Array, precision=lax.Precision.HIGHEST) -> jax.Array:
-    """Project every point onto one level's projection vector: ``[n]``.
+    """Project points onto projection vectors: ``x [n, D] @ r_l [.., D].T``.
 
     Precision defaults to HIGHEST: on TPU, f32 matmuls otherwise run at
     bfloat16 MXU precision, whose ~1e-2 error flips the order of
@@ -55,34 +66,62 @@ def project_dataset(x, r_l: jax.Array, precision=lax.Precision.HIGHEST) -> jax.A
     """
     if isinstance(x, EllMatrix):
         return ell_project(x, r_l)
-    return jnp.matmul(x, r_l, precision=precision)
+    return jnp.matmul(x, r_l.T if r_l.ndim == 2 else r_l, precision=precision)
+
+
+def _stacked_plan_constants(plan: TreePlan):
+    """Host-side [L, ...] constants with per-level gather positions padded
+    to the deepest level's segment count."""
+    smax = max(lp.n_segs for lp in plan.levels)
+
+    def pad(name):
+        return np.stack([
+            np.pad(getattr(lp, name), (0, smax - lp.n_segs))
+            for lp in plan.levels
+        ]).astype(np.int32)
+
+    seg_keys = np.stack([lp.seg_key for lp in plan.levels]).astype(np.int32)
+    return seg_keys, pad("thr_pos"), pad("mgl_pos"), pad("mgr_pos")
 
 
 def build_tree_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
     """Build one tree's arrays.  ``x``: ``f32[n, D]`` dense or
     :class:`EllMatrix`; ``r``: ``f32[depth, D]``.
 
-    Levels are unrolled in Python (static count).  The permutation ``ids``
-    is initialised in dataset order so stable-sort tie-breaking matches the
-    reference's stable merge sort over the same order.
+    The permutation ``ids`` is initialised in dataset order so stable-sort
+    tie-breaking matches the reference's stable merge sort over the same
+    order.
     """
     n = plan.n
-    ids = jnp.arange(n, dtype=jnp.int32)
-    thrs, mgls, mghs = [], [], []
-    for l, lp in enumerate(plan.levels):
-        proj = project_dataset(x, r[l]).astype(jnp.float32)
-        p = jnp.take(proj, ids, axis=0)
-        seg_key = jnp.asarray(lp.seg_key)
-        _, p_sorted, ids = lax.sort((seg_key, p, ids), num_keys=2, is_stable=True)
-        thrs.append(p_sorted[jnp.asarray(lp.thr_pos)])
-        mgls.append(p_sorted[jnp.asarray(lp.mgl_pos)])
-        mghs.append(p_sorted[jnp.asarray(lp.mgr_pos)])
-    return TreeArrays(r=r, thr=tuple(thrs), mgl=tuple(mgls), mgh=tuple(mghs), perm=ids)
+    nl = plan.n_levels
+    ids0 = jnp.arange(n, dtype=jnp.int32)
+    if nl == 0:  # single-leaf tree (n <= min_leaf or max_depth == 0)
+        z = jnp.zeros((0, 1), dtype=jnp.float32)
+        return TreeArrays(r=r, thr=z, mgl=z, mgh=z, perm=ids0)
+
+    proj = project_dataset(x, r[:nl]).astype(jnp.float32)  # [n, L]
+    seg_keys, thr_pos, mgl_pos, mgr_pos = _stacked_plan_constants(plan)
+
+    def level_step(ids, xs):
+        seg_key, proj_l, tp, mp, rp = xs
+        p = jnp.take(proj_l, ids)
+        _, p_sorted, ids = lax.sort((seg_key, p, ids), num_keys=2,
+                                    is_stable=True)
+        return ids, (jnp.take(p_sorted, tp), jnp.take(p_sorted, mp),
+                     jnp.take(p_sorted, rp))
+
+    ids, (thr, mgl, mgh) = lax.scan(
+        level_step,
+        ids0,
+        (jnp.asarray(seg_keys), proj.T, jnp.asarray(thr_pos),
+         jnp.asarray(mgl_pos), jnp.asarray(mgr_pos)),
+    )
+    return TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh, perm=ids)
 
 
 def build_forest_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
     """Build a whole forest: ``r`` is ``[T, depth, D]``; every output leaf
-    gains a leading ``[T]`` axis.  The per-level projection GEMMs batch into
-    ``X @ R[:, l, :].T`` across trees (the forest axis is the natural
+    gains a leading ``[T]`` axis.  The per-tree projection GEMMs batch into
+    one ``X @ R.T`` across trees (the forest axis is the natural
     "tree-parallel" dimension, SURVEY.md section 2.11)."""
     return jax.vmap(lambda rt: build_tree_arrays(plan, x, rt))(r)

@@ -86,6 +86,7 @@ def candidate_distances(
     q: jax.Array,
     ids: jax.Array,
     metric: str = "l2",
+    precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Exact distances from each query to its candidate rows.
 
@@ -109,7 +110,7 @@ def candidate_distances(
         rows, _ = _gather_rows(x, ids)  # [B, C, D]
         dots = jnp.einsum(
             "bcd,bd->bc", rows, q, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=precision,
         )
     sqx = jnp.take(sq_norms, jnp.clip(ids, 0, None))
     if metric in ("l2", "sql2"):
@@ -138,6 +139,7 @@ def rerank_top_k(
     k: int,
     metric: str = "l2",
     dedup: bool = True,
+    precision=lax.Precision.HIGHEST,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact-rerank the candidate union and select the k best.
 
@@ -146,7 +148,8 @@ def rerank_top_k(
     """
     if dedup:
         ids = dedup_ids(ids)
-    d = candidate_distances(x, sq_norms, q, ids, metric=metric)
+    d = candidate_distances(x, sq_norms, q, ids, metric=metric,
+                            precision=precision)
     k = min(k, ids.shape[-1])
     neg, idx = lax.top_k(-d, k)
     out_ids = jnp.take_along_axis(ids, idx, axis=-1)

@@ -1,1 +1,24 @@
-"""Device-mesh parallelism: sharded forest build and query over ICI."""
+"""TPU parallel runtime: device meshes, sharded build, sharded query.
+
+The reference has no parallelism of any kind (SURVEY.md section 2.11); this
+package is the first-class TPU component replacing its host-side Semigroup
+folds with ICI collectives.
+"""
+
+from .mesh import QUERY_AXIS, TREE_AXIS, forest_mesh
+from .distributed import (
+    DistributedForest,
+    distribute,
+    forest_batch_distributed,
+    merge_top_k,
+)
+
+__all__ = [
+    "QUERY_AXIS",
+    "TREE_AXIS",
+    "forest_mesh",
+    "DistributedForest",
+    "distribute",
+    "forest_batch_distributed",
+    "merge_top_k",
+]

@@ -1,0 +1,303 @@
+"""Sharded forest build and query over a device mesh.
+
+The TPU-parallel runtime the reference lacks (SURVEY.md section 2.11): tree
+parallelism shards the forest axis ``[T, ...]``, query parallelism shards
+the batch axis ``[B, ...]``.  All cross-device composition points are the
+ones SURVEY.md identifies as "Semigroup folds become collectives":
+
+* candidate union across trees (``src/Data/RPTree.hs:176``)  ->
+  per-shard exact rerank to the local top-k, then ``lax.all_gather`` over
+  the ``tree`` axis + duplicate-mask + re-top-k.  This is the standard
+  distributed-top-k recipe: every device ships only ``k`` (distance, id)
+  pairs over ICI instead of its full candidate set.
+* per-tree recall mean (``RPTree.hs:265-268``)  ->  ``lax.psum`` of local
+  per-tree recall sums over the ``tree`` axis.
+* forest assembly (``Batch.hs:63``)  ->  nothing: the build is perfectly
+  tree-parallel, each shard builds its trees locally (``shard_map`` with no
+  collectives at all).
+
+The dataset ``x`` and its squared norms are replicated across the mesh:
+every tree indexes every point (completeness invariant, RPTreeSpec.hs:66-67),
+so the rerank gather needs the whole dataset on-device.  Sharding the
+dataset itself (with a distributed build median) is a documented follow-up,
+not required at reference scale (SURVEY.md section 7 "Cross-shard median").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ForestConfig
+from ..models.forest import (
+    RPForest,
+    _brute_force,
+    _candidate_ids,
+    _knn,
+    _knn_h,
+)
+from ..models.plan import TreePlan, make_plan
+from ..ops.build import TreeArrays, build_forest_arrays
+from ..utils import gen as rgen
+from .mesh import QUERY_AXIS, TREE_AXIS, forest_mesh
+
+__all__ = [
+    "DistributedForest",
+    "distribute",
+    "forest_batch_distributed",
+    "merge_top_k",
+]
+
+
+def _arrays_pspec(n_levels: int) -> TreeArrays:
+    """PartitionSpec pytree for a forest's :class:`TreeArrays`: every leaf
+    is sharded along its leading ``[T]`` axis."""
+    del n_levels
+    t = P(TREE_AXIS)
+    return TreeArrays(r=t, thr=t, mgl=t, mgh=t, perm=t)
+
+
+def merge_top_k(
+    dists: jax.Array, ids: jax.Array, k: int, dedup: bool = True
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge concatenated per-shard top-k lists into a global top-k.
+
+    ``dists f32[B, M]`` / ``ids int32[B, M]`` -> ``([B, k], [B, k])``.
+    With ``dedup``, duplicate ids (the same point surfaced by trees on
+    different shards) are masked before selection; distances for a given id
+    are bit-identical across shards (same replicated data, same program),
+    so keeping any single copy is exact.
+    """
+    if dedup:
+        order = jnp.argsort(ids, axis=-1)
+        ids = jnp.take_along_axis(ids, order, axis=-1)
+        dists = jnp.take_along_axis(dists, order, axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros_like(ids[..., :1], dtype=bool),
+             (ids[..., 1:] == ids[..., :-1]) & (ids[..., 1:] >= 0)],
+            axis=-1,
+        )
+        dists = jnp.where(dup, jnp.inf, dists)
+        ids = jnp.where(dup, -1, ids)
+    k = min(k, ids.shape[-1])
+    neg, idx = lax.top_k(-dists, k)
+    out_ids = jnp.take_along_axis(ids, idx, axis=-1)
+    d = -neg
+    return d, jnp.where(jnp.isinf(d), -1, out_ids)
+
+
+def _pad_k(dists: jax.Array, ids: jax.Array, k: int):
+    """Right-pad a (dists, ids) pair to width k with (inf, -1) so every
+    shard contributes a fixed-width block to the all_gather."""
+    w = ids.shape[-1]
+    if w >= k:
+        return dists[..., :k], ids[..., :k]
+    pad = [(0, 0)] * (ids.ndim - 1) + [(0, k - w)]
+    return (
+        jnp.pad(dists, pad, constant_values=jnp.inf),
+        jnp.pad(ids, pad, constant_values=-1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# jitted distributed pipelines (static: mesh, plan, k, budget, metric, dedup)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "plan", "k", "budget", "metric", "dedup",
+                     "variant", "precision"),
+)
+def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
+              variant, precision="highest"):
+    """Tree+query-sharded kNN: local rerank to k, all_gather(k per shard)
+    over the tree axis, dedup-merge, re-top-k."""
+    local = _knn_h if variant == "h" else _knn
+
+    def block(arrays_l, x_l, sq_l, q_l):
+        d_l, i_l = local(plan, arrays_l, x_l, sq_l, q_l, k, budget, metric,
+                         dedup, precision)
+        d_l, i_l = _pad_k(d_l, i_l, k)
+        # [S, B_loc, k] -> [B_loc, S*k]; ICI traffic: 8k bytes per query
+        d_all = lax.all_gather(d_l, TREE_AXIS)
+        i_all = lax.all_gather(i_l, TREE_AXIS)
+        s = d_all.shape[0]
+        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], s * k)
+        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s * k)
+        return merge_top_k(d_all, i_all, k, dedup=dedup)
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(_arrays_pspec(plan.n_levels), P(), P(), P(QUERY_AXIS)),
+        out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
+        check_vma=False,
+    )(arrays, x, sq_norms, q)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "plan", "k", "budget", "metric")
+)
+def _dist_recall(mesh, plan, arrays, x, sq_norms, q, k, budget, metric):
+    """Mean per-tree recall@k across the sharded forest: local per-tree
+    recall sums, psum over the tree axis, divide by total tree count."""
+
+    def block(arrays_l, x_l, sq_l, q_l):
+        _, exact_ids = _brute_force(x_l, sq_l, q_l, k, metric)  # [B, k]
+        cand = _candidate_ids(plan, arrays_l, q_l, budget)  # [T_loc, B, C]
+        hit = (exact_ids[None, :, :, None] == cand[:, :, None, :]) & (
+            cand[:, :, None, :] >= 0
+        )
+        found = jnp.any(hit, axis=-1)  # [T_loc, B, k]
+        local_sum = jnp.sum(
+            jnp.sum(found, axis=-1).astype(jnp.float32) / k, axis=0
+        )  # [B]
+        total = lax.psum(local_sum, TREE_AXIS)
+        t_total = cand.shape[0] * lax.psum(1, TREE_AXIS)
+        return total / t_total
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(_arrays_pspec(plan.n_levels), P(), P(), P(QUERY_AXIS)),
+        out_specs=P(QUERY_AXIS),
+        check_vma=False,
+    )(arrays, x, sq_norms, q)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "plan"))
+def _dist_build(mesh, plan, x, r):
+    """Tree-parallel forest build: each shard runs the level-synchronous
+    builder on its slice of the projection stack.  Zero collectives."""
+    return jax.shard_map(
+        lambda x_l, r_l: build_forest_arrays(plan, x_l, r_l),
+        mesh=mesh,
+        in_specs=(P(), P(TREE_AXIS)),
+        out_specs=_arrays_pspec(plan.n_levels),
+        check_vma=False,
+    )(x, r)
+
+
+# ---------------------------------------------------------------------------
+# user-facing handle
+# ---------------------------------------------------------------------------
+
+class DistributedForest(RPForest):
+    """An :class:`RPForest` whose arrays are sharded over a device mesh.
+
+    Queries run tree- and query-parallel with an all-gather + re-top-k
+    merge; every inherited accessor (``leaves``, ``tree_stats``,
+    serialization via :mod:`rptree_tpu.utils.io`, rendering) keeps working
+    because the sharded arrays are still ordinary jax arrays.
+    """
+
+    def __init__(self, plan, arrays, x, sq_norms, config, mesh: Mesh,
+                 payloads: Optional[Sequence] = None, seed=None):
+        super().__init__(plan, arrays, x, sq_norms, config,
+                         payloads=payloads, seed=seed)
+        self.mesh = mesh
+        n_shards = mesh.shape[TREE_AXIS]
+        if self.n_trees % n_shards:
+            raise ValueError(
+                f"n_trees={self.n_trees} not divisible by tree shards "
+                f"{n_shards}"
+            )
+
+    # -- sharded query paths -------------------------------------------------
+
+    def _pad_queries(self, qb: jax.Array):
+        s = self.mesh.shape[QUERY_AXIS]
+        b = qb.shape[0]
+        pad = (-b) % s
+        if pad:
+            qb = jnp.concatenate([qb, jnp.zeros((pad, qb.shape[1]),
+                                                qb.dtype)], axis=0)
+        return qb, b
+
+    def knn(self, q, k: int, metric: str = "l2",
+            budget: Optional[int] = None, dedup: bool = True,
+            precision: str = "highest"):
+        from ..models.forest import _as_dense_queries
+
+        qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
+        d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
+                         self.sq_norms, qb, int(k), self._budget(budget),
+                         metric, dedup, "flat", precision)
+        return d[:b], i[:b]
+
+    def knn_h(self, q, k: int, metric: str = "l2",
+              budget: Optional[int] = None, dedup: bool = True,
+              precision: str = "highest"):
+        """Margin-priority kNN, sharded.  The bucket stop rule runs per
+        tree shard (each shard collects >= k points from *its* trees before
+        rerank) rather than globally across the forest as in the
+        single-device path -- a superset of the global rule's buckets, so
+        result quality is >= the reference semantics; exactness of the
+        final top-k over the selected buckets is unchanged."""
+        from ..models.forest import _as_dense_queries
+
+        qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
+        d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
+                         self.sq_norms, qb, int(k), self._budget(budget),
+                         metric, dedup, "h", precision)
+        return d[:b], i[:b]
+
+    def recall_with(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None):
+        from ..models.forest import _as_dense_queries
+
+        qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
+        r = _dist_recall(self.mesh, self.plan, self.arrays, self.x,
+                         self.sq_norms, qb, int(k), self._budget(budget),
+                         metric)
+        return r[:b]
+
+
+def distribute(forest: RPForest, mesh: Optional[Mesh] = None
+               ) -> DistributedForest:
+    """Shard an existing forest's arrays across a mesh (resharding an index
+    built elsewhere or restored from a checkpoint)."""
+    if mesh is None:
+        mesh = forest_mesh()
+    spec = _arrays_pspec(forest.plan.n_levels)
+    arrays = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        forest.arrays, spec,
+    )
+    repl = NamedSharding(mesh, P())
+    x = jax.device_put(forest.x, repl)
+    sq = jax.device_put(forest.sq_norms, repl)
+    return DistributedForest(forest.plan, arrays, x, sq, forest.config,
+                             mesh, payloads=forest.payloads,
+                             seed=forest.seed)
+
+
+def forest_batch_distributed(
+    seed, max_depth: int, min_leaf: int, n_trees: int, pnz: float, data,
+    mesh: Optional[Mesh] = None, payloads: Optional[Sequence] = None,
+    dtype=jnp.float32,
+) -> DistributedForest:
+    """Tree-parallel batch build (the sharded ``forestBatch``,
+    ``Batch.hs:48-63``): sample the projection stack, shard it over the
+    tree axis, and build every shard's trees concurrently."""
+    from ..models.forest import _prepare_data
+
+    if mesh is None:
+        mesh = forest_mesh()
+    x, sq_norms, dim, n = _prepare_data(data, dtype)
+    plan = make_plan(n, max_depth, min_leaf)
+    r = rgen.sample_projections(seed, n_trees, max_depth, dim, pnz)
+    r = jax.device_put(r, NamedSharding(mesh, P(TREE_AXIS)))
+    x = jax.device_put(x, NamedSharding(mesh, P()))
+    sq_norms = jax.device_put(sq_norms, NamedSharding(mesh, P()))
+    arrays = _dist_build(mesh, plan, x, r)
+    cfg = ForestConfig(n_trees=n_trees, max_depth=max_depth,
+                       min_leaf=min_leaf, proj_nz_density=pnz, dim=dim)
+    return DistributedForest(plan, arrays, x, sq_norms, cfg, mesh,
+                             payloads=payloads, seed=seed)

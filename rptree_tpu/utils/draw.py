@@ -117,7 +117,7 @@ def tree_to_string(forest: RPForest, tree: int = 0, max_leaf_items: int = 4) -> 
     left/right layout instead of side-by-side boxes."""
     plan = forest.plan
     perm = np.asarray(forest.arrays.perm[tree])
-    thr = [np.asarray(a[tree]) for a in forest.arrays.thr]
+    thr = np.asarray(forest.arrays.thr[tree])  # [L, S_max]
     out: list = []
 
     def go(enc: int, level: int, prefix: str, tag: str):

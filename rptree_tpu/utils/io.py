@@ -69,11 +69,10 @@ def _pack(forest: RPForest, tree: Optional[int] = None) -> dict:
     arrs = {
         "r": np.asarray(forest.arrays.r[sel]),
         "perm": np.asarray(forest.arrays.perm[sel]),
+        "thr": np.asarray(forest.arrays.thr[sel]),
+        "mgl": np.asarray(forest.arrays.mgl[sel]),
+        "mgh": np.asarray(forest.arrays.mgh[sel]),
     }
-    for l in range(forest.plan.n_levels):
-        arrs[f"thr_{l}"] = np.asarray(forest.arrays.thr[l][sel])
-        arrs[f"mgl_{l}"] = np.asarray(forest.arrays.mgl[l][sel])
-        arrs[f"mgh_{l}"] = np.asarray(forest.arrays.mgh[l][sel])
     if isinstance(forest.x, EllMatrix):
         arrs["x_cols"] = np.asarray(forest.x.cols)
         arrs["x_vals"] = np.asarray(forest.x.vals)
@@ -93,9 +92,9 @@ def _unpack(header: dict, z) -> RPForest:
                          f"{plan.n_levels} != {header['n_levels']}")
     arrays = TreeArrays(
         r=jnp.asarray(z["r"]),
-        thr=tuple(jnp.asarray(z[f"thr_{l}"]) for l in range(plan.n_levels)),
-        mgl=tuple(jnp.asarray(z[f"mgl_{l}"]) for l in range(plan.n_levels)),
-        mgh=tuple(jnp.asarray(z[f"mgh_{l}"]) for l in range(plan.n_levels)),
+        thr=jnp.asarray(z["thr"]),
+        mgl=jnp.asarray(z["mgl"]),
+        mgh=jnp.asarray(z["mgh"]),
         perm=jnp.asarray(z["perm"]),
     )
     if header["sparse"]:
@@ -176,11 +175,10 @@ def deserialise_rp_forest(blobs: Sequence[bytes]) -> RPForest:
             h0["n"], h0["max_depth"], h0["min_leaf"], h0["dim"], h0["sparse"]
         ):
             raise ValueError("inconsistent tree blobs")
-    merged = {"r": np.concatenate([p["r"] for p in parts]),
-              "perm": np.concatenate([p["perm"] for p in parts])}
-    for l in range(h0["n_levels"]):
-        for k in (f"thr_{l}", f"mgl_{l}", f"mgh_{l}"):
-            merged[k] = np.concatenate([p[k] for p in parts])
+    merged = {
+        k: np.concatenate([p[k] for p in parts])
+        for k in ("r", "perm", "thr", "mgl", "mgh")
+    }
     for k in ("x", "x_cols", "x_vals", "payloads"):
         if k in parts[0]:
             merged[k] = parts[0][k]

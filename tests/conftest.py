@@ -13,4 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's TPU plugin (axon) pins JAX_PLATFORMS at interpreter boot
+# via sitecustomize, so the env var alone is not enough: override through
+# jax.config before any backend is initialised.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -29,12 +29,12 @@ def _assert_equal_forests(a, b):
                                   np.asarray(b.arrays.perm))
     np.testing.assert_array_equal(np.asarray(a.arrays.r), np.asarray(b.arrays.r))
     for l in range(a.plan.n_levels):
-        np.testing.assert_array_equal(np.asarray(a.arrays.thr[l]),
-                                      np.asarray(b.arrays.thr[l]))
-        np.testing.assert_array_equal(np.asarray(a.arrays.mgl[l]),
-                                      np.asarray(b.arrays.mgl[l]))
-        np.testing.assert_array_equal(np.asarray(a.arrays.mgh[l]),
-                                      np.asarray(b.arrays.mgh[l]))
+        np.testing.assert_array_equal(np.asarray(a.arrays.thr[:, l]),
+                                      np.asarray(b.arrays.thr[:, l]))
+        np.testing.assert_array_equal(np.asarray(a.arrays.mgl[:, l]),
+                                      np.asarray(b.arrays.mgl[:, l]))
+        np.testing.assert_array_equal(np.asarray(a.arrays.mgh[:, l]),
+                                      np.asarray(b.arrays.mgh[:, l]))
     q = np.ones(a.dim, np.float32) * 0.1
     da, ia = map(np.asarray, a.knn(q, 3))
     db, ib = map(np.asarray, b.knn(q, 3))

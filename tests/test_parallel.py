@@ -1,0 +1,135 @@
+"""Sharded build/query vs single-device results (SURVEY.md section 4:
+"single-device vs sharded bit-exactness" is a TPU-specific test the
+reference cannot have).  Runs on the 8-virtual-device CPU mesh from
+conftest.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rptree_tpu as rt
+from rptree_tpu.parallel import (
+    DistributedForest,
+    distribute,
+    forest_batch_distributed,
+    forest_mesh,
+    merge_top_k,
+)
+
+SEED = 7071
+N, DIM, T = 1500, 32, 8
+MAXD, MINL, PNZ = 6, 16, 1.0
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(99)
+    return rng.normal(size=(N, DIM)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    rng = np.random.default_rng(100)
+    return rng.normal(size=(13, DIM)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def single(data):
+    return rt.forest_batch(SEED, MAXD, MINL, T, PNZ, data)
+
+
+@pytest.fixture(scope="module")
+def dist_trees(data):
+    """All 8 devices on the tree axis."""
+    return forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    )
+
+
+@pytest.fixture(scope="module")
+def dist_2d(data):
+    """4 tree shards x 2 query shards."""
+    return forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(4, 2)
+    )
+
+
+def test_mesh_shapes():
+    m = forest_mesh(8, 1)
+    assert m.shape == {"tree": 8, "query": 1}
+    with pytest.raises(ValueError):
+        forest_mesh(3, 2)
+
+
+def test_sharded_build_matches_single_device(single, dist_trees):
+    """The tree-parallel build must produce the same trees as the
+    single-device vmap build (same seed => same projections).  Thresholds
+    may differ by float GEMM reduction-order noise (the sharded build
+    projects each shard's trees in a separate matmul); the permutation --
+    i.e. which points land in which leaves -- must match exactly."""
+    a, b = single.arrays, dist_trees.arrays
+    np.testing.assert_array_equal(np.asarray(a.perm), np.asarray(b.perm))
+    for l in range(single.plan.n_levels):
+        np.testing.assert_allclose(
+            np.asarray(a.thr[l]), np.asarray(b.thr[l]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.mgl[l]), np.asarray(b.mgl[l]), atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("fixture", ["dist_trees", "dist_2d"])
+def test_sharded_knn_matches_single_device(single, queries, fixture, request):
+    dist = request.getfixturevalue(fixture)
+    k = 10
+    d1, i1 = single.knn(queries, k, budget=16)
+    d2, i2 = dist.knn(queries, k, budget=16)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    # ids may permute within distance ties; compare id sets where distances
+    # are strictly distinct, sets otherwise
+    for b in range(queries.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
+def test_sharded_knn_h_superset_quality(single, queries, dist_trees):
+    """knn_h's sharded stop rule selects a superset of buckets; the top-1
+    must still be at least as close as the single-device top-1."""
+    d1, _ = single.knn_h(queries, 5, budget=16)
+    d2, _ = dist_trees.knn_h(queries, 5, budget=16)
+    assert np.all(np.asarray(d2)[:, 0] <= np.asarray(d1)[:, 0] + 1e-5)
+
+
+def test_sharded_recall_matches_single_device(single, queries, dist_trees):
+    r1 = single.recall_with(queries, 10, budget=16)
+    r2 = dist_trees.recall_with(queries, 10, budget=16)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+
+
+def test_distribute_existing_forest(single, queries):
+    dist = distribute(single, forest_mesh(8, 1))
+    d1, i1 = single.knn(queries, 7)
+    d2, i2 = dist.knn(queries, 7)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+
+def test_query_padding(dist_2d, data):
+    """Query batches not divisible by the query-shard count are padded and
+    sliced back."""
+    q = data[:3]  # 3 queries over 2 query shards
+    d, i = dist_2d.knn(q, 5)
+    assert d.shape == (3, 5) and i.shape == (3, 5)
+
+
+def test_merge_top_k_dedups_across_shards():
+    d = jnp.asarray([[1.0, 3.0, 1.0, 2.0]])
+    i = jnp.asarray([[4, 9, 4, 7]], dtype=jnp.int32)
+    md, mi = merge_top_k(d, i, 3, dedup=True)
+    assert mi[0].tolist() == [4, 7, 9]
+    np.testing.assert_allclose(np.asarray(md[0]), [1.0, 2.0, 3.0])
+
+
+def test_indivisible_tree_count_raises(data):
+    with pytest.raises(ValueError):
+        forest_batch_distributed(SEED, MAXD, MINL, 6, PNZ, data,
+                                 mesh=forest_mesh(8, 1))
