@@ -35,6 +35,7 @@ from .utils.draw import (
     write_csv,
     write_dot,
 )
+from .utils.median import StreamingMedian
 from .utils.io import (
     deserialise_rp_forest,
     load_forest,

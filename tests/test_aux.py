@@ -1,0 +1,64 @@
+"""Auxiliary-subsystem tests: demo app, bench harness, streaming median."""
+
+import numpy as np
+import pytest
+
+from rptree_tpu.config import BenchConfig
+from rptree_tpu.utils.median import StreamingMedian
+
+
+# -- streaming median (reference MedianHeap semantics) ----------------------
+
+def test_streaming_median_matches_numpy():
+    rng = np.random.default_rng(5)
+    xs = rng.normal(size=501)
+    m = StreamingMedian()
+    for v in xs:
+        m.insert(float(v))
+    assert m.median() == pytest.approx(float(np.median(xs)))
+
+
+def test_streaming_median_even_averages_heads():
+    m = StreamingMedian([1.0, 2.0, 3.0, 4.0])
+    assert m.median() == pytest.approx(2.5)
+    assert len(m) == 4
+
+
+def test_streaming_median_empty_raises():
+    with pytest.raises(ValueError):
+        StreamingMedian().median()
+
+
+# -- demo app (app/Main.hs workload, scaled down) ---------------------------
+
+def test_demo_writes_artifacts(tmp_path, monkeypatch):
+    import rptree_tpu.demo as demo
+
+    monkeypatch.setattr(demo, "N", 500)
+    monkeypatch.setattr(demo, "CHUNK", 100)
+    demo.main(str(tmp_path))
+    scatter = (tmp_path / "scatter.csv").read_text().strip().splitlines()
+    assert len(scatter) == 500
+    assert all(len(line.split(",")) == 3 for line in scatter[:5])
+    dot = (tmp_path / "tree.dot").read_text()
+    assert dot.startswith("digraph") and "->" in dot
+    knn = (tmp_path / "knn.csv").read_text().strip().splitlines()
+    # dataset rows + up to K hit rows labelled -1
+    hits = [l for l in knn if l.endswith(",-1")]
+    assert 1 <= len(hits) <= demo.K
+    assert (tmp_path / "knn_h.csv").exists()
+
+
+# -- bench harness (bench/time/Main.hs structure) ---------------------------
+
+def test_run_bench_tiny():
+    from rptree_tpu.benchmarks import run_bench
+
+    cfg = BenchConfig(
+        description="tiny", max_depth=4, min_leaf=8, num_trees=2,
+        chunk_size=50, nz_density=0.5, vector_dim=32, data_size=300,
+        num_query_points=8, batch_size=8,
+    )
+    r = run_bench(cfg, seed=3, reps=1)
+    assert 0.0 <= r["recall_at_10"] <= 1.0
+    assert r["build_s"] > 0 and r["qps"] > 0
