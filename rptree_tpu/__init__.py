@@ -35,6 +35,7 @@ from .utils.draw import (
     write_csv,
     write_dot,
 )
+from .utils import ingest  # fvecs/bvecs/ivecs/idx readers + chunk sources
 from .utils.median import StreamingMedian
 from .utils.io import (
     deserialise_rp_forest,

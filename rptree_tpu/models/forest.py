@@ -28,10 +28,19 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..config import ForestConfig
 from ..ops.build import TreeArrays, build_forest_arrays
-from ..ops.rerank import dedup_ids, gather_leaf_points, rerank_top_k, candidate_distances
+from ..ops.rerank import (
+    candidate_distances,
+    dedup_ids,
+    distances_from_dots,
+    gather_leaf_points,
+    leaf_positions,
+    merge_top_k,
+    rerank_top_k,
+)
 from ..ops.sparse import EllMatrix, ell_sq_norms, ell_to_dense
 from ..ops.traverse import traverse_tree
 from ..utils import gen as rgen
@@ -113,6 +122,74 @@ def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
     union = jnp.transpose(cand, (1, 0, 2)).reshape(b, t * c1)
     return rerank_top_k(x, sq_norms, q, union, k, metric=metric, dedup=dedup,
                         precision=_prec(precision))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
+                     "precision"),
+)
+def _knn_packed(plan, arrays, x_leaf, id_leaf, q, k, budget, probes, metric,
+                dedup, precision="highest"):
+    """Leaf-blocked forest kNN: semantically the candidate-union +
+    exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
+    unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
+    not bytes (measured: a 1.6M-row gather runs ~50 GB/s while sequential
+    reads are ~10x faster).  Three changes:
+
+    * candidates are fetched per LEAF, not per point: ``x_leaf`` stores
+      each leaf's points as one contiguous ``[lmax * D]`` row, so a query
+      issues ``probes`` gather indices (~12) instead of ``probes * lmax``
+      (~600) -- the bulk fetch is big contiguous blocks;
+    * the frontier union across trees is compacted to the ``probes``
+      lowest-margin-priority leaves before any fetch (live entries only;
+      exact when ``probes`` >= live leaves, which non-forking traversals
+      cap at T);
+    * squared norms are recomputed from the fetched rows (free on the VPU)
+      and point ids are only gathered for the ``min(C, T*k)`` top-scoring
+      positions -- enough to survive cross-tree dedup, since a point
+      appears at most T times (once per tree).
+    """
+    lmax = max(plan.max_leaf_len, 1)
+    d_model = q.shape[-1]
+    leaf_ids, prio = _traverse_forest(plan, arrays, q, budget)  # [T, B, F]
+    t, b, f = leaf_ids.shape
+    nl = plan.n_leaves
+    # global (tree, leaf) block index; invalid -> block 0, masked
+    gid = leaf_ids + jnp.arange(t, dtype=jnp.int32)[:, None, None] * nl
+    gid_bt = jnp.moveaxis(gid, 0, 1).reshape(b, t * f)
+    prio_bt = jnp.moveaxis(prio, 0, 1).reshape(b, t * f)
+    live = jnp.moveaxis(leaf_ids >= 0, 0, 1).reshape(b, t * f)
+    prio_bt = jnp.where(live, prio_bt, jnp.inf)
+    probes = min(probes, t * f)
+    neg, sel = lax.top_k(-prio_bt, probes)  # lowest priority first
+    gsel = jnp.take_along_axis(gid_bt, sel, axis=-1)  # [B, P]
+    lsel = jnp.where(jnp.isinf(-neg), -1,
+                     jnp.take_along_axis(gid_bt % nl if t > 1 else gid_bt,
+                                         sel, axis=-1))
+    gsel = jnp.where(lsel >= 0, gsel, 0)
+
+    rows = jnp.take(x_leaf, gsel, axis=0)  # [B, P, lmax * D] (block gather)
+    rows = rows.reshape(b, probes, lmax, d_model)
+    dots = jnp.einsum("bpld,bd->bpl", rows, q,
+                      preferred_element_type=jnp.float32,
+                      precision=_prec(precision))
+    sqx = jnp.sum(rows * rows, axis=-1)  # recomputed, no gather
+    d = distances_from_dots(dots, sqx, q[:, None], metric)  # [B, P, lmax]
+    lens = jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None))
+    valid = (lsel >= 0)[..., None] & (
+        jnp.arange(lmax, dtype=jnp.int32) < lens[..., None]
+    )
+    d = jnp.where(valid, d, jnp.inf).reshape(b, probes * lmax)
+
+    # ids only for the positions that can reach the final top-k
+    kk = min(k * t if dedup else k, probes * lmax)
+    negd, pos_sel = lax.top_k(-d, kk)
+    flat_pos = (gsel[..., None] * lmax
+                + jnp.arange(lmax, dtype=jnp.int32)).reshape(b, probes * lmax)
+    ids_sel = jnp.take(id_leaf, jnp.take_along_axis(flat_pos, pos_sel, axis=-1))
+    ids_sel = jnp.where(jnp.isinf(-negd), -1, ids_sel)
+    return merge_top_k(-negd, ids_sel, k, dedup=dedup)
 
 
 @functools.partial(
@@ -231,6 +308,7 @@ class RPForest:
         self.config = config
         self.payloads = payloads
         self.seed = seed
+        self._packed = None  # (x_perm [T, n, D], sq_perm [T, n]) or None
 
     # -- basic accessors (reference Internal.hs:198-208, RPTree.hs:351-367) --
 
@@ -294,19 +372,64 @@ class RPForest:
             budget = min(self.plan.n_leaves, DEFAULT_BUDGET)
         return max(1, min(int(budget), self.plan.n_leaves))
 
+    def pack_leaves(self) -> "RPForest":
+        """Precompute leaf-blocked copies of the dataset: ``x_leaf
+        [T * n_leaves, lmax * D]`` holds each leaf's points contiguously
+        (zero-padded to the max leaf size), ``id_leaf [T * n_leaves * lmax]``
+        the corresponding point ids.  Serving-path optimization (~T x
+        dataset bytes of extra HBM) that turns the rerank's per-point
+        gathers into per-leaf block gathers; see :func:`_knn_packed`.
+        Dense datasets only; no-op for sparse (ELL) data."""
+        if self._packed is None and not isinstance(self.x, EllMatrix):
+            plan = self.plan
+            lmax = max(plan.max_leaf_len, 1)
+            starts = jnp.asarray(plan.leaf_start)
+            lens = jnp.asarray(plan.leaf_len)
+            offs = jnp.arange(lmax, dtype=jnp.int32)
+            pos = starts[:, None] + offs  # [n_leaves, lmax]
+            in_leaf = offs < lens[:, None]
+            pos = jnp.where(in_leaf, pos, 0)
+
+            def per_tree(perm):
+                ids = jnp.take(perm, pos)  # [n_leaves, lmax]
+                rows = jnp.take(self.x, ids, axis=0)
+                rows = jnp.where(in_leaf[..., None], rows, 0.0)
+                ids = jnp.where(in_leaf, ids, -1)
+                return rows, ids
+
+            rows, ids = jax.vmap(per_tree)(self.arrays.perm)
+            nl, d = plan.n_leaves, self.dim
+            self._packed = (
+                rows.reshape(self.n_trees * nl, lmax * d),
+                ids.reshape(self.n_trees * nl * lmax),
+            )
+        return self
+
     def knn(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
-            dedup: bool = True,
-            precision: str = "highest") -> Tuple[jax.Array, jax.Array]:
+            dedup: bool = True, precision: str = "highest",
+            probes: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
         """k nearest neighbours of ``q`` (single vector or batch).
 
         Returns ``(dists f32[B, k], ids int32[B, k])`` ordered by increasing
         distance; ``-1`` ids mark unfilled slots.  ``dedup=False``
         reproduces the reference ``knn``'s concatenating union
         (RPTree.hs:176), which may return the same point more than once.
+
+        After :meth:`pack_leaves`, ``probes`` caps the total number of leaf
+        buckets reranked across trees (lowest margin priority first;
+        default ``n_trees * budget`` = no cap, exact).
         """
         qb = _as_dense_queries(q, self.dim)
+        budget = self._budget(budget)
+        if self._packed is not None:
+            x_leaf, id_leaf = self._packed
+            if probes is None:
+                probes = self.n_trees * budget
+            return _knn_packed(self.plan, self.arrays, x_leaf, id_leaf, qb,
+                               int(k), budget, int(probes), metric, dedup,
+                               precision)
         return _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
-                    self._budget(budget), metric, dedup, precision)
+                    budget, metric, dedup, precision)
 
     def knn_pq(self, q, k: int, metric: str = "l2",
                budget: Optional[int] = None, precision: str = "highest"):

@@ -30,20 +30,24 @@ from .sparse import EllMatrix
 
 __all__ = [
     "gather_leaf_points",
+    "leaf_positions",
     "dedup_ids",
+    "merge_top_k",
     "rerank_top_k",
     "candidate_distances",
+    "distances_from_dots",
     "METRICS",
 ]
 
 
-def gather_leaf_points(plan: TreePlan, perm: jax.Array, leaf_ids: jax.Array) -> jax.Array:
-    """Expand leaf ids into the point ids stored in those leaf buckets.
+def leaf_positions(plan: TreePlan, leaf_ids: jax.Array):
+    """Expand leaf ids into *positions* in leaf-sorted (permutation) order.
 
-    ``perm``: int32[n] (one tree's permutation).  ``leaf_ids``: int32[..., F]
-    with -1 for empty.  Returns int32[..., F * max_leaf_len] point ids with
-    -1 padding.  Leaf spans are static; ragged occupancy is handled by
-    masking, not padding of the index itself (SURVEY.md section 7).
+    ``leaf_ids``: int32[..., F] with -1 for empty.  Returns ``(pos
+    int32[..., F * max_leaf_len], valid bool[same])``; invalid slots point
+    at position 0.  Positions within one leaf are contiguous -- the basis
+    of the leaf-packed rerank path, where candidate gathers become
+    contiguous-run reads instead of random row fetches.
     """
     lmax = max(plan.max_leaf_len, 1)
     starts = jnp.asarray(plan.leaf_start)
@@ -55,8 +59,21 @@ def gather_leaf_points(plan: TreePlan, perm: jax.Array, leaf_ids: jax.Array) -> 
     pos = s[..., None] + offs
     valid = (leaf_ids >= 0)[..., None] & (offs < m[..., None])
     pos = jnp.where(valid, pos, 0)
-    ids = jnp.take(perm, pos.reshape(*pos.shape[:-2], -1), axis=-1)
-    return jnp.where(valid.reshape(ids.shape), ids, -1)
+    flat = pos.shape[:-2] + (pos.shape[-2] * pos.shape[-1],)
+    return pos.reshape(flat), valid.reshape(flat)
+
+
+def gather_leaf_points(plan: TreePlan, perm: jax.Array, leaf_ids: jax.Array) -> jax.Array:
+    """Expand leaf ids into the point ids stored in those leaf buckets.
+
+    ``perm``: int32[n] (one tree's permutation).  ``leaf_ids``: int32[..., F]
+    with -1 for empty.  Returns int32[..., F * max_leaf_len] point ids with
+    -1 padding.  Leaf spans are static; ragged occupancy is handled by
+    masking, not padding of the index itself (SURVEY.md section 7).
+    """
+    pos, valid = leaf_positions(plan, leaf_ids)
+    ids = jnp.take(perm, pos, axis=-1)
+    return jnp.where(valid, ids, -1)
 
 
 def dedup_ids(ids: jax.Array) -> jax.Array:
@@ -69,6 +86,54 @@ def dedup_ids(ids: jax.Array) -> jax.Array:
         axis=-1,
     )
     return jnp.where(dup | (ids_sorted < 0), -1, ids_sorted)
+
+
+def merge_top_k(
+    dists: jax.Array, ids: jax.Array, k: int, dedup: bool = True
+) -> Tuple[jax.Array, jax.Array]:
+    """Select the k best from an already-scored candidate list, optionally
+    masking duplicate ids first.
+
+    ``dists f32[B, M]`` / ``ids int32[B, M]`` -> ``([B, k], [B, k])``.
+    Duplicates carry bit-identical distances (same deterministic scoring of
+    the same point), so keeping any single copy is exact.  Used both for
+    post-distance dedup in the leaf-packed rerank and for the cross-shard
+    top-k merge in :mod:`rptree_tpu.parallel.distributed` (the collective
+    form of the reference's Semigroup union, ``RPTree.hs:176``).
+    """
+    if dedup:
+        order = jnp.argsort(ids, axis=-1)
+        ids = jnp.take_along_axis(ids, order, axis=-1)
+        dists = jnp.take_along_axis(dists, order, axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros_like(ids[..., :1], dtype=bool),
+             (ids[..., 1:] == ids[..., :-1]) & (ids[..., 1:] >= 0)],
+            axis=-1,
+        )
+        dists = jnp.where(dup, jnp.inf, dists)
+        ids = jnp.where(dup, -1, ids)
+    k = min(k, ids.shape[-1])
+    neg, idx = lax.top_k(-dists, k)
+    out_ids = jnp.take_along_axis(ids, idx, axis=-1)
+    d = -neg
+    return d, jnp.where(jnp.isinf(d), -1, out_ids)
+
+
+def distances_from_dots(dots: jax.Array, sqx: jax.Array, q: jax.Array,
+                        metric: str = "l2") -> jax.Array:
+    """Distances from precomputed inner products ``dots[..., C]`` and
+    candidate squared norms ``sqx[..., C]`` (``q``: ``[B, D]`` broadcast
+    against the trailing query axes of ``dots``)."""
+    if metric in ("l2", "sql2"):
+        sqq = jnp.sum(q * q, axis=-1)[..., None]
+        d = jnp.maximum(sqx - 2.0 * dots + sqq, 0.0)
+        return jnp.sqrt(d) if metric == "l2" else d
+    if metric == "cosine":
+        nq = jnp.sqrt(jnp.sum(q * q, axis=-1))[..., None]
+        return 1.0 - dots / jnp.maximum(jnp.sqrt(sqx) * nq, 1e-30)
+    if metric == "dot":
+        return -dots
+    raise ValueError(f"unknown metric {metric!r}; one of {sorted(METRICS)}")
 
 
 def _gather_rows(x, ids: jax.Array):

@@ -44,6 +44,7 @@ from ..models.forest import (
 )
 from ..models.plan import TreePlan, make_plan
 from ..ops.build import TreeArrays, build_forest_arrays
+from ..ops.rerank import merge_top_k
 from ..utils import gen as rgen
 from .mesh import QUERY_AXIS, TREE_AXIS, forest_mesh
 
@@ -61,35 +62,6 @@ def _arrays_pspec(n_levels: int) -> TreeArrays:
     del n_levels
     t = P(TREE_AXIS)
     return TreeArrays(r=t, thr=t, mgl=t, mgh=t, perm=t)
-
-
-def merge_top_k(
-    dists: jax.Array, ids: jax.Array, k: int, dedup: bool = True
-) -> Tuple[jax.Array, jax.Array]:
-    """Merge concatenated per-shard top-k lists into a global top-k.
-
-    ``dists f32[B, M]`` / ``ids int32[B, M]`` -> ``([B, k], [B, k])``.
-    With ``dedup``, duplicate ids (the same point surfaced by trees on
-    different shards) are masked before selection; distances for a given id
-    are bit-identical across shards (same replicated data, same program),
-    so keeping any single copy is exact.
-    """
-    if dedup:
-        order = jnp.argsort(ids, axis=-1)
-        ids = jnp.take_along_axis(ids, order, axis=-1)
-        dists = jnp.take_along_axis(dists, order, axis=-1)
-        dup = jnp.concatenate(
-            [jnp.zeros_like(ids[..., :1], dtype=bool),
-             (ids[..., 1:] == ids[..., :-1]) & (ids[..., 1:] >= 0)],
-            axis=-1,
-        )
-        dists = jnp.where(dup, jnp.inf, dists)
-        ids = jnp.where(dup, -1, ids)
-    k = min(k, ids.shape[-1])
-    neg, idx = lax.top_k(-dists, k)
-    out_ids = jnp.take_along_axis(ids, idx, axis=-1)
-    d = -neg
-    return d, jnp.where(jnp.isinf(d), -1, out_ids)
 
 
 def _pad_k(dists: jax.Array, ids: jax.Array, k: int):
