@@ -41,6 +41,7 @@ from ..models.forest import (
     _candidate_ids,
     _knn,
     _knn_h,
+    _knn_packed,
 )
 from ..models.plan import TreePlan, make_plan
 from ..ops.build import TreeArrays, build_forest_arrays
@@ -83,18 +84,28 @@ def _pad_k(dists: jax.Array, ids: jax.Array, k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "plan", "k", "budget", "metric", "dedup",
-                     "variant", "precision"),
+    static_argnames=("mesh", "plan", "k", "budget", "probes", "metric",
+                     "dedup", "variant", "precision"),
 )
-def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
-              variant, precision="highest"):
+def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
+              dedup, variant, precision="highest", packed=None):
     """Tree+query-sharded kNN: local rerank to k, all_gather(k per shard)
-    over the tree axis, dedup-merge, re-top-k."""
-    local = _knn_h if variant == "h" else _knn
+    over the tree axis, dedup-merge, re-top-k.  With ``packed`` (leaf-
+    blocked ``(x_leaf, id_leaf)``, sharded over the tree axis) each shard
+    runs the leaf-blocked rerank on its tree group."""
 
-    def block(arrays_l, x_l, sq_l, q_l):
-        d_l, i_l = local(plan, arrays_l, x_l, sq_l, q_l, k, budget, metric,
-                         dedup, precision)
+    def block(arrays_l, x_l, sq_l, q_l, packed_l):
+        if packed_l is not None:
+            x_leaf_l, id_leaf_l = packed_l
+            d_l, i_l = _knn_packed(plan, arrays_l, x_leaf_l, id_leaf_l, q_l,
+                                   k, budget, probes, metric, dedup,
+                                   precision)
+        elif variant == "h":
+            d_l, i_l = _knn_h(plan, arrays_l, x_l, sq_l, q_l, k, budget,
+                              metric, dedup, precision)
+        else:
+            d_l, i_l = _knn(plan, arrays_l, x_l, sq_l, q_l, k, budget,
+                            metric, dedup, precision)
         d_l, i_l = _pad_k(d_l, i_l, k)
         # [S, B_loc, k] -> [B_loc, S*k]; ICI traffic: 8k bytes per query
         d_all = lax.all_gather(d_l, TREE_AXIS)
@@ -104,13 +115,15 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
         i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s * k)
         return merge_top_k(d_all, i_all, k, dedup=dedup)
 
+    packed_spec = None if packed is None else (P(TREE_AXIS), P(TREE_AXIS))
     return jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=(_arrays_pspec(plan.n_levels), P(), P(), P(QUERY_AXIS)),
+        in_specs=(_arrays_pspec(plan.n_levels), P(), P(), P(QUERY_AXIS),
+                  packed_spec),
         out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
         check_vma=False,
-    )(arrays, x, sq_norms, q)
+    )(arrays, x, sq_norms, q, packed)
 
 
 @functools.partial(
@@ -192,15 +205,31 @@ class DistributedForest(RPForest):
                                                 qb.dtype)], axis=0)
         return qb, b
 
+    def pack_leaves(self) -> "DistributedForest":
+        """Leaf-blocked packing, sharded over the tree axis (each shard
+        holds its tree group's blocks)."""
+        if self._packed is None:
+            super().pack_leaves()
+            if self._packed is not None:
+                sh = NamedSharding(self.mesh, P(TREE_AXIS))
+                self._packed = tuple(
+                    jax.device_put(a, sh) for a in self._packed
+                )
+        return self
+
     def knn(self, q, k: int, metric: str = "l2",
             budget: Optional[int] = None, dedup: bool = True,
-            precision: str = "highest"):
+            precision: str = "highest", probes: Optional[int] = None):
         from ..models.forest import _as_dense_queries
 
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
+        budget = self._budget(budget)
+        if probes is None:
+            # per-shard probe cap: local trees x budget = exact
+            probes = (self.n_trees // self.mesh.shape[TREE_AXIS]) * budget
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
-                         self.sq_norms, qb, int(k), self._budget(budget),
-                         metric, dedup, "flat", precision)
+                         self.sq_norms, qb, int(k), budget, int(probes),
+                         metric, dedup, "flat", precision, self._packed)
         return d[:b], i[:b]
 
     def knn_h(self, q, k: int, metric: str = "l2",
@@ -215,9 +244,10 @@ class DistributedForest(RPForest):
         from ..models.forest import _as_dense_queries
 
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
+        budget = self._budget(budget)
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
-                         self.sq_norms, qb, int(k), self._budget(budget),
-                         metric, dedup, "h", precision)
+                         self.sq_norms, qb, int(k), budget, 1, metric,
+                         dedup, "h", precision, None)
         return d[:b], i[:b]
 
     def recall_with(self, q, k: int, metric: str = "l2",

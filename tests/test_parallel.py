@@ -133,3 +133,17 @@ def test_indivisible_tree_count_raises(data):
     with pytest.raises(ValueError):
         forest_batch_distributed(SEED, MAXD, MINL, 6, PNZ, data,
                                  mesh=forest_mesh(8, 1))
+
+
+def test_sharded_packed_knn_matches_single_device(single, queries, data):
+    """Leaf-blocked rerank sharded over the tree axis must agree with the
+    single-device unpacked path."""
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    ).pack_leaves()
+    k = 10
+    d1, i1 = single.knn(queries, k, budget=16)
+    d2, i2 = dist.knn(queries, k, budget=16)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    for b in range(queries.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())

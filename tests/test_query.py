@@ -139,3 +139,26 @@ def test_budget_one_still_returns_k():
     d, i = map(np.asarray, f.knn(q, 3, budget=1))
     assert (i[0] >= 0).all()
     assert np.isfinite(d[0]).all()
+
+
+def test_packed_knn_matches_unpacked(circle_forest):
+    """pack_leaves() must not change kNN results (leaf-blocked rerank is a
+    layout change, not a semantic one)."""
+    f, x = circle_forest
+    qs = np.asarray(rgen.data_batch(123, 9, rgen.circle2d2), np.float32)
+    d1, i1 = map(np.asarray, f.knn(qs, 7))
+    f.pack_leaves()
+    try:
+        d2, i2 = map(np.asarray, f.knn(qs, 7))
+        d3, i3 = map(np.asarray, f.knn(qs, 7, budget=f.plan.n_leaves))
+        d4, i4 = map(np.asarray, f.knn(qs, 7, probes=4))
+    finally:
+        f._packed = None  # other tests share this module-scoped fixture
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(9):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+    # exact-budget packed agrees with exact-budget unpacked
+    d5, i5 = map(np.asarray, f.knn(qs, 7, budget=f.plan.n_leaves))
+    np.testing.assert_allclose(d3, d5, atol=1e-5)
+    # probes cap still returns full, valid top-k on this easy dataset
+    assert (i4 >= 0).all()
