@@ -94,9 +94,11 @@ def _traverse_forest(plan: TreePlan, arrays: TreeArrays, q: jax.Array, budget: i
     projq = jnp.einsum("bd,tld->tbl", q, r_used,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-    return jax.vmap(
-        lambda th, lo, hi, pq: traverse_tree(plan, th, lo, hi, pq, budget)
-    )(arrays.thr, arrays.mgl, arrays.mgh, projq)
+    # profiler region named after the reference's SCC ({-# SCC candidates #-})
+    with jax.named_scope("rpt_candidates"):
+        return jax.vmap(
+            lambda th, lo, hi, pq: traverse_tree(plan, th, lo, hi, pq, budget)
+        )(arrays.thr, arrays.mgl, arrays.mgh, projq)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "budget"))

@@ -99,7 +99,10 @@ def build_tree_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
         z = jnp.zeros((0, 1), dtype=jnp.float32)
         return TreeArrays(r=r, thr=z, mgl=z, mgh=z, perm=ids0)
 
-    proj = project_dataset(x, r[:nl]).astype(jnp.float32)  # [n, L]
+    # profiler regions named after the reference's SCC cost centres
+    # ({-# SCC insert / partitionAtMedian #-}, Internal.hs:257,484)
+    with jax.named_scope("rpt_project"):
+        proj = project_dataset(x, r[:nl]).astype(jnp.float32)  # [n, L]
     seg_keys, thr_pos, mgl_pos, mgr_pos = _stacked_plan_constants(plan)
 
     def level_step(ids, xs):
@@ -110,12 +113,13 @@ def build_tree_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
         return ids, (jnp.take(p_sorted, tp), jnp.take(p_sorted, mp),
                      jnp.take(p_sorted, rp))
 
-    ids, (thr, mgl, mgh) = lax.scan(
-        level_step,
-        ids0,
-        (jnp.asarray(seg_keys), proj.T, jnp.asarray(thr_pos),
-         jnp.asarray(mgl_pos), jnp.asarray(mgr_pos)),
-    )
+    with jax.named_scope("rpt_partition_at_median"):
+        ids, (thr, mgl, mgh) = lax.scan(
+            level_step,
+            ids0,
+            (jnp.asarray(seg_keys), proj.T, jnp.asarray(thr_pos),
+             jnp.asarray(mgl_pos), jnp.asarray(mgr_pos)),
+        )
     return TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh, perm=ids)
 
 
