@@ -33,7 +33,8 @@ def main():
     BUDGET = 4            # recall-equivalent to the reference's unbounded
     #                       descent on this workload (forks are rare)
     B = 1024              # total query batch
-    CHUNK = 512           # queries per device step (bounds rerank memory)
+    CHUNK = 1024          # queries per device step (packed rerank is
+    #                       leaf-blocked; memory stays small at full batch)
     SEED = 20260816
 
     rng = np.random.default_rng(SEED)
@@ -49,6 +50,7 @@ def main():
                         cfg.proj_nz_density, x)
     np.asarray(f.arrays.perm)  # host fetch: forces real completion
     build_s = time.perf_counter() - t0
+    f.pack_leaves()            # serving-path leaf-blocked layout
 
     qd = jnp.asarray(q)
 

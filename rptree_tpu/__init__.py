@@ -76,6 +76,7 @@ from .utils.gen import (
     data_batch,
     data_source,
     dense,
+    mixture,
     mixture2,
     normal2,
     normal_dense2,

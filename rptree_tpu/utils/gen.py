@@ -30,6 +30,7 @@ __all__ = [
     "normal_sparse2",
     "circle2d",
     "circle2d2",
+    "mixture",
     "mixture2",
     "data_batch",
     "data_source",
@@ -90,6 +91,26 @@ def sparse(key, n: int, dim: int, pnz: float, mu: float = 0.0, sigma: float = 1.
     vals = mu + sigma * jax.random.normal(kv, (n, dim))
     mask = jax.random.bernoulli(km, pnz, (n, dim))
     return jnp.where(mask, vals, 0.0)
+
+
+def mixture(gens, probs=None) -> Callable:
+    """N-component mixture: per-vector categorical choice between
+    generators (reference ``mixtureN``, Gen.hs:102-108).  ``probs``
+    defaults to uniform."""
+    gens = list(gens)
+    if probs is None:
+        probs = [1.0 / len(gens)] * len(gens)
+    p = jnp.asarray(probs, dtype=jnp.float32)
+
+    def gen(key, n: int) -> jax.Array:
+        ks = jax.random.split(key, len(gens) + 1)
+        choice = jax.random.categorical(ks[0], jnp.log(p), shape=(n,))
+        outs = jnp.stack([g(k, n) for g, k in zip(gens, ks[1:])])
+        return jnp.take_along_axis(
+            outs, choice[None, :, None].astype(jnp.int32), axis=0
+        )[0]
+
+    return gen
 
 
 def mixture2(gen_a: Callable, gen_b: Callable, p: float = 0.5) -> Callable:
