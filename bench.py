@@ -30,11 +30,12 @@ def main():
     # n=100k 128-d dense vectors, 8 trees, auto depth, k=10.
     N, DIM, T, K = 100_000, 128, 8, 10
     MIN_LEAF = 64
-    BUDGET = 4            # recall-equivalent to the reference's unbounded
-    #                       descent on this workload (forks are rare)
-    B = 1024              # total query batch
-    CHUNK = 1024          # queries per device step (packed rerank is
-    #                       leaf-blocked; memory stays small at full batch)
+    BUDGET = 4     # frontier width; forks are rare on this workload, so
+    #                this is recall-equivalent to the reference's unbounded
+    #                descent (verified: equal recall at budget 4..32)
+    PROBES = 16    # leaf buckets reranked per query (live leaves ~T+forks)
+    B = 8192       # total query batch
+    CHUNK = 2048   # queries per device call (bounds rerank memory ~800MB)
     SEED = 20260816
 
     rng = np.random.default_rng(SEED)
@@ -49,31 +50,46 @@ def main():
     f = rt.forest_batch(SEED, cfg.max_depth, MIN_LEAF, T,
                         cfg.proj_nz_density, x)
     np.asarray(f.arrays.perm)  # host fetch: forces real completion
-    build_s = time.perf_counter() - t0
-    f.pack_leaves()            # serving-path leaf-blocked layout
+    build_cold_s = time.perf_counter() - t0  # includes one-time jit compile
+
+    t0 = time.perf_counter()
+    f2 = rt.forest_batch(SEED + 1, cfg.max_depth, MIN_LEAF, T,
+                         cfg.proj_nz_density, x)
+    np.asarray(f2.arrays.perm)
+    build_s = time.perf_counter() - t0  # steady-state (compile cached)
+    del f2
+
+    f.pack_leaves()  # serving-path leaf-blocked layout
 
     qd = jnp.asarray(q)
 
     def sweep():
-        outs = []
-        for s in range(0, B, CHUNK):
-            outs.append(f.knn(qd[s:s + CHUNK], K, budget=BUDGET))
-        # host fetch (NOT block_until_ready: through tunneled TPU backends
-        # block_until_ready can return before device completion)
-        return [(np.asarray(d), np.asarray(i)) for d, i in outs]
+        return [f.knn(qd[s:s + CHUNK], K, budget=BUDGET, probes=PROBES)
+                for s in range(0, B, CHUNK)]
 
-    sweep()  # compile + warm
+    def sweep_timed():
+        # single scalar fetch at the end: one host round-trip times the
+        # whole batch (per-chunk fetches through the tunneled TPU backend
+        # would serialize ~25ms of RTT each into the measurement)
+        outs = sweep()
+        total = sum(jnp.sum(jnp.clip(i, 0, None)) for _, i in outs)
+        return int(total)
+
+    sweep_timed()  # compile + warm
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
-        outs = sweep()
+        sweep_timed()
     dt = (time.perf_counter() - t0) / reps
     qps = B / dt
 
     # quality: recall@10 of the returned neighbours vs exact top-k
-    _, exact = f.brute_force_knn(qd, K)
-    got = np.concatenate([i for _, i in outs], axis=0)
-    exact = np.asarray(exact)
+    outs = sweep()
+    got = np.concatenate([np.asarray(i) for _, i in outs], axis=0)
+    exact = np.concatenate([
+        np.asarray(f.brute_force_knn(qd[s:s + CHUNK], K)[1])
+        for s in range(0, B, CHUNK)
+    ], axis=0)
     recall = float(np.mean([
         len(set(got[b].tolist()) & set(exact[b].tolist())) / K
         for b in range(B)
@@ -86,10 +102,14 @@ def main():
     ref_forest = ref.ref_forest_batch(x, r_np, cfg.max_depth, MIN_LEAF)
     ref_build_s = time.perf_counter() - t0
 
-    nq_ref = 32
+    nq_ref = 64
+    ref_recalls = []
     t0 = time.perf_counter()
     for b in range(nq_ref):
-        ref.ref_knn(ref_forest, x, q[b], K, dedup=True)
+        _, rid = ref.ref_knn(ref_forest, x, q[b], K, dedup=True)
+        ref_recalls.append(
+            len(set(rid.tolist()) & set(exact[b].tolist())) / K
+        )
     ref_dt = time.perf_counter() - t0
     ref_qps = nq_ref / ref_dt
 
@@ -99,12 +119,14 @@ def main():
         "unit": "queries/s",
         "vs_baseline": round(qps / ref_qps, 1),
         "recall_at_10": round(recall, 4),
+        "baseline_recall_at_10": round(float(np.mean(ref_recalls)), 4),
         "baseline_qps": round(ref_qps, 1),
         "build_s": round(build_s, 3),
+        "build_cold_s": round(build_cold_s, 3),
         "baseline_build_s": round(ref_build_s, 3),
         "config": {"n": N, "dim": DIM, "trees": T, "k": K,
                    "max_depth": cfg.max_depth, "min_leaf": MIN_LEAF,
-                   "budget": BUDGET, "batch": B,
+                   "budget": BUDGET, "probes": PROBES, "batch": B,
                    "platform": jax.devices()[0].platform},
     }))
 

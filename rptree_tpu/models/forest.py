@@ -173,10 +173,14 @@ def _knn_packed(plan, arrays, x_leaf, id_leaf, q, k, budget, probes, metric,
 
     rows = jnp.take(x_leaf, gsel, axis=0)  # [B, P, lmax * D] (block gather)
     rows = rows.reshape(b, probes, lmax, d_model)
-    dots = jnp.einsum("bpld,bd->bpl", rows, q,
+    dots = jnp.einsum("bpld,bd->bpl", rows, q.astype(rows.dtype),
                       preferred_element_type=jnp.float32,
                       precision=_prec(precision))
-    sqx = jnp.sum(rows * rows, axis=-1)  # recomputed, no gather
+    # recomputed from the fetched rows (no gather); f32 accumulation even
+    # for bf16-packed blocks
+    sqx = jnp.einsum("bpld,bpld->bpl", rows, rows,
+                     preferred_element_type=jnp.float32,
+                     precision=_prec(precision))
     d = distances_from_dots(dots, sqx, q[:, None], metric)  # [B, P, lmax]
     lens = jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None))
     valid = (lsel >= 0)[..., None] & (
@@ -374,14 +378,21 @@ class RPForest:
             budget = min(self.plan.n_leaves, DEFAULT_BUDGET)
         return max(1, min(int(budget), self.plan.n_leaves))
 
-    def pack_leaves(self) -> "RPForest":
+    def pack_leaves(self, dtype=None) -> "RPForest":
         """Precompute leaf-blocked copies of the dataset: ``x_leaf
         [T * n_leaves, lmax * D]`` holds each leaf's points contiguously
         (zero-padded to the max leaf size), ``id_leaf [T * n_leaves * lmax]``
         the corresponding point ids.  Serving-path optimization (~T x
         dataset bytes of extra HBM) that turns the rerank's per-point
         gathers into per-leaf block gathers; see :func:`_knn_packed`.
-        Dense datasets only; no-op for sparse (ELL) data."""
+        Dense datasets only; no-op for sparse (ELL) data.
+
+        ``dtype=jnp.bfloat16`` halves the blocks' HBM footprint and fetch
+        bytes; candidate distances are then computed from bf16 coordinates
+        (~1e-2 relative error -- reranking of near-ties may flip, recall
+        statistics do not; exact distances are still reported from the
+        same bf16 rows).  Default keeps the dataset dtype.
+        """
         if self._packed is None and not isinstance(self.x, EllMatrix):
             plan = self.plan
             lmax = max(plan.max_leaf_len, 1)
@@ -401,6 +412,8 @@ class RPForest:
 
             rows, ids = jax.vmap(per_tree)(self.arrays.perm)
             nl, d = plan.n_leaves, self.dim
+            if dtype is not None:
+                rows = rows.astype(dtype)
             self._packed = (
                 rows.reshape(self.n_trees * nl, lmax * d),
                 ids.reshape(self.n_trees * nl * lmax),

@@ -162,3 +162,24 @@ def test_packed_knn_matches_unpacked(circle_forest):
     np.testing.assert_allclose(d3, d5, atol=1e-5)
     # probes cap still returns full, valid top-k on this easy dataset
     assert (i4 >= 0).all()
+
+
+def test_packed_bf16_preserves_neighbours():
+    """bf16-packed blocks halve fetch bytes; neighbour ids must be
+    preserved (distance values at small d carry bf16 cancellation noise
+    from the factored |x|^2 - 2x.q + |q|^2 form)."""
+    import jax.numpy as jnp
+
+    x = np.asarray(rgen.data_batch(8, 1000,
+                                   lambda k, m: rgen.dense(k, m, 16)),
+                   np.float32)
+    f = forest_batch(5, 5, 8, 4, 1.0, x)
+    q = x[:12] + 0.05
+    d1, i1 = map(np.asarray, f.knn(q, 5))
+    f.pack_leaves(dtype=jnp.bfloat16)
+    d2, i2 = map(np.asarray, f.knn(q, 5))
+    overlap = np.mean([len(set(i1[b].tolist()) & set(i2[b].tolist())) / 5
+                       for b in range(12)])
+    assert overlap >= 0.9
+    same = i1 == i2
+    np.testing.assert_allclose(d1[same], d2[same], atol=0.3)
