@@ -131,8 +131,8 @@ def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
                      "precision"),
 )
-def _knn_packed(plan, arrays, x_leaf, id_leaf, q, k, budget, probes, metric,
-                dedup, precision="highest"):
+def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
+                probes, metric, dedup, precision="highest"):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -171,16 +171,17 @@ def _knn_packed(plan, arrays, x_leaf, id_leaf, q, k, budget, probes, metric,
                                          sel, axis=-1))
     gsel = jnp.where(lsel >= 0, gsel, 0)
 
-    rows = jnp.take(x_leaf, gsel, axis=0)  # [B, P, lmax * D] (block gather)
-    rows = rows.reshape(b, probes, lmax, d_model)
+    del d_model
+    # [B, P, lmax, D] block gather; x_leaf is stored 3-D so no reshape
+    # (a [.., lmax*D] -> [.., lmax, D] reshape forces a relayout copy that
+    # measured ~15% of the whole query)
+    rows = jnp.take(x_leaf, gsel, axis=0)
     dots = jnp.einsum("bpld,bd->bpl", rows, q.astype(rows.dtype),
                       preferred_element_type=jnp.float32,
                       precision=_prec(precision))
-    # recomputed from the fetched rows (no gather); f32 accumulation even
-    # for bf16-packed blocks
-    sqx = jnp.einsum("bpld,bpld->bpl", rows, rows,
-                     preferred_element_type=jnp.float32,
-                     precision=_prec(precision))
+    # squared norms precomputed per slot at pack time: a [B, P]-index
+    # gather instead of a second full multiply-reduce over the rows
+    sqx = jnp.take(sq_leaf, gsel, axis=0)
     d = distances_from_dots(dots, sqx, q[:, None], metric)  # [B, P, lmax]
     lens = jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None))
     valid = (lsel >= 0)[..., None] & (
@@ -412,10 +413,12 @@ class RPForest:
 
             rows, ids = jax.vmap(per_tree)(self.arrays.perm)
             nl, d = plan.n_leaves, self.dim
+            sq = jnp.sum(rows * rows, axis=-1)  # f32, before any downcast
             if dtype is not None:
                 rows = rows.astype(dtype)
             self._packed = (
-                rows.reshape(self.n_trees * nl, lmax * d),
+                rows.reshape(self.n_trees * nl, lmax, d),
+                sq.reshape(self.n_trees * nl, lmax),
                 ids.reshape(self.n_trees * nl * lmax),
             )
         return self
@@ -437,12 +440,12 @@ class RPForest:
         qb = _as_dense_queries(q, self.dim)
         budget = self._budget(budget)
         if self._packed is not None:
-            x_leaf, id_leaf = self._packed
+            x_leaf, sq_leaf, id_leaf = self._packed
             if probes is None:
                 probes = self.n_trees * budget
-            return _knn_packed(self.plan, self.arrays, x_leaf, id_leaf, qb,
-                               int(k), budget, int(probes), metric, dedup,
-                               precision)
+            return _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
+                               id_leaf, qb, int(k), budget, int(probes),
+                               metric, dedup, precision)
         return _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
                     budget, metric, dedup, precision)
 

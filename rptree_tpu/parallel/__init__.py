@@ -12,10 +12,18 @@ from .distributed import (
     forest_batch_distributed,
     merge_top_k,
 )
+from .data_parallel import (
+    DATA_AXIS,
+    data_mesh,
+    forest_batch_data_parallel,
+)
 
 __all__ = [
+    "DATA_AXIS",
     "QUERY_AXIS",
     "TREE_AXIS",
+    "data_mesh",
+    "forest_batch_data_parallel",
     "forest_mesh",
     "DistributedForest",
     "distribute",

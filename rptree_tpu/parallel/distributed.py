@@ -96,10 +96,10 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
 
     def block(arrays_l, x_l, sq_l, q_l, packed_l):
         if packed_l is not None:
-            x_leaf_l, id_leaf_l = packed_l
-            d_l, i_l = _knn_packed(plan, arrays_l, x_leaf_l, id_leaf_l, q_l,
-                                   k, budget, probes, metric, dedup,
-                                   precision)
+            x_leaf_l, sq_leaf_l, id_leaf_l = packed_l
+            d_l, i_l = _knn_packed(plan, arrays_l, x_leaf_l, sq_leaf_l,
+                                   id_leaf_l, q_l, k, budget, probes,
+                                   metric, dedup, precision)
         elif variant == "h":
             d_l, i_l = _knn_h(plan, arrays_l, x_l, sq_l, q_l, k, budget,
                               metric, dedup, precision)
@@ -115,7 +115,8 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
         i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s * k)
         return merge_top_k(d_all, i_all, k, dedup=dedup)
 
-    packed_spec = None if packed is None else (P(TREE_AXIS), P(TREE_AXIS))
+    packed_spec = (None if packed is None
+                   else (P(TREE_AXIS), P(TREE_AXIS), P(TREE_AXIS)))
     return jax.shard_map(
         block,
         mesh=mesh,

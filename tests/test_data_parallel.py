@@ -1,0 +1,77 @@
+"""Data-parallel build (dataset sharded over points, distributed radix
+median selection) vs the single-device builder.  SURVEY.md section 7
+"Cross-shard median" -- the hard part of a sharded build; exactness of the
+selection and of the stable tie split is the contract."""
+
+import numpy as np
+import pytest
+
+import rptree_tpu as rt
+from rptree_tpu.parallel.data_parallel import (
+    data_mesh,
+    forest_batch_data_parallel,
+)
+
+N, DIM, T = 1600, 24, 3
+SEED = 909
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    return rng.normal(size=(N, DIM)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def single(data):
+    return rt.forest_batch(SEED, 6, 12, T, 1.0, data)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_leaf_contents_match_single_device(single, data, n_shards):
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data,
+                                   mesh=data_mesh(n_shards))
+    for t in range(T):
+        l1 = [set(b) for b in single.leaves(t)]
+        l2 = [set(b) for b in f.leaves(t)]
+        assert sum(a != b for a, b in zip(l1, l2)) == 0
+
+
+def test_thresholds_margins_match_single_device(single, data):
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data,
+                                   mesh=data_mesh(8))
+    t1 = np.asarray(single.arrays.thr)
+    t2 = np.asarray(f.arrays.thr)
+    m1 = np.asarray(single.arrays.mgl)
+    m2 = np.asarray(f.arrays.mgl)
+    h1 = np.asarray(single.arrays.mgh)
+    h2 = np.asarray(f.arrays.mgh)
+    for l, lp in enumerate(single.plan.levels):
+        ns = lp.n_segs  # padded tail holds garbage in both; compare live
+        np.testing.assert_allclose(t1[:, l, :ns], t2[:, l, :ns], atol=1e-6)
+        np.testing.assert_allclose(m1[:, l, :ns], m2[:, l, :ns], atol=1e-6)
+        np.testing.assert_allclose(h1[:, l, :ns], h2[:, l, :ns], atol=1e-6)
+
+
+def test_queries_match_single_device(single, data):
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data,
+                                   mesh=data_mesh(8))
+    q = data[:9] + 0.02
+    d1, i1 = map(np.asarray, single.knn(q, 5))
+    d2, i2 = map(np.asarray, f.knn(q, 5))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(9):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+
+
+def test_indivisible_rows_raise(data):
+    with pytest.raises(ValueError):
+        forest_batch_data_parallel(SEED, 6, 12, 1, 1.0, data[:1593],
+                                   mesh=data_mesh(8))
+
+
+def test_single_leaf_plan(data):
+    f = forest_batch_data_parallel(SEED, 0, 12, 1, 1.0, data[:800],
+                                   mesh=data_mesh(8))
+    assert f.tree_size() == 800
+    assert f.plan.n_leaves == 1
