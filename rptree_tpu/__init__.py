@@ -22,6 +22,26 @@ Testing / generation:    :class:`BenchConfig`, :func:`rand_seed`,
                          :func:`data_batch`, :func:`data_source`, samplers
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: first-build compiles through remote-
+# compile TPU backends cost minutes; cached reloads are sub-second.  Opt
+# out with RPTREE_TPU_NO_CACHE=1 or by setting jax's cache dir yourself.
+if (not _os.environ.get("RPTREE_TPU_NO_CACHE")
+        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        and _jax.config.jax_compilation_cache_dir is None):
+    _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
+                           "rptree_tpu", "jax")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):  # read-only fs / older jax
+        pass
+
 from .config import BenchConfig, ForestConfig, RPTreeConfig, rp_tree_cfg
 from .models.forest import RPForest, forest_batch, tree_batch
 from .models.plan import TreePlan, make_plan
