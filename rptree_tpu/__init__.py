@@ -57,6 +57,7 @@ from .utils.draw import (
 )
 from .utils import ingest  # fvecs/bvecs/ivecs/idx readers + chunk sources
 from .utils.median import StreamingMedian
+from .utils.profiling import device_time
 from .utils.io import (
     deserialise_rp_forest,
     load_forest,

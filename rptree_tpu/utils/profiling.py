@@ -1,0 +1,56 @@
+"""Device-side timing utilities.
+
+The reference measures CPU time around pure computations
+(``bench/time/Main.hs:175-230``).  On an asynchronously-dispatched
+accelerator -- especially through tunneled backends where
+``block_until_ready`` may return before device completion and a host fetch
+costs a ~25ms round trip -- wall-clocking single calls is meaningless.
+:func:`device_time` runs the operation ``n`` times inside one jitted
+``lax.fori_loop`` with a forced data dependency between iterations, fetches
+one scalar, and reports the marginal per-iteration time: pure device time,
+independent of dispatch/fetch overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["device_time"]
+
+
+def device_time(step: Callable, *args, reps: int = 20) -> float:
+    """Marginal device seconds per call of ``step(*args)``.
+
+    ``step`` must accept its first argument as a float32 jax array (the
+    perturbation target used to chain iterations) and return an array or
+    tuple of arrays.  Remaining ``args`` are passed through as jit
+    arguments (never closed over -- large closures can exceed remote
+    compile request limits).
+    """
+    first, rest = args[0], args[1:]
+
+    def loop(n: int) -> float:
+        @jax.jit
+        def g(a, rest):
+            def body(_, acc):
+                out = step(a + acc * 1e-9, *rest)
+                if isinstance(out, tuple):
+                    out = out[0]
+                return jnp.sum(
+                    jnp.asarray(out).astype(jnp.float32).ravel()[:1]
+                ) * 1e-20 + acc
+
+            return lax.fori_loop(0, n, body, 0.0)
+
+        float(g(first, rest))  # compile + warm
+        t0 = time.perf_counter()
+        float(g(first, rest))
+        return time.perf_counter() - t0
+
+    t1, tn = loop(1), loop(reps)
+    return max(0.0, (tn - t1) / (reps - 1))
