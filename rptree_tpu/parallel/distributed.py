@@ -40,9 +40,10 @@ from ..models.forest import (
     _brute_force,
     _candidate_ids,
     _knn,
-    _knn_h,
     _knn_packed,
+    _traverse_forest,
 )
+from ..ops.rerank import gather_leaf_points, rerank_top_k
 from ..models.plan import TreePlan, make_plan
 from ..ops.build import TreeArrays, build_forest_arrays
 from ..ops.rerank import merge_top_k
@@ -94,15 +95,54 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
     blocked ``(x_leaf, id_leaf)``, sharded over the tree axis) each shard
     runs the leaf-blocked rerank on its tree group."""
 
+    def knn_h_local(arrays_l, x_l, sq_l, q_l):
+        """Faithful global bucket-stop rule (reference knnH,
+        RPTree.hs:196-217): every shard sees all shards' bucket priorities
+        and sizes (an all_gather of a few floats per query), applies the
+        same global cumulative-size cutoff, then expands and reranks only
+        its own kept buckets."""
+        leaf_ids, prio = _traverse_forest(plan, arrays_l, q_l, budget)
+        tl, b, fw = leaf_ids.shape
+        leaf_l = jnp.moveaxis(leaf_ids, 0, 1).reshape(b, tl * fw)
+        prio_l = jnp.moveaxis(prio, 0, 1).reshape(b, tl * fw)
+        prio_all = lax.all_gather(prio_l, TREE_AXIS)  # [S, B, Tl*F]
+        leaf_all = lax.all_gather(leaf_l, TREE_AXIS)
+        n_sh = prio_all.shape[0]
+        m = n_sh * tl * fw
+        prio_g = jnp.moveaxis(prio_all, 0, 1).reshape(b, m)
+        leaf_g = jnp.moveaxis(leaf_all, 0, 1).reshape(b, m)
+        sizes_g = jnp.where(
+            leaf_g >= 0,
+            jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(leaf_g, 0, None)),
+            0,
+        )
+        order = jnp.argsort(prio_g, axis=-1)  # same result on every shard
+        csum = jnp.cumsum(jnp.take_along_axis(sizes_g, order, axis=-1),
+                          axis=-1)
+        keep_sorted = (csum <= k) | (jnp.arange(m)[None, :] == 0)
+        inv = jnp.argsort(order, axis=-1)
+        keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+        my = lax.axis_index(TREE_AXIS)
+        keep_mine = lax.dynamic_slice_in_dim(keep, my * tl * fw, tl * fw,
+                                             axis=1)
+        leaf_kept = jnp.where(keep_mine, leaf_l, -1)
+        leaf_kept = jnp.moveaxis(leaf_kept.reshape(b, tl, fw), 1, 0)
+        cand = jax.vmap(lambda perm, l: gather_leaf_points(plan, perm, l))(
+            arrays_l.perm, leaf_kept
+        )  # [Tl, B, F*lmax]
+        union = jnp.moveaxis(cand, 0, 1).reshape(b, -1)
+        from ..models.forest import _prec
+        return rerank_top_k(x_l, sq_l, q_l, union, k, metric=metric,
+                            dedup=dedup, precision=_prec(precision))
+
     def block(arrays_l, x_l, sq_l, q_l, packed_l):
-        if packed_l is not None:
+        if variant == "h":
+            d_l, i_l = knn_h_local(arrays_l, x_l, sq_l, q_l)
+        elif packed_l is not None:
             x_leaf_l, sq_leaf_l, id_leaf_l = packed_l
             d_l, i_l = _knn_packed(plan, arrays_l, x_leaf_l, sq_leaf_l,
                                    id_leaf_l, q_l, k, budget, probes,
                                    metric, dedup, precision)
-        elif variant == "h":
-            d_l, i_l = _knn_h(plan, arrays_l, x_l, sq_l, q_l, k, budget,
-                              metric, dedup, precision)
         else:
             d_l, i_l = _knn(plan, arrays_l, x_l, sq_l, q_l, k, budget,
                             metric, dedup, precision)
@@ -236,12 +276,11 @@ class DistributedForest(RPForest):
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,
               precision: str = "highest"):
-        """Margin-priority kNN, sharded.  The bucket stop rule runs per
-        tree shard (each shard collects >= k points from *its* trees before
-        rerank) rather than globally across the forest as in the
-        single-device path -- a superset of the global rule's buckets, so
-        result quality is >= the reference semantics; exactness of the
-        final top-k over the selected buckets is unchanged."""
+        """Margin-priority kNN, sharded, with the reference's GLOBAL
+        bucket-stop rule (RPTree.hs:208-217): bucket priorities and sizes
+        from every shard are all_gathered (a few floats per query), each
+        shard applies the same cumulative cutoff and reranks only its own
+        kept buckets, and the per-shard top-k merge as usual."""
         from ..models.forest import _as_dense_queries
 
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
