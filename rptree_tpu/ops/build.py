@@ -69,9 +69,18 @@ def project_dataset(x, r_l: jax.Array, precision=lax.Precision.HIGHEST) -> jax.A
     return jnp.matmul(x, r_l.T if r_l.ndim == 2 else r_l, precision=precision)
 
 
+_PLAN_CONST_CACHE: dict = {}
+
+
 def _stacked_plan_constants(plan: TreePlan):
-    """Host-side [L, ...] constants with per-level gather positions padded
-    to the deepest level's segment count."""
+    """[L, ...] device constants with per-level gather positions padded to
+    the deepest level's segment count.  Cached per plan: ``seg_keys`` is
+    ``O(L * n)`` and re-uploading it on every build call is measurable
+    through slow host->device links."""
+    key = (plan.n, plan.max_depth, plan.min_leaf)
+    hit = _PLAN_CONST_CACHE.get(key)
+    if hit is not None:
+        return hit
     smax = max(lp.n_segs for lp in plan.levels)
 
     def pad(name):
@@ -80,8 +89,12 @@ def _stacked_plan_constants(plan: TreePlan):
             for lp in plan.levels
         ]).astype(np.int32)
 
-    seg_keys = np.stack([lp.seg_key for lp in plan.levels]).astype(np.int32)
-    return seg_keys, pad("thr_pos"), pad("mgl_pos"), pad("mgr_pos")
+    out = (jnp.asarray(np.stack([lp.seg_key for lp in plan.levels]
+                                ).astype(np.int32)),
+           jnp.asarray(pad("thr_pos")), jnp.asarray(pad("mgl_pos")),
+           jnp.asarray(pad("mgr_pos")))
+    _PLAN_CONST_CACHE[key] = out
+    return out
 
 
 def build_tree_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
@@ -117,8 +130,7 @@ def build_tree_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
         ids, (thr, mgl, mgh) = lax.scan(
             level_step,
             ids0,
-            (jnp.asarray(seg_keys), proj.T, jnp.asarray(thr_pos),
-             jnp.asarray(mgl_pos), jnp.asarray(mgr_pos)),
+            (seg_keys, proj.T, thr_pos, mgl_pos, mgr_pos),
         )
     return TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh, perm=ids)
 
