@@ -252,28 +252,74 @@ def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
 @functools.partial(jax.jit, static_argnames=("k", "metric", "precision"))
 def _brute_force(x, sq_norms, q, k, metric, precision="highest"):
     """Exact k nearest neighbours over the whole dataset (the ground truth
-    of ``recallWith``, RPTree.hs:280-282), as one distance GEMM + top_k."""
+    of ``recallWith``, RPTree.hs:280-282).
+
+    Dense datasets stream in row chunks via ``lax.scan`` with a running
+    top-k merge, so peak memory is O(B * chunk) instead of the O(B * n)
+    distance matrix (which at 1M points x 2k queries would be 8 GB); each
+    chunk is one distance GEMM on the MXU.  ELL-sparse datasets use the
+    single-pass gather form (their n is bounded by the padded-ELL memory
+    anyway).
+    """
     if isinstance(x, EllMatrix):
         dots = jnp.einsum("nk,bnk->bn", x.vals,
                           jnp.take_along_axis(q[:, None, :],
                                               jnp.broadcast_to(x.cols, (q.shape[0],) + x.cols.shape).astype(jnp.int32),
                                               axis=-1))
-    else:
-        dots = jnp.einsum("bd,nd->bn", q, x, preferred_element_type=jnp.float32,
+        d = _dist_from_dots_full(dots, sq_norms, q, metric)
+        neg, idx = jax.lax.top_k(-d, min(k, d.shape[-1]))
+        return -neg, idx
+
+    n, b = x.shape[0], q.shape[0]
+    # chunk size: bound the [B, C] distance tile to ~32M floats
+    c = max(1, min(n, (32 * 1024 * 1024) // max(b, 1)))
+    c = max(128, c - c % 128) if n >= 128 else n
+    n_chunks = -(-n // c)
+    pad = n_chunks * c - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+        sq_norms = jnp.concatenate(
+            [sq_norms, jnp.full((pad,), jnp.inf, sq_norms.dtype)]
+        )
+    xc = x.reshape(n_chunks, c, x.shape[1])
+    sqc = sq_norms.reshape(n_chunks, c)
+    k = min(k, n)
+
+    def step(carry, chunk):
+        bd, bi = carry
+        xi, sqi, base = chunk
+        dots = jnp.einsum("bd,nd->bn", q, xi,
+                          preferred_element_type=jnp.float32,
                           precision=_prec(precision))
+        d = _dist_from_dots_full(dots, sqi, q, metric)
+        ids = base + jnp.arange(c, dtype=jnp.int32)[None, :]
+        alld = jnp.concatenate([bd, d], axis=-1)
+        alli = jnp.concatenate([bi, jnp.broadcast_to(ids, d.shape)], axis=-1)
+        neg, sel = jax.lax.top_k(-alld, k)
+        return (-neg, jnp.take_along_axis(alli, sel, axis=-1)), None
+
+    bd0 = jnp.full((b, k), jnp.inf, jnp.float32)
+    bi0 = jnp.full((b, k), -1, jnp.int32)
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * c)
+    (bd, bi), _ = lax.scan(step, (bd0, bi0), (xc, sqc, bases))
+    return bd, bi
+
+
+def _dist_from_dots_full(dots, sq_norms, q, metric):
+    """Distance from dots against a [C]-row chunk (brute-force helper)."""
     if metric in ("l2", "sql2"):
-        d = jnp.maximum(sq_norms[None, :] - 2.0 * dots + jnp.sum(q * q, -1)[:, None], 0.0)
-        if metric == "l2":
-            d = jnp.sqrt(d)
-    elif metric == "cosine":
+        d = jnp.maximum(
+            sq_norms[None, :] - 2.0 * dots + jnp.sum(q * q, -1)[:, None], 0.0
+        )
+        return jnp.sqrt(d) if metric == "l2" else d
+    if metric == "cosine":
         nq = jnp.sqrt(jnp.sum(q * q, -1))[:, None]
-        d = 1.0 - dots / jnp.maximum(jnp.sqrt(sq_norms)[None, :] * nq, 1e-30)
-    elif metric == "dot":
-        d = -dots
-    else:
-        raise ValueError(metric)
-    neg, idx = jax.lax.top_k(-d, k)
-    return -neg, idx
+        return 1.0 - dots / jnp.maximum(
+            jnp.sqrt(sq_norms)[None, :] * nq, 1e-30
+        )
+    if metric == "dot":
+        return -dots
+    raise ValueError(metric)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "budget", "k", "metric"))

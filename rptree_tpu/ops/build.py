@@ -89,10 +89,12 @@ def _stacked_plan_constants(plan: TreePlan):
             for lp in plan.levels
         ]).astype(np.int32)
 
-    out = (jnp.asarray(np.stack([lp.seg_key for lp in plan.levels]
-                                ).astype(np.int32)),
-           jnp.asarray(pad("thr_pos")), jnp.asarray(pad("mgl_pos")),
-           jnp.asarray(pad("mgr_pos")))
+    # cache HOST numpy only: converting to device arrays here would leak
+    # tracers when first called under a jit trace; jnp.asarray at the use
+    # site turns these into compile-time constants, uploaded once per
+    # executable
+    out = (np.stack([lp.seg_key for lp in plan.levels]).astype(np.int32),
+           pad("thr_pos"), pad("mgl_pos"), pad("mgr_pos"))
     _PLAN_CONST_CACHE[key] = out
     return out
 
@@ -130,7 +132,8 @@ def build_tree_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
         ids, (thr, mgl, mgh) = lax.scan(
             level_step,
             ids0,
-            (seg_keys, proj.T, thr_pos, mgl_pos, mgr_pos),
+            (jnp.asarray(seg_keys), proj.T, jnp.asarray(thr_pos),
+             jnp.asarray(mgl_pos), jnp.asarray(mgr_pos)),
         )
     return TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh, perm=ids)
 
