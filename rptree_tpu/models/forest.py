@@ -189,18 +189,19 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     )
     d = jnp.where(valid, d, jnp.inf).reshape(b, probes * lmax)
 
-    # ids only for the positions that can reach the final top-k.  A full
-    # batched 2-operand sort is faster on TPU than lax.top_k at this k
-    # (top_k lowers to a partial sort whose cost grows with k; the batched
-    # bitonic sort is ~0.2ms for [2k, 1k] rows).
+    # Selection: a full batched 2-operand sort beats lax.top_k on TPU at
+    # this k (top_k lowers to a partial sort whose cost grows with k), and
+    # carrying the point ids THROUGH the sort as a payload operand avoids
+    # a per-element id gather afterwards (TPU gathers cost ~7ns per index;
+    # the comparator network moves payloads for free).  Ids are fetched as
+    # whole leaf blocks with the same [B, P] index pattern as the rows.
     kk = min(k * t if dedup else k, probes * lmax)
-    flat_pos = (gsel[..., None] * lmax
-                + jnp.arange(lmax, dtype=jnp.int32)).reshape(b, probes * lmax)
-    d_sorted, pos_sorted = lax.sort((d, flat_pos), num_keys=1)
-    d_top, pos_top = d_sorted[:, :kk], pos_sorted[:, :kk]
-    ids_sel = jnp.take(id_leaf, pos_top)
-    ids_sel = jnp.where(jnp.isinf(d_top), -1, ids_sel)
-    return merge_top_k(d_top, ids_sel, k, dedup=dedup)
+    ids_blk = jnp.take(id_leaf, gsel, axis=0)  # [B, P, lmax] block gather
+    ids_flat = ids_blk.reshape(b, probes * lmax)
+    d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
+    d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
+    ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
+    return merge_top_k(d_top, ids_top, k, dedup=dedup)
 
 
 @functools.partial(
@@ -466,10 +467,24 @@ class RPForest:
             sq = jnp.sum(rows * rows, axis=-1)  # f32, before any downcast
             if dtype is not None:
                 rows = rows.astype(dtype)
+            rows = rows.reshape(self.n_trees * nl, lmax, d)
+            # pin the standard row-major layout: the packing computation's
+            # natural output layout is lmax-major, and every query would
+            # otherwise relayout-copy the whole block array on entry
+            # (measured ~0.7ms/call at 100k points)
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                rows = jax.device_put(
+                    rows, Format(Layout(major_to_minor=(2, 1, 0)),
+                                 rows.sharding)
+                )
+            except Exception:  # backends without explicit-layout support
+                pass
             self._packed = (
-                rows.reshape(self.n_trees * nl, lmax, d),
+                rows,
                 sq.reshape(self.n_trees * nl, lmax),
-                ids.reshape(self.n_trees * nl * lmax),
+                ids.reshape(self.n_trees * nl, lmax),
             )
         return self
 

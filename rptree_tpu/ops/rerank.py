@@ -102,9 +102,10 @@ def merge_top_k(
     form of the reference's Semigroup union, ``RPTree.hs:176``).
     """
     if dedup:
-        order = jnp.argsort(ids, axis=-1)
-        ids = jnp.take_along_axis(ids, order, axis=-1)
-        dists = jnp.take_along_axis(dists, order, axis=-1)
+        # sort by id carrying distances as a payload operand: multi-operand
+        # lax.sort moves payloads inside the comparator network, avoiding
+        # the two per-element take_along_axis gathers an argsort would need
+        ids, dists = lax.sort((ids, dists), num_keys=1)
         dup = jnp.concatenate(
             [jnp.zeros_like(ids[..., :1], dtype=bool),
              (ids[..., 1:] == ids[..., :-1]) & (ids[..., 1:] >= 0)],
@@ -113,9 +114,8 @@ def merge_top_k(
         dists = jnp.where(dup, jnp.inf, dists)
         ids = jnp.where(dup, -1, ids)
     k = min(k, ids.shape[-1])
-    neg, idx = lax.top_k(-dists, k)
-    out_ids = jnp.take_along_axis(ids, idx, axis=-1)
-    d = -neg
+    d, out_ids = lax.sort((dists, ids), num_keys=1)
+    d, out_ids = d[..., :k], out_ids[..., :k]
     return d, jnp.where(jnp.isinf(d), -1, out_ids)
 
 
