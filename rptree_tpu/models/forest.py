@@ -129,10 +129,11 @@ def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
-                     "precision"),
+                     "precision", "bucket_stop"),
 )
 def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
-                probes, metric, dedup, precision="highest"):
+                probes, metric, dedup, precision="highest",
+                bucket_stop=False):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -169,6 +170,20 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     lsel = jnp.where(jnp.isinf(-neg), -1,
                      jnp.take_along_axis(gid_bt % nl if t > 1 else gid_bt,
                                          sel, axis=-1))
+    if bucket_stop:
+        # knn_h semantics (RPTree.hs:208-217): consume buckets in
+        # ascending priority while the cumulative size stays <= k, always
+        # keeping the first; buckets beyond the stop are masked out.
+        # (probes bounds the window; exact whenever the stop fires within
+        # it, which min_leaf-sized buckets guarantee for probes >= k.)
+        sizes = jnp.where(
+            lsel >= 0,
+            jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None)),
+            0,
+        )
+        csum = jnp.cumsum(sizes, axis=-1)
+        keep = (csum <= k) | (jnp.arange(probes)[None, :] == 0)
+        lsel = jnp.where(keep, lsel, -1)
     gsel = jnp.where(lsel >= 0, gsel, 0)
 
     del d_model
@@ -521,11 +536,23 @@ class RPForest:
                         precision=precision)
 
     def knn_h(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
-              dedup: bool = True, precision: str = "highest"):
-        """Margin-priority kNN (reference ``knnH``, RPTree.hs:196-217)."""
+              dedup: bool = True, precision: str = "highest",
+              probes: Optional[int] = None):
+        """Margin-priority kNN (reference ``knnH``, RPTree.hs:196-217).
+        After :meth:`pack_leaves` this runs on the leaf-blocked fast path
+        (the bucket stop rule becomes a mask over the priority-ordered
+        probe window)."""
         qb = _as_dense_queries(q, self.dim)
+        budget = self._budget(budget)
+        if self._packed is not None:
+            x_leaf, sq_leaf, id_leaf = self._packed
+            if probes is None:
+                probes = self.n_trees * budget
+            return _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
+                               id_leaf, qb, int(k), budget, int(probes),
+                               metric, dedup, precision, bucket_stop=True)
         return _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
-                      self._budget(budget), metric, dedup, precision)
+                      budget, metric, dedup, precision)
 
     def candidates(self, q, budget: Optional[int] = None, tree: Optional[int] = None):
         """Candidate point ids per tree (reference ``candidates``,

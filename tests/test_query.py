@@ -183,3 +183,19 @@ def test_packed_bf16_preserves_neighbours():
     assert overlap >= 0.9
     same = i1 == i2
     np.testing.assert_allclose(d1[same], d2[same], atol=0.3)
+
+
+def test_knn_h_packed_matches_unpacked(circle_forest):
+    """knn_h on the leaf-blocked path applies the same global bucket-stop
+    rule; results must match the unpacked implementation."""
+    f, x = circle_forest
+    qs = np.asarray(rgen.data_batch(321, 8, rgen.circle2d2), np.float32)
+    d1, i1 = map(np.asarray, f.knn_h(qs, 6))
+    f.pack_leaves()
+    try:
+        d2, i2 = map(np.asarray, f.knn_h(qs, 6))
+    finally:
+        f._packed = None
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(8):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
