@@ -112,16 +112,21 @@ def _candidate_ids(plan: TreePlan, arrays: TreeArrays, q: jax.Array, budget: int
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "budget", "k", "metric", "dedup", "precision"),
+    static_argnames=("plan", "budget", "k", "metric", "dedup", "precision",
+                     "min_votes"),
 )
 def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
-         precision="highest"):
+         precision="highest", min_votes=1):
     """Forest kNN: union of per-tree candidates -> exact rerank -> top-k
     (reference ``knn``, RPTree.hs:159-176; with dedup=True it is ``knnPQ``,
     RPTree.hs:178-194)."""
     cand = _candidate_ids(plan, arrays, q, budget)  # [T, B, C1]
     t, b, c1 = cand.shape
     union = jnp.transpose(cand, (1, 0, 2)).reshape(b, t * c1)
+    if min_votes > 1:
+        union = dedup_ids(union, min_votes=min_votes)
+        return rerank_top_k(x, sq_norms, q, union, k, metric=metric,
+                            dedup=False, precision=_prec(precision))
     return rerank_top_k(x, sq_norms, q, union, k, metric=metric, dedup=dedup,
                         precision=_prec(precision))
 
@@ -129,11 +134,11 @@ def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
-                     "precision", "bucket_stop"),
+                     "precision", "bucket_stop", "min_votes"),
 )
 def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                 probes, metric, dedup, precision="highest",
-                bucket_stop=False):
+                bucket_stop=False, min_votes=1):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -216,7 +221,7 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
     d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
     ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
-    return merge_top_k(d_top, ids_top, k, dedup=dedup)
+    return merge_top_k(d_top, ids_top, k, dedup=dedup, min_votes=min_votes)
 
 
 @functools.partial(
@@ -505,7 +510,8 @@ class RPForest:
 
     def knn(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
             dedup: bool = True, precision: str = "highest",
-            probes: Optional[int] = None) -> Tuple[jax.Array, jax.Array]:
+            probes: Optional[int] = None,
+            min_votes: int = 1) -> Tuple[jax.Array, jax.Array]:
         """k nearest neighbours of ``q`` (single vector or batch).
 
         Returns ``(dists f32[B, k], ids int32[B, k])`` ordered by increasing
@@ -516,6 +522,10 @@ class RPForest:
         After :meth:`pack_leaves`, ``probes`` caps the total number of leaf
         buckets reranked across trees (lowest margin priority first;
         default ``n_trees * budget`` = no cap, exact).
+
+        ``min_votes > 1`` keeps only candidates found by at least that
+        many trees -- the voting filter of Hyvonen et al. 2016 (the cited
+        algorithm's full form; the reference library unions only).
         """
         qb = _as_dense_queries(q, self.dim)
         budget = self._budget(budget)
@@ -525,9 +535,11 @@ class RPForest:
                 probes = self.n_trees * budget
             return _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
                                id_leaf, qb, int(k), budget, int(probes),
-                               metric, dedup, precision)
+                               metric, dedup, precision,
+                               min_votes=int(min_votes))
         return _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
-                    budget, metric, dedup, precision)
+                    budget, metric, dedup, precision,
+                    min_votes=int(min_votes))
 
     def knn_pq(self, q, k: int, metric: str = "l2",
                budget: Optional[int] = None, precision: str = "highest"):

@@ -76,20 +76,55 @@ def gather_leaf_points(plan: TreePlan, perm: jax.Array, leaf_ids: jax.Array) -> 
     return jnp.where(valid, ids, -1)
 
 
-def dedup_ids(ids: jax.Array) -> jax.Array:
+def _run_lengths(ids_sorted: jax.Array) -> jax.Array:
+    """Length of each equal-id run, at every position (ids sorted asc).
+
+    Pure cumulative ops (no gathers): forward cummax of run-start indices
+    gives each run's start, a reversed one gives its end.
+    """
+    m = ids_sorted.shape[-1]
+    pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), ids_sorted.shape)
+    start = jnp.concatenate(
+        [jnp.ones_like(ids_sorted[..., :1], dtype=bool),
+         ids_sorted[..., 1:] != ids_sorted[..., :-1]],
+        axis=-1,
+    )
+    run_start = lax.cummax(jnp.where(start, pos, -1), axis=ids_sorted.ndim - 1)
+    end_mark = jnp.concatenate([start[..., 1:],
+                                jnp.ones_like(start[..., :1])], axis=-1)
+    run_end = jnp.flip(
+        lax.cummin(jnp.flip(jnp.where(end_mark, pos, m), axis=-1),
+                   axis=ids_sorted.ndim - 1),
+        axis=-1,
+    )
+    return run_end - run_start + 1
+
+
+def dedup_ids(ids: jax.Array, min_votes: int = 1) -> jax.Array:
     """Sort candidate ids ascending and mask duplicates (and -1 padding)
-    to -1.  Input/output: int32[B, C]."""
+    to -1.  Input/output: int32[B, C].
+
+    ``min_votes > 1`` additionally drops candidates that appear in fewer
+    than that many trees -- the *voting* filter of Hyvonen et al. 2016
+    (the paper the reference cites at ``src/Data/RPTree.hs:47``; the
+    reference itself only ever unions candidate sets).
+    """
     ids_sorted = jnp.sort(ids, axis=-1)
     dup = jnp.concatenate(
         [jnp.zeros_like(ids_sorted[..., :1], dtype=bool),
          ids_sorted[..., 1:] == ids_sorted[..., :-1]],
         axis=-1,
     )
-    return jnp.where(dup | (ids_sorted < 0), -1, ids_sorted)
+    out = jnp.where(dup | (ids_sorted < 0), -1, ids_sorted)
+    if min_votes > 1:
+        votes = _run_lengths(ids_sorted)
+        out = jnp.where(votes < min_votes, -1, out)
+    return out
 
 
 def merge_top_k(
-    dists: jax.Array, ids: jax.Array, k: int, dedup: bool = True
+    dists: jax.Array, ids: jax.Array, k: int, dedup: bool = True,
+    min_votes: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Select the k best from an already-scored candidate list, optionally
     masking duplicate ids first.
@@ -101,18 +136,22 @@ def merge_top_k(
     top-k merge in :mod:`rptree_tpu.parallel.distributed` (the collective
     form of the reference's Semigroup union, ``RPTree.hs:176``).
     """
-    if dedup:
+    if dedup or min_votes > 1:
         # sort by id carrying distances as a payload operand: multi-operand
         # lax.sort moves payloads inside the comparator network, avoiding
         # the two per-element take_along_axis gathers an argsort would need
         ids, dists = lax.sort((ids, dists), num_keys=1)
-        dup = jnp.concatenate(
+        drop = jnp.concatenate(
             [jnp.zeros_like(ids[..., :1], dtype=bool),
              (ids[..., 1:] == ids[..., :-1]) & (ids[..., 1:] >= 0)],
             axis=-1,
         )
-        dists = jnp.where(dup, jnp.inf, dists)
-        ids = jnp.where(dup, -1, ids)
+        if min_votes > 1:
+            # voting filter (Hyvonen et al. 2016): candidates must appear
+            # in at least min_votes trees
+            drop = drop | (_run_lengths(ids) < min_votes)
+        dists = jnp.where(drop, jnp.inf, dists)
+        ids = jnp.where(drop, -1, ids)
     k = min(k, ids.shape[-1])
     d, out_ids = lax.sort((dists, ids), num_keys=1)
     d, out_ids = d[..., :k], out_ids[..., :k]

@@ -199,3 +199,26 @@ def test_knn_h_packed_matches_unpacked(circle_forest):
     np.testing.assert_allclose(d1, d2, atol=1e-5)
     for b in range(8):
         assert set(i1[b].tolist()) == set(i2[b].tolist())
+
+
+def test_min_votes_filter(circle_forest):
+    """Voting (Hyvonen et al. 2016): candidates must appear in >= v trees;
+    distances weakly increase with the threshold; packed path agrees."""
+    f, x = circle_forest
+    qs = np.asarray(rgen.data_batch(55, 8, rgen.circle2d2), np.float32)
+    d1, i1 = map(np.asarray, f.knn(qs, 6))
+    d2, i2 = map(np.asarray, f.knn(qs, 6, min_votes=3))
+    assert np.all(d2 >= d1 - 1e-6)
+    cand = np.asarray(f.candidates(qs))
+    for b in range(8):
+        for pid in i2[b]:
+            if pid >= 0:
+                votes = sum((cand[t, b] == pid).any()
+                            for t in range(f.n_trees))
+                assert votes >= 3
+    f.pack_leaves()
+    try:
+        d3, i3 = map(np.asarray, f.knn(qs, 6, min_votes=3))
+    finally:
+        f._packed = None
+    np.testing.assert_allclose(d2, d3, atol=1e-5)
