@@ -50,6 +50,7 @@ from .config import BenchConfig, ForestConfig, RPTreeConfig, rp_tree_cfg
 from .models.forest import RPForest, forest_batch, tree_batch
 from .models.plan import TreePlan, make_plan
 from .streaming import ForestBuilder, forest, tree
+from .tuning import tune
 from .utils.draw import (
     draw,
     knn_write_csv,

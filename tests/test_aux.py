@@ -62,3 +62,30 @@ def test_run_bench_tiny():
     r = run_bench(cfg, seed=3, reps=1)
     assert 0.0 <= r["recall_at_10"] <= 1.0
     assert r["build_s"] > 0 and r["qps"] > 0
+
+
+def test_tune_meets_target():
+    import numpy as np
+
+    import rptree_tpu as rt
+    from rptree_tpu.utils import gen as rgen
+
+    x = np.asarray(rgen.data_batch(4, 3000, rgen.circle2d2), np.float32)
+    f = rt.forest_batch(4, 6, 16, 8, 1.0, x).pack_leaves()
+    q = np.asarray(rgen.data_batch(5, 24, rgen.circle2d2), np.float32)
+    best = rt.tune(f, q, k=5, target_recall=0.8,
+                   budgets=(2, 8), probes_per_tree=(1.0, 2.0))
+    assert best["met"] and best["recall"] >= 0.8
+    assert len(best["frontier"]) == 4
+    # frontier sorted by cost; chosen config is the cheapest meeting one
+    costs = [r["cost"] for r in best["frontier"] if r["recall"] >= 0.8]
+    assert best["cost"] == min(costs)
+
+
+def test_device_time_nonnegative():
+    import jax.numpy as jnp
+
+    import rptree_tpu as rt
+
+    dt = rt.device_time(lambda a: a * 2.0, jnp.ones((64, 64)), reps=3)
+    assert dt >= 0.0
