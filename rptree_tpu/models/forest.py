@@ -400,6 +400,8 @@ class RPForest:
 
     @property
     def dim(self) -> int:
+        if self.x is None:
+            return int(self._packed[0].shape[-1])
         return self.x.dim if isinstance(self.x, EllMatrix) else int(self.x.shape[1])
 
     def levels(self) -> int:
@@ -508,6 +510,21 @@ class RPForest:
             )
         return self
 
+    def drop_dataset(self) -> "RPForest":
+        """Serve-only mode: release the raw dataset and squared norms,
+        keeping just the packed leaf blocks (which contain every point in
+        leaf order).  After this, ``knn``/``knn_h`` keep working on the
+        packed path; ``brute_force_knn``, ``recall_with``, ``points`` and
+        the unpacked query paths raise.  Frees 1x dataset + norms of HBM
+        (the tree-sharded distributed case keeps only T_local trees' blocks
+        per chip)."""
+        if self._packed is None:
+            raise ValueError("pack_leaves() first: the packed blocks are "
+                             "the only remaining copy of the data")
+        self.x = None
+        self.sq_norms = None
+        return self
+
     def knn(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
             dedup: bool = True, precision: str = "highest",
             probes: Optional[int] = None,
@@ -537,6 +554,9 @@ class RPForest:
                                id_leaf, qb, int(k), budget, int(probes),
                                metric, dedup, precision,
                                min_votes=int(min_votes))
+        if self.x is None:
+            raise ValueError("dataset dropped (drop_dataset); only packed-"
+                             "path queries are available")
         return _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
                     budget, metric, dedup, precision,
                     min_votes=int(min_votes))

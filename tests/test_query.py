@@ -222,3 +222,17 @@ def test_min_votes_filter(circle_forest):
     finally:
         f._packed = None
     np.testing.assert_allclose(d2, d3, atol=1e-5)
+
+
+def test_drop_dataset_serve_only():
+    """Serve-only mode keeps packed queries working without the raw data."""
+    x = np.asarray(rgen.data_batch(77, 900, rgen.circle2d2), np.float32)
+    f = forest_batch(77, 5, 10, 4, 1.0, x)
+    q = x[:4]
+    d1, i1 = map(np.asarray, f.knn(q, 5))
+    f.pack_leaves().drop_dataset()
+    d2, i2 = map(np.asarray, f.knn(q, 5))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    assert f.dim == 2
+    with pytest.raises(ValueError):
+        forest_batch(77, 5, 10, 4, 1.0, x).drop_dataset()  # not packed
