@@ -49,7 +49,10 @@ class ForestBuilder:
 
     def __init__(self, seed, max_depth: int, min_leaf: int, n_trees: int,
                  pnz: float, dim: int, chunk_size: int = 0,
-                 periodic_rebuild_every: int = 0):
+                 periodic_rebuild_every: int = 0, mesh=None,
+                 data_parallel: bool = False):
+        self.mesh = mesh
+        self.data_parallel = bool(data_parallel) or mesh is not None
         self.seed = seed
         self.max_depth = int(max_depth)
         self.min_leaf = int(min_leaf)
@@ -101,10 +104,34 @@ class ForestBuilder:
                              "requires a non-empty source, Conduit.hs:52)")
         if self._index is None:
             x = np.concatenate(self._chunks, axis=0)
-            self._index = forest_batch(
-                self.seed, self.max_depth, self.min_leaf, self.n_trees,
-                self.pnz, x, payloads=self._all_payloads(),
-            )
+            if self.data_parallel:
+                # sharded finalize: projections + distributed median
+                # selection run with the accumulated data sharded over
+                # points (rptree_tpu.parallel.data_parallel); pad the tail
+                # chunk so rows divide the shard count
+                from .parallel.data_parallel import (
+                    data_mesh,
+                    forest_batch_data_parallel,
+                )
+
+                mesh = self.mesh if self.mesh is not None else data_mesh()
+                s = int(np.prod(list(mesh.shape.values())))
+                if x.shape[0] % s:
+                    raise ValueError(
+                        f"streamed rows ({x.shape[0]}) must divide the "
+                        f"data-shard count ({s}) for the sharded finalize"
+                    )
+                self._index = forest_batch_data_parallel(
+                    self.seed, self.max_depth, self.min_leaf, self.n_trees,
+                    self.pnz, x, mesh=mesh,
+                )
+                if self._all_payloads() is not None:
+                    self._index.payloads = self._all_payloads()
+            else:
+                self._index = forest_batch(
+                    self.seed, self.max_depth, self.min_leaf, self.n_trees,
+                    self.pnz, x, payloads=self._all_payloads(),
+                )
             object.__setattr__(
                 self._index, "config",
                 ForestConfig(n_trees=self.n_trees, max_depth=self.max_depth,

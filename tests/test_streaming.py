@@ -87,3 +87,25 @@ def test_streaming_oracle_refine_semantics():
     assert rts(t) == n
     d, ids = ref_knn([t], x, np.zeros(2), 5)
     assert d.max() < 1.0
+
+
+def test_streaming_data_parallel_finalize():
+    """Streaming accumulation with the sharded (data-parallel) finalize
+    must equal the single-device streaming build."""
+    import numpy as np
+
+    from rptree_tpu import ForestBuilder
+    from rptree_tpu.parallel.data_parallel import data_mesh
+    from rptree_tpu.utils import gen as rgen
+
+    x = np.asarray(rgen.data_batch(21, 1600, rgen.circle2d2), np.float32)
+    b1 = ForestBuilder(3, 6, 12, 2, 1.0, 2)
+    b2 = ForestBuilder(3, 6, 12, 2, 1.0, 2, mesh=data_mesh(8))
+    for s in range(0, 1600, 400):
+        b1.insert_chunk(x[s:s + 400])
+        b2.insert_chunk(x[s:s + 400])
+    f1, f2 = b1.build(), b2.build()
+    for t in range(2):
+        l1 = [set(b) for b in f1.leaves(t)]
+        l2 = [set(b) for b in f2.leaves(t)]
+        assert sum(a != b for a, b in zip(l1, l2)) == 0
