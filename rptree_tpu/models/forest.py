@@ -131,39 +131,19 @@ def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
                         precision=_prec(precision))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
-                     "precision", "bucket_stop", "min_votes"),
-)
-def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
-                probes, metric, dedup, precision="highest",
-                bucket_stop=False, min_votes=1):
-    """Leaf-blocked forest kNN: semantically the candidate-union +
-    exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
-    unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
-    not bytes (measured: a 1.6M-row gather runs ~50 GB/s while sequential
-    reads are ~10x faster).  Three changes:
+def _select_probes(plan, arrays, q, budget, probes, k=None,
+                   bucket_stop=False):
+    """Traverse and compact the forest's candidate buckets to the
+    ``probes`` lowest-margin-priority leaves per query.
 
-    * candidates are fetched per LEAF, not per point: ``x_leaf`` stores
-      each leaf's points as one contiguous ``[lmax * D]`` row, so a query
-      issues ``probes`` gather indices (~12) instead of ``probes * lmax``
-      (~600) -- the bulk fetch is big contiguous blocks;
-    * the frontier union across trees is compacted to the ``probes``
-      lowest-margin-priority leaves before any fetch (live entries only;
-      exact when ``probes`` >= live leaves, which non-forking traversals
-      cap at T);
-    * squared norms are recomputed from the fetched rows (free on the VPU)
-      and point ids are only gathered for the ``min(C, T*k)`` top-scoring
-      positions -- enough to survive cross-tree dedup, since a point
-      appears at most T times (once per tree).
+    Returns ``(gsel int32[B, P], lsel int32[B, P])``: global block index
+    (tree * n_leaves + leaf; masked entries point at block 0) and leaf id
+    (-1 where masked).  With ``bucket_stop`` the reference knnH cumulative
+    stop rule masks buckets beyond the first ``k`` collected points.
     """
-    lmax = max(plan.max_leaf_len, 1)
-    d_model = q.shape[-1]
     leaf_ids, prio = _traverse_forest(plan, arrays, q, budget)  # [T, B, F]
     t, b, f = leaf_ids.shape
     nl = plan.n_leaves
-    # global (tree, leaf) block index; invalid -> block 0, masked
     gid = leaf_ids + jnp.arange(t, dtype=jnp.int32)[:, None, None] * nl
     gid_bt = jnp.moveaxis(gid, 0, 1).reshape(b, t * f)
     prio_bt = jnp.moveaxis(prio, 0, 1).reshape(b, t * f)
@@ -190,18 +170,29 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
         keep = (csum <= k) | (jnp.arange(probes)[None, :] == 0)
         lsel = jnp.where(keep, lsel, -1)
     gsel = jnp.where(lsel >= 0, gsel, 0)
+    return gsel, lsel
 
-    del d_model
+
+def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
+                  kk, metric, dedup, precision, min_votes=1):
+    """Fetch and exactly score the selected leaf blocks.
+
+    ``rows_sel int32[B, P]``: row index into the (possibly shard-local)
+    block arrays; ``lsel``: leaf ids for occupancy masking (-1 = skip).
+    Returns ``(dists f32[B, k], ids int32[B, k])``.
+    """
+    lmax = max(plan.max_leaf_len, 1)
+    b, probes = rows_sel.shape
     # [B, P, lmax, D] block gather; x_leaf is stored 3-D so no reshape
     # (a [.., lmax*D] -> [.., lmax, D] reshape forces a relayout copy that
     # measured ~15% of the whole query)
-    rows = jnp.take(x_leaf, gsel, axis=0)
+    rows = jnp.take(x_leaf, rows_sel, axis=0)
     dots = jnp.einsum("bpld,bd->bpl", rows, q.astype(rows.dtype),
                       preferred_element_type=jnp.float32,
                       precision=_prec(precision))
     # squared norms precomputed per slot at pack time: a [B, P]-index
     # gather instead of a second full multiply-reduce over the rows
-    sqx = jnp.take(sq_leaf, gsel, axis=0)
+    sqx = jnp.take(sq_leaf, rows_sel, axis=0)
     d = distances_from_dots(dots, sqx, q[:, None], metric)  # [B, P, lmax]
     lens = jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None))
     valid = (lsel >= 0)[..., None] & (
@@ -215,13 +206,38 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     # a per-element id gather afterwards (TPU gathers cost ~7ns per index;
     # the comparator network moves payloads for free).  Ids are fetched as
     # whole leaf blocks with the same [B, P] index pattern as the rows.
-    kk = min(k * t if dedup else k, probes * lmax)
-    ids_blk = jnp.take(id_leaf, gsel, axis=0)  # [B, P, lmax] block gather
+    kk = min(kk, probes * lmax)
+    ids_blk = jnp.take(id_leaf, rows_sel, axis=0)  # [B, P, lmax]
     ids_flat = ids_blk.reshape(b, probes * lmax)
     d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
     d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
     ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
     return merge_top_k(d_top, ids_top, k, dedup=dedup, min_votes=min_votes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
+                     "precision", "bucket_stop", "min_votes"),
+)
+def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
+                probes, metric, dedup, precision="highest",
+                bucket_stop=False, min_votes=1):
+    """Leaf-blocked forest kNN: semantically the candidate-union +
+    exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
+    unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
+    not bytes.  Candidates are fetched per LEAF block (probes gather
+    indices instead of probes * lmax row indices), the bucket union is
+    compacted by margin priority before any fetch, and ids ride the
+    selection sorts as payload operands.  See :func:`_select_probes` and
+    :func:`_score_blocks`.
+    """
+    t = arrays.perm.shape[0]
+    gsel, lsel = _select_probes(plan, arrays, q, budget, probes, k=k,
+                                bucket_stop=bucket_stop)
+    kk = k * t if dedup else k
+    return _score_blocks(plan, x_leaf, sq_leaf, id_leaf, gsel, lsel, q, k,
+                         kk, metric, dedup, precision, min_votes=min_votes)
 
 
 @functools.partial(

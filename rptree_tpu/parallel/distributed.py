@@ -41,6 +41,8 @@ from ..models.forest import (
     _candidate_ids,
     _knn,
     _knn_packed,
+    _score_blocks,
+    _select_probes,
     _traverse_forest,
 )
 from ..ops.rerank import gather_leaf_points, rerank_top_k
@@ -168,6 +170,67 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "plan", "k", "budget", "probes",
+                     "probes_per_shard", "metric", "dedup", "precision"),
+)
+def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
+                           probes_per_shard, metric, dedup, precision):
+    """kNN with the leaf blocks sharded round-robin across the tree axis
+    (per-chip index memory = 1/S of the total).  Every shard traverses the
+    whole (small, replicated) forest structure for its queries, keeps the
+    probes it OWNS (block g lives on shard g % S at row g // S), scores
+    only those, and the cross-shard top-k merge assembles the answer.
+
+    ``probes_per_shard`` bounds each shard's scored buckets; with
+    ``probes_per_shard == probes`` no probe can be dropped (exact); the
+    default ~probes/S + slack trades a rare drop under ownership skew for
+    an S-fold reduction in per-shard scoring work.
+    """
+
+    def block(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l, q_l):
+        n_sh = lax.psum(1, TREE_AXIS)
+        me = lax.axis_index(TREE_AXIS)
+        t = r.shape[0]
+        arrays_small = TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh,
+                                  perm=jnp.zeros((t, 1), jnp.int32))
+        gsel, lsel = _select_probes(plan, arrays_small, q_l, budget, probes)
+        mine = (lsel >= 0) & (gsel % n_sh == me)
+        # keep my highest-priority owned probes (probe slots arrive in
+        # priority order from _select_probes), compacted to the front by a
+        # small payload-carrying sort on the slot position
+        rank = jnp.cumsum(mine.astype(jnp.int32), axis=-1)
+        keep = mine & (rank <= probes_per_shard)
+        m = gsel.shape[-1]
+        key = jnp.where(keep, jnp.arange(m, dtype=jnp.int32)[None, :], m)
+        key_s, g_s, l_s = lax.sort((key, gsel, lsel), num_keys=1)
+        pad_mask = key_s[:, :probes_per_shard] >= m
+        l_s = jnp.where(pad_mask, -1, l_s[:, :probes_per_shard])
+        rows = jnp.where(pad_mask, 0, g_s[:, :probes_per_shard] // n_sh)
+        kk = k * t if dedup else k
+        d_l, i_l = _score_blocks(plan, x_leaf_l, sq_leaf_l, id_leaf_l,
+                                 rows, l_s, q_l, k, kk, metric, dedup,
+                                 precision)
+        d_l, i_l = _pad_k(d_l, i_l, k)
+        d_all = lax.all_gather(d_l, TREE_AXIS)
+        i_all = lax.all_gather(i_l, TREE_AXIS)
+        sh = d_all.shape[0]
+        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], sh * k)
+        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], sh * k)
+        return merge_top_k(d_all, i_all, k, dedup=dedup)
+
+    r, thr, mgl, mgh = small
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(TREE_AXIS), P(TREE_AXIS),
+                  P(TREE_AXIS), P(QUERY_AXIS)),
+        out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
+        check_vma=False,
+    )(r, thr, mgl, mgh, *packed, q)
+
+
+@functools.partial(
     jax.jit, static_argnames=("mesh", "plan", "k", "budget", "metric")
 )
 def _dist_recall(mesh, plan, arrays, x, sq_norms, q, k, budget, metric):
@@ -246,28 +309,77 @@ class DistributedForest(RPForest):
                                                 qb.dtype)], axis=0)
         return qb, b
 
-    def pack_leaves(self) -> "DistributedForest":
-        """Leaf-blocked packing, sharded over the tree axis (each shard
-        holds its tree group's blocks)."""
+    def pack_leaves(self, dtype=None,
+                    shard_by: str = "tree") -> "DistributedForest":
+        """Leaf-blocked packing, sharded over the tree axis.
+
+        ``shard_by="tree"``: each shard holds its tree group's blocks
+        (per-chip memory ~ T_local x dataset).  ``shard_by="leaf"``: blocks
+        are distributed round-robin by global block id (block g on shard
+        g % S at row g // S) -- per-chip memory is 1/S of the TOTAL index,
+        below one dataset copy, and every shard serves the probes it owns.
+        """
         if self._packed is None:
-            super().pack_leaves()
-            if self._packed is not None:
+            super().pack_leaves(dtype=dtype)
+            if self._packed is None:
+                return self
+            if shard_by == "tree":
                 sh = NamedSharding(self.mesh, P(TREE_AXIS))
                 self._packed = tuple(
                     jax.device_put(a, sh) for a in self._packed
                 )
+                self._packed_mode = "tree"
+                return self
+            if shard_by != "leaf":
+                raise ValueError("shard_by must be 'tree' or 'leaf'")
+            n_sh = self.mesh.shape[TREE_AXIS]
+            x_leaf, sq_leaf, id_leaf = self._packed
+            g = x_leaf.shape[0]
+            pad = (-g) % n_sh
+            idx = np.arange(g + pad)
+            rr = np.concatenate([idx[s::n_sh] for s in range(n_sh)])
+            rr = np.clip(rr, 0, g - 1).astype(np.int32)
+            pad_row = rr >= g if pad else np.zeros_like(rr, bool)
+            sh = NamedSharding(self.mesh, P(TREE_AXIS))
+            x_rr = jax.device_put(jnp.take(x_leaf, jnp.asarray(rr), axis=0), sh)
+            sq_rr = jax.device_put(jnp.take(sq_leaf, jnp.asarray(rr), axis=0), sh)
+            il = jnp.take(id_leaf, jnp.asarray(rr), axis=0)
+            il = jnp.where(jnp.asarray(pad_row)[:, None], -1, il)
+            il_rr = jax.device_put(il, sh)
+            self._packed = (x_rr, sq_rr, il_rr)
+            repl = NamedSharding(self.mesh, P())
+            self._small = tuple(
+                jax.device_put(a, repl)
+                for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,
+                          self.arrays.mgh)
+            )
+            self._packed_mode = "leaf"
         return self
 
     def knn(self, q, k: int, metric: str = "l2",
             budget: Optional[int] = None, dedup: bool = True,
-            precision: str = "highest", probes: Optional[int] = None):
+            precision: str = "highest", probes: Optional[int] = None,
+            probes_per_shard: Optional[int] = None):
         from ..models.forest import _as_dense_queries
 
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
         budget = self._budget(budget)
+        n_sh = self.mesh.shape[TREE_AXIS]
+        if getattr(self, "_packed_mode", None) == "leaf":
+            if probes is None:
+                probes = self.n_trees * budget  # global cap here
+            if probes_per_shard is None:
+                # exact by default: a shard can own every probe
+                probes_per_shard = int(probes)
+            d, i = _dist_knn_leaf_sharded(
+                self.mesh, self.plan, self._small, self._packed, qb, int(k),
+                budget, int(probes), int(probes_per_shard), metric, dedup,
+                precision,
+            )
+            return d[:b], i[:b]
         if probes is None:
             # per-shard probe cap: local trees x budget = exact
-            probes = (self.n_trees // self.mesh.shape[TREE_AXIS]) * budget
+            probes = (self.n_trees // n_sh) * budget
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
                          self.sq_norms, qb, int(k), budget, int(probes),
                          metric, dedup, "flat", precision, self._packed)

@@ -147,3 +147,22 @@ def test_sharded_packed_knn_matches_single_device(single, queries, data):
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
     for b in range(queries.shape[0]):
         assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
+def test_leaf_sharded_packed_knn_matches_single_device(single, queries, data):
+    """Leaf-sharded blocks (1/S of the index per chip): with the exact
+    per-shard probe quota, results must match the single-device path."""
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    ).pack_leaves(shard_by="leaf")
+    k = 10
+    d1, i1 = single.knn(queries, k, budget=16)
+    d2, i2 = dist.knn(queries, k, budget=16)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    for b in range(queries.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+    # quota mode: per-shard cap trades exactness for S-fold less scoring;
+    # top-1 must still be found on this easy workload
+    d3, i3 = dist.knn(queries, k, budget=16,
+                      probes_per_shard=max(2, (T * 16) // 8))
+    assert np.all(np.asarray(i3)[:, 0] == np.asarray(i1)[:, 0])
