@@ -33,11 +33,9 @@ from jax import lax
 from ..config import ForestConfig
 from ..ops.build import TreeArrays, build_forest_arrays
 from ..ops.rerank import (
-    candidate_distances,
     dedup_ids,
     distances_from_dots,
     gather_leaf_points,
-    leaf_positions,
     merge_top_k,
     rerank_top_k,
 )
@@ -77,6 +75,8 @@ def _as_dense_queries(q, dim: int) -> jax.Array:
     q = jnp.asarray(q, dtype=jnp.float32)
     if q.ndim == 1:
         q = q[None, :]
+    if q.ndim != 2 or q.shape[0] == 0:
+        raise ValueError(f"queries must be [B>=1, dim], got shape {q.shape}")
     if q.shape[-1] != dim:
         raise ValueError(f"query dim {q.shape[-1]} != index dim {dim}")
     return q
@@ -468,6 +468,13 @@ class RPForest:
             budget = min(self.plan.n_leaves, DEFAULT_BUDGET)
         return max(1, min(int(budget), self.plan.n_leaves))
 
+    @staticmethod
+    def _check_k(k) -> int:
+        k = int(k)
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        return k
+
     def pack_leaves(self, dtype=None) -> "RPForest":
         """Precompute leaf-blocked copies of the dataset: ``x_leaf
         [T * n_leaves, lmax * D]`` holds each leaf's points contiguously
@@ -560,6 +567,7 @@ class RPForest:
         many trees -- the voting filter of Hyvonen et al. 2016 (the cited
         algorithm's full form; the reference library unions only).
         """
+        k = self._check_k(k)
         qb = _as_dense_queries(q, self.dim)
         budget = self._budget(budget)
         if self._packed is not None:
@@ -590,6 +598,7 @@ class RPForest:
         After :meth:`pack_leaves` this runs on the leaf-blocked fast path
         (the bucket stop rule becomes a mask over the priority-ordered
         probe window)."""
+        k = self._check_k(k)
         qb = _as_dense_queries(q, self.dim)
         budget = self._budget(budget)
         if self._packed is not None:

@@ -26,7 +26,7 @@ not required at reference scale (SURVEY.md section 7 "Cross-shard median").
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +45,9 @@ from ..models.forest import (
     _select_probes,
     _traverse_forest,
 )
-from ..ops.rerank import gather_leaf_points, rerank_top_k
-from ..models.plan import TreePlan, make_plan
+from ..models.plan import make_plan
 from ..ops.build import TreeArrays, build_forest_arrays
-from ..ops.rerank import merge_top_k
+from ..ops.rerank import gather_leaf_points, merge_top_k, rerank_top_k
 from ..utils import gen as rgen
 from .mesh import QUERY_AXIS, TREE_AXIS, forest_mesh
 
