@@ -14,6 +14,7 @@ from .distributed import (
 )
 from .data_parallel import (
     DATA_AXIS,
+    brute_force_knn_sharded,
     data_mesh,
     forest_batch_data_parallel,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "DATA_AXIS",
     "QUERY_AXIS",
     "TREE_AXIS",
+    "brute_force_knn_sharded",
     "data_mesh",
     "forest_batch_data_parallel",
     "forest_mesh",

@@ -47,7 +47,8 @@ from ..models.plan import TreePlan, make_plan
 from ..ops.build import TreeArrays
 from ..utils import gen as rgen
 
-__all__ = ["forest_batch_data_parallel", "DATA_AXIS", "data_mesh"]
+__all__ = ["forest_batch_data_parallel", "brute_force_knn_sharded",
+           "DATA_AXIS", "data_mesh"]
 
 DATA_AXIS = "data"
 
@@ -287,3 +288,50 @@ def forest_batch_data_parallel(
     cfg = ForestConfig(n_trees=n_trees, max_depth=max_depth,
                        min_leaf=min_leaf, proj_nz_density=pnz, dim=dim)
     return RPForest(plan, arrays, x, sq, cfg, payloads=payloads, seed=seed)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "metric"))
+def _bf_sharded(mesh, x, sq, q, k, metric):
+    from ..models.forest import _brute_force
+
+    def block(x_l, sq_l, q_l):
+        n_l = x_l.shape[0]
+        d_l, i_l = _brute_force(x_l, sq_l, q_l, k, metric)
+        i_l = jnp.where(i_l >= 0,
+                        i_l + lax.axis_index(DATA_AXIS) * n_l, -1)
+        d_all = lax.all_gather(d_l, DATA_AXIS)   # [S, B, k]
+        i_all = lax.all_gather(i_l, DATA_AXIS)
+        s_ = d_all.shape[0]
+        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], s_ * k)
+        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s_ * k)
+        dd, ii = lax.sort((d_all, i_all), num_keys=1)
+        return dd[:, :k], ii[:, :k]
+
+    return jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(x, sq, q)
+
+
+def brute_force_knn_sharded(data, q, k: int, metric: str = "l2",
+                            mesh: Optional[Mesh] = None):
+    """Exact kNN with the dataset sharded over points: each shard scans its
+    rows (streaming chunked GEMM + running top-k), local ids are offset to
+    global, and an all_gather + re-top-k merges -- exact ground truth for
+    datasets beyond one chip's HBM (the eval story for sharded builds).
+    ``len(data)`` must divide the shard count."""
+    if mesh is None:
+        mesh = data_mesh()
+    n_sh = mesh.shape[DATA_AXIS]
+    x = jnp.asarray(data, dtype=jnp.float32)
+    if x.shape[0] % n_sh:
+        raise ValueError(f"N={x.shape[0]} not divisible by {n_sh} shards")
+    xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+    sq = jnp.sum(xs * xs, axis=-1)
+    qb = jnp.asarray(q, dtype=jnp.float32)
+    if qb.ndim == 1:
+        qb = qb[None]
+    qb = jax.device_put(qb, NamedSharding(mesh, P()))
+    return _bf_sharded(mesh, xs, sq, qb, int(k), metric)

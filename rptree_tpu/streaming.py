@@ -73,7 +73,12 @@ class ForestBuilder:
 
     def insert_chunk(self, chunk, payloads: Optional[Sequence] = None):
         """Fold one data chunk into the builder (reference ``insertC``,
-        Conduit.hs:79-91)."""
+        Conduit.hs:79-91).  Chunks are transferred to the device eagerly
+        and asynchronously, overlapping host->device uploads with the
+        source's own ingest work instead of paying one large transfer at
+        finalize."""
+        import jax
+
         c = np.asarray(chunk, dtype=np.float32)
         if c.ndim == 1:
             c = c[None, :]
@@ -81,6 +86,10 @@ class ForestBuilder:
             raise ValueError(f"chunk dim {c.shape[1]} != builder dim {self.dim}")
         if payloads is not None and len(payloads) != c.shape[0]:
             raise ValueError("payloads length != chunk length")
+        try:
+            c = jax.device_put(c)  # async; jnp.concatenate at build time
+        except Exception:
+            pass  # keep the host copy if the device is unavailable
         self._chunks.append(c)
         self._payloads.append(list(payloads) if payloads is not None else None)
         self._n += c.shape[0]
@@ -103,7 +112,10 @@ class ForestBuilder:
             raise ValueError("streaming source was empty (the reference "
                              "requires a non-empty source, Conduit.hs:52)")
         if self._index is None:
-            x = np.concatenate(self._chunks, axis=0)
+            import jax.numpy as jnp
+
+            x = jnp.concatenate([jnp.asarray(c) for c in self._chunks],
+                                axis=0)
             if self.data_parallel:
                 # sharded finalize: projections + distributed median
                 # selection run with the accumulated data sharded over

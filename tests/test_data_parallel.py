@@ -75,3 +75,17 @@ def test_single_leaf_plan(data):
                                    mesh=data_mesh(8))
     assert f.tree_size() == 800
     assert f.plan.n_leaves == 1
+
+
+def test_sharded_brute_force_matches_single(data):
+    from rptree_tpu.parallel import brute_force_knn_sharded
+
+    q = data[:7] + 0.01
+    d2, i2 = map(np.asarray,
+                 brute_force_knn_sharded(data, q, 9, mesh=data_mesh(8)))
+    import rptree_tpu as rt
+    f = rt.forest_batch(1, 3, 8, 1, 1.0, data)
+    d1, i1 = map(np.asarray, f.brute_force_knn(q, 9))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(7):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
