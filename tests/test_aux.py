@@ -89,3 +89,17 @@ def test_device_time_nonnegative():
 
     dt = rt.device_time(lambda a: a * 2.0, jnp.ones((64, 64)), reps=3)
     assert dt >= 0.0
+
+
+def test_example_pipeline_runs(capsys):
+    import runpy
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["sift_pipeline.py"]
+    try:
+        runpy.run_path("examples/sift_pipeline.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "recall@10=" in out and "served" in out
