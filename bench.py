@@ -34,8 +34,9 @@ def main():
     #                this is recall-equivalent to the reference's unbounded
     #                descent (verified: equal recall at budget 4..32)
     PROBES = 12    # leaf buckets reranked per query (live leaves ~T+forks)
-    B = 16384      # total query batch
-    CHUNK = 2048   # queries per device call (bounds rerank memory)
+    B = 32768      # total query batch (throughput measurement; amortizes
+    #                the tunneled backend's ~25ms host round-trip)
+    CHUNK = 4096   # queries per device call (bounds rerank memory ~1.2GB)
     SEED = 20260816
 
     rng = np.random.default_rng(SEED)
