@@ -404,7 +404,9 @@ class RPForest:
         self.config = config
         self.payloads = payloads
         self.seed = seed
-        self._packed = None  # (x_perm [T, n, D], sq_perm [T, n]) or None
+        self._packed = None  # leaf-blocked arrays (pack_leaves) or None
+        self._pending = []   # freshness buffer chunks (add/rebuild)
+        self._pending_payloads = []
 
     # -- basic accessors (reference Internal.hs:198-208, RPTree.hs:351-367) --
 
@@ -536,6 +538,87 @@ class RPForest:
             self._packed = (rows, sq, ids)
         return self
 
+    # -- incremental updates (freshness layer) -------------------------------
+
+    def add(self, points, payloads: Optional[Sequence] = None,
+            rebuild_every: int = 0) -> "RPForest":
+        """Insert new points online (the reference's streaming ``insert``,
+        ``Internal.hs:257-297``, whose chunk-wise re-splits this replaces).
+
+        TPU-native design: new points land in a brute-force-scanned pending
+        buffer that queries merge with the forest's results exactly (the
+        standard freshness-layer recipe); :meth:`rebuild` folds the buffer
+        into a fresh index.  ``rebuild_every > 0`` triggers an automatic
+        rebuild when the buffer reaches that many points.
+        """
+        if self.x is None:
+            raise ValueError("cannot add to a serve-only forest "
+                             "(drop_dataset was called)")
+        p = jnp.asarray(points, dtype=jnp.float32)
+        if p.ndim == 1:
+            p = p[None, :]
+        if p.shape[-1] != self.dim:
+            raise ValueError(f"point dim {p.shape[-1]} != index dim {self.dim}")
+        if payloads is not None and len(payloads) != p.shape[0]:
+            raise ValueError("payloads length != points length")
+        if getattr(self, "_pending", None) is None:
+            self._pending = []
+            self._pending_payloads = []
+        self._pending.append(p)
+        self._pending_payloads.append(
+            list(payloads) if payloads is not None
+            else [None] * p.shape[0]
+        )
+        if rebuild_every and self.n_pending >= rebuild_every:
+            self.rebuild()
+        return self
+
+    @property
+    def n_pending(self) -> int:
+        return sum(int(c.shape[0]) for c in getattr(self, "_pending", None) or [])
+
+    def rebuild(self) -> "RPForest":
+        """Fold pending points into a fresh index (same seed and
+        construction parameters; the plan adapts to the new size)."""
+        if not getattr(self, "_pending", None):
+            return self
+        from .forest import forest_batch  # self-import safe at runtime
+
+        x_all = jnp.concatenate([jnp.asarray(self.points())]
+                                + self._pending, axis=0)
+        old_payloads = (list(self.payloads) if self.payloads is not None
+                        else [None] * self.plan.n)
+        new_payloads = old_payloads + sum(self._pending_payloads, [])
+        cfg = self.config
+        fresh = forest_batch(self.seed, cfg.max_depth, cfg.min_leaf,
+                             cfg.n_trees, cfg.proj_nz_density, x_all,
+                             payloads=(None if all(p is None
+                                                   for p in new_payloads)
+                                       else new_payloads))
+        self.plan = fresh.plan
+        self.arrays = fresh.arrays
+        self.x = fresh.x
+        self.sq_norms = fresh.sq_norms
+        self.payloads = fresh.payloads
+        self._pending = []
+        self._pending_payloads = []
+        if self._packed is not None:
+            self._packed = None
+            self.pack_leaves()
+        return self
+
+    def _merge_pending(self, qb, d, ids, k, metric, precision):
+        """Exact brute-force scan of the pending buffer, merged with the
+        forest's results (pending ids continue after the indexed points)."""
+        xp = jnp.concatenate(self._pending, axis=0)
+        sqp = jnp.sum(xp * xp, axis=-1)
+        dp, ip = _brute_force(xp, sqp, qb, min(k, xp.shape[0]), metric,
+                              precision)
+        ip = jnp.where(ip >= 0, ip + self.plan.n, -1)
+        d_all = jnp.concatenate([d, dp], axis=-1)
+        i_all = jnp.concatenate([ids, ip], axis=-1)
+        return merge_top_k(d_all, i_all, k, dedup=False)
+
     def drop_dataset(self) -> "RPForest":
         """Serve-only mode: release the raw dataset and squared norms,
         keeping just the packed leaf blocks (which contain every point in
@@ -577,16 +660,24 @@ class RPForest:
             x_leaf, sq_leaf, id_leaf = self._packed
             if probes is None:
                 probes = self.n_trees * budget
-            return _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
-                               id_leaf, qb, int(k), budget, int(probes),
-                               metric, dedup, precision,
-                               min_votes=int(min_votes))
+            out = _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
+                              id_leaf, qb, int(k), budget, int(probes),
+                              metric, dedup, precision,
+                              min_votes=int(min_votes))
+            if getattr(self, "_pending", None):
+                out = self._merge_pending(qb, out[0], out[1], int(k),
+                                          metric, precision)
+            return out
         if self.x is None:
             raise ValueError("dataset dropped (drop_dataset); only packed-"
                              "path queries are available")
-        return _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
-                    budget, metric, dedup, precision,
-                    min_votes=int(min_votes))
+        out = _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
+                   budget, metric, dedup, precision,
+                   min_votes=int(min_votes))
+        if getattr(self, "_pending", None):
+            out = self._merge_pending(qb, out[0], out[1], int(k), metric,
+                                      precision)
+        return out
 
     def knn_pq(self, q, k: int, metric: str = "l2",
                budget: Optional[int] = None, precision: str = "highest"):
@@ -638,11 +729,24 @@ class RPForest:
                             precision)
 
     def payload_of(self, ids) -> list:
-        """Resolve row ids to payloads (None where id < 0 or no payloads)."""
+        """Resolve row ids to payloads (None where id < 0 or no payloads).
+        Ids past the indexed points resolve into the pending (freshness)
+        buffer's payloads."""
         ids = np.asarray(ids)
-        if self.payloads is None:
-            return [None if i < 0 else int(i) for i in ids.reshape(-1)]
-        return [None if i < 0 else self.payloads[int(i)] for i in ids.reshape(-1)]
+        pending = sum(getattr(self, "_pending_payloads", None) or [], [])
+
+        def one(i):
+            i = int(i)
+            if i < 0:
+                return None
+            if i >= self.plan.n:
+                j = i - self.plan.n
+                return pending[j] if j < len(pending) else None
+            if self.payloads is None:
+                return i
+            return self.payloads[i]
+
+        return [one(i) for i in ids.reshape(-1)]
 
     def __repr__(self):
         return (f"RPForest(trees={self.n_trees}, n={self.n_points}, "

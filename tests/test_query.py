@@ -236,3 +236,30 @@ def test_drop_dataset_serve_only():
     assert f.dim == 2
     with pytest.raises(ValueError):
         forest_batch(77, 5, 10, 4, 1.0, x).drop_dataset()  # not packed
+
+
+def test_add_and_rebuild_freshness():
+    """Online insert: pending points are exactly searchable immediately
+    (freshness layer) and fold into the index on rebuild -- the TPU-native
+    form of the reference's streaming insert (Internal.hs:257-297)."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(500, 8)).astype(np.float32)
+    f = forest_batch(2, 5, 8, 3, 1.0, x, payloads=[f"p{i}" for i in range(500)])
+    new = rng.normal(size=(30, 8)).astype(np.float32) + 6.0
+    f.add(new, payloads=[f"n{i}" for i in range(30)])
+    q = new[:4] + 0.01
+    _, ids = map(np.asarray, f.knn(q, 3))
+    assert (ids[:, 0] >= 500).all()          # freshest points win
+    assert f.payload_of(ids[:1, :1])[0].startswith("n")  # pending payloads
+    f.rebuild()
+    assert f.tree_size() == 530 and f.n_pending == 0
+    _, ids2 = map(np.asarray, f.knn(q, 3))
+    assert all(f.payload_of([i])[0].startswith("n") for i in ids2[:, 0])
+    # auto-rebuild threshold
+    f.add(new[:5], rebuild_every=4)
+    assert f.n_pending == 0 and f.tree_size() == 535
+    # packed path merges pending too
+    f.pack_leaves()
+    f.add(new[:2] + 10.0)
+    _, ids3 = map(np.asarray, f.knn(new[:1] + 10.0, 1))
+    assert ids3[0, 0] >= 535
