@@ -407,6 +407,7 @@ class RPForest:
         self._packed = None  # leaf-blocked arrays (pack_leaves) or None
         self._pending = []   # freshness buffer chunks (add/rebuild)
         self._pending_payloads = []
+        self._deleted = None  # bool[n] tombstones (remove/rebuild) or None
 
     # -- basic accessors (reference Internal.hs:198-208, RPTree.hs:351-367) --
 
@@ -573,21 +574,52 @@ class RPForest:
             self.rebuild()
         return self
 
+    def remove(self, ids) -> "RPForest":
+        """Delete points by id (tombstones): removed points stop appearing
+        in query results immediately; :meth:`rebuild` purges them from the
+        index.  The reference has no delete (its trees are immutable); this
+        completes the online-update surface alongside :meth:`add`."""
+        ids = np.asarray(ids).reshape(-1)
+        if self._deleted is None:
+            self._deleted = np.zeros(self.plan.n, dtype=bool)
+        in_range = (ids >= 0) & (ids < self.plan.n)
+        self._deleted[ids[in_range]] = True
+        self._deleted_dev = jnp.asarray(self._deleted)
+        return self
+
+    @property
+    def n_deleted(self) -> int:
+        return int(self._deleted.sum()) if self._deleted is not None else 0
+
+    def _mask_deleted(self, d, ids, k):
+        """Drop tombstoned ids from a (dists, ids) result and re-select."""
+        dead = jnp.take(self._deleted_dev, jnp.clip(ids, 0, None)) & (ids >= 0)
+        d = jnp.where(dead, jnp.inf, d)
+        ids = jnp.where(dead, -1, ids)
+        return merge_top_k(d, ids, k, dedup=False)
+
     @property
     def n_pending(self) -> int:
         return sum(int(c.shape[0]) for c in getattr(self, "_pending", None) or [])
 
     def rebuild(self) -> "RPForest":
-        """Fold pending points into a fresh index (same seed and
-        construction parameters; the plan adapts to the new size)."""
-        if not getattr(self, "_pending", None):
+        """Fold pending points into (and purge deletions from) a fresh
+        index (same seed and construction parameters; the plan adapts to
+        the new size).  NOTE: ids are row indices of the current index, so
+        a rebuild that purges deletions renumbers them; payloads follow
+        the points."""
+        if not getattr(self, "_pending", None) and self.n_deleted == 0:
             return self
         from .forest import forest_batch  # self-import safe at runtime
 
-        x_all = jnp.concatenate([jnp.asarray(self.points())]
-                                + self._pending, axis=0)
+        x_old = jnp.asarray(self.points())
         old_payloads = (list(self.payloads) if self.payloads is not None
                         else [None] * self.plan.n)
+        if self._deleted is not None and self._deleted.any():
+            keep = ~self._deleted
+            x_old = x_old[jnp.asarray(keep)]
+            old_payloads = [p for p, kp in zip(old_payloads, keep) if kp]
+        x_all = jnp.concatenate([x_old] + self._pending, axis=0)
         new_payloads = old_payloads + sum(self._pending_payloads, [])
         cfg = self.config
         fresh = forest_batch(self.seed, cfg.max_depth, cfg.min_leaf,
@@ -602,6 +634,7 @@ class RPForest:
         self.payloads = fresh.payloads
         self._pending = []
         self._pending_payloads = []
+        self._deleted = None
         if self._packed is not None:
             self._packed = None
             self.pack_leaves()
@@ -664,6 +697,8 @@ class RPForest:
                               id_leaf, qb, int(k), budget, int(probes),
                               metric, dedup, precision,
                               min_votes=int(min_votes))
+            if self._deleted is not None:
+                out = self._mask_deleted(out[0], out[1], int(k))
             if getattr(self, "_pending", None):
                 out = self._merge_pending(qb, out[0], out[1], int(k),
                                           metric, precision)
@@ -674,6 +709,8 @@ class RPForest:
         out = _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
                    budget, metric, dedup, precision,
                    min_votes=int(min_votes))
+        if self._deleted is not None:
+            out = self._mask_deleted(out[0], out[1], int(k))
         if getattr(self, "_pending", None):
             out = self._merge_pending(qb, out[0], out[1], int(k), metric,
                                       precision)

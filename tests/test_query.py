@@ -263,3 +263,24 @@ def test_add_and_rebuild_freshness():
     f.add(new[:2] + 10.0)
     _, ids3 = map(np.asarray, f.knn(new[:1] + 10.0, 1))
     assert ids3[0, 0] >= 535
+
+
+def test_remove_tombstones_and_purge():
+    """Deletions take effect immediately (tombstones) and purge on rebuild,
+    renumbering ids; payloads follow their points."""
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(400, 8)).astype(np.float32)
+    f = forest_batch(4, 5, 8, 3, 1.0, x,
+                     payloads=[f"p{i}" for i in range(400)])
+    q = x[:3] + 1e-3
+    _, i0 = map(np.asarray, f.knn(q, 1))
+    assert (i0[:, 0] == np.arange(3)).all()
+    f.remove([0, 1, 2])
+    _, i1 = map(np.asarray, f.knn(q, 2))
+    assert not set(i1.reshape(-1).tolist()) & {0, 1, 2}
+    f.rebuild()
+    assert f.tree_size() == 397
+    _, i2 = map(np.asarray, f.knn(q, 1))
+    # original point 3 is now row 0; payload identity is preserved
+    assert f.payload_of(i2[:1, 0]) != ["p0"]
+    assert all(p.startswith("p") for p in f.payload_of(i2[:, 0]))
