@@ -39,6 +39,14 @@ __all__ = ["save_forest", "load_forest", "serialise_rp_forest",
 _FORMAT_VERSION = 1
 
 
+def _check_clean(forest: RPForest):
+    if getattr(forest, "_pending", None) or getattr(forest, "n_deleted", 0):
+        raise ValueError(
+            "forest has pending inserts or tombstoned deletions; call "
+            "rebuild() before serialising so the checkpoint is complete"
+        )
+
+
 def _header(forest: RPForest) -> dict:
     return {
         "format_version": _FORMAT_VERSION,
@@ -115,6 +123,7 @@ def _unpack(header: dict, z) -> RPForest:
 def save_forest(path: str, forest: RPForest) -> None:
     """Save the whole forest index (arrays + dataset + payloads) to one
     npz file with a JSON header."""
+    _check_clean(forest)
     arrs = _pack(forest)
     arrs["header"] = np.frombuffer(
         json.dumps(_header(forest)).encode(), dtype=np.uint8
@@ -138,6 +147,7 @@ def serialise_rp_forest(forest: RPForest) -> List[bytes]:
     Internal.hs:185-188).  Each blob embeds the dataset, mirroring the
     reference where leaf data lives inside every serialized tree; prefer
     :func:`save_forest` to store the dataset once."""
+    _check_clean(forest)
     out = []
     for t in range(forest.n_trees):
         header = _header(forest)
