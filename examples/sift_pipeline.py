@@ -30,9 +30,12 @@ def main(base=None, query=None, gt=None, n_trees=8, k=10,
     import rptree_tpu as rp
 
     if base is None:
-        print("no dataset given; generating synthetic (n=20k, d=64)")
+        import os
+
+        n_syn = int(os.environ.get("RPTREE_EXAMPLE_N", 20_000))
+        print(f"no dataset given; generating synthetic (n={n_syn}, d=64)")
         rng = np.random.default_rng(7)
-        xb = rng.normal(size=(20_000, 64)).astype(np.float32)
+        xb = rng.normal(size=(n_syn, 64)).astype(np.float32)
         xq = (xb[rng.integers(0, len(xb), 256)]
               + 0.05 * rng.normal(size=(256, 64)).astype(np.float32))
         gt_ids = None

@@ -176,7 +176,8 @@ def _select_probes(plan, arrays, q, budget, probes, k=None,
 
 
 def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
-                  kk, metric, dedup, precision, min_votes=1):
+                  kk, metric, dedup, precision, min_votes=1,
+                  block_scale=None):
     """Fetch and exactly score the selected leaf blocks.
 
     ``rows_sel int32[B, P]``: row index into the (possibly shard-local)
@@ -189,9 +190,23 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
     # (a [.., lmax*D] -> [.., lmax, D] reshape forces a relayout copy that
     # measured ~15% of the whole query)
     rows = jnp.take(x_leaf, rows_sel, axis=0)
-    dots = jnp.einsum("bpld,bd->bpl", rows, q.astype(rows.dtype),
-                      preferred_element_type=jnp.float32,
-                      precision=_prec(precision))
+    if rows.dtype == jnp.int8:
+        # quantized blocks: per-leaf scales stored alongside; the query is
+        # symmetrically quantized per row, dots accumulate in int32 on the
+        # MXU, and the stored squared norms stay EXACT f32 -- only the
+        # cross term of |x|^2 - 2 x.q + |q|^2 carries quantization error
+        qmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+        qscale = jnp.maximum(qmax, 1e-30) / 127.0
+        q_i8 = jnp.clip(jnp.round(q / qscale), -127, 127).astype(jnp.int8)
+        dots_i = jnp.einsum("bpld,bd->bpl", rows, q_i8,
+                            preferred_element_type=jnp.int32)
+        bscale = jnp.take(block_scale, rows_sel, axis=0)  # [B, P]
+        dots = (dots_i.astype(jnp.float32)
+                * bscale[..., None] * qscale[:, None])
+    else:
+        dots = jnp.einsum("bpld,bd->bpl", rows, q.astype(rows.dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=_prec(precision))
     # squared norms precomputed per slot at pack time: a [B, P]-index
     # gather instead of a second full multiply-reduce over the rows
     sqx = jnp.take(sq_leaf, rows_sel, axis=0)
@@ -224,7 +239,7 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
 )
 def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                 probes, metric, dedup, precision="highest",
-                bucket_stop=False, min_votes=1):
+                bucket_stop=False, min_votes=1, block_scale=None):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -239,7 +254,8 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                                 bucket_stop=bucket_stop)
     kk = k * t if dedup else k
     return _score_blocks(plan, x_leaf, sq_leaf, id_leaf, gsel, lsel, q, k,
-                         kk, metric, dedup, precision, min_votes=min_votes)
+                         kk, metric, dedup, precision, min_votes=min_votes,
+                         block_scale=block_scale)
 
 
 @functools.partial(
@@ -515,7 +531,14 @@ class RPForest:
             rows, ids = jax.vmap(per_tree)(self.arrays.perm)
             nl, d = plan.n_leaves, self.dim
             sq = jnp.sum(rows * rows, axis=-1)  # f32, before any downcast
-            if dtype is not None:
+            scale = None
+            if dtype is not None and jnp.dtype(dtype) == jnp.int8:
+                amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
+                scale = jnp.maximum(amax, 1e-30) / 127.0  # per leaf block
+                rows = jnp.clip(jnp.round(rows / scale), -127, 127
+                                ).astype(jnp.int8)
+                scale = scale.reshape(self.n_trees * nl)
+            elif dtype is not None:
                 rows = rows.astype(dtype)
             rows = rows.reshape(self.n_trees * nl, lmax, d)
             sq = sq.reshape(self.n_trees * nl, lmax)
@@ -537,6 +560,7 @@ class RPForest:
             except Exception:  # backends without explicit-layout support
                 pass
             self._packed = (rows, sq, ids)
+            self._block_scale = scale
         return self
 
     # -- incremental updates (freshness layer) -------------------------------
@@ -696,7 +720,8 @@ class RPForest:
             out = _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
                               id_leaf, qb, int(k), budget, int(probes),
                               metric, dedup, precision,
-                              min_votes=int(min_votes))
+                              min_votes=int(min_votes),
+                              block_scale=getattr(self, "_block_scale", None))
             if self._deleted is not None:
                 out = self._mask_deleted(out[0], out[1], int(k))
             if getattr(self, "_pending", None):
@@ -738,7 +763,8 @@ class RPForest:
                 probes = self.n_trees * budget
             return _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
                                id_leaf, qb, int(k), budget, int(probes),
-                               metric, dedup, precision, bucket_stop=True)
+                               metric, dedup, precision, bucket_stop=True,
+                               block_scale=getattr(self, "_block_scale", None))
         return _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
                       budget, metric, dedup, precision)
 

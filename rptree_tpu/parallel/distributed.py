@@ -318,6 +318,11 @@ class DistributedForest(RPForest):
         g % S at row g // S) -- per-chip memory is 1/S of the TOTAL index,
         below one dataset copy, and every shard serves the probes it owns.
         """
+        if dtype is not None and jnp.dtype(dtype) == jnp.int8:
+            raise NotImplementedError(
+                "int8 blocks are single-device for now (per-leaf scales "
+                "are not threaded through the sharded query paths)"
+            )
         if self._packed is None:
             super().pack_leaves(dtype=dtype)
             if self._packed is None:

@@ -91,10 +91,11 @@ def test_device_time_nonnegative():
     assert dt >= 0.0
 
 
-def test_example_pipeline_runs(capsys):
+def test_example_pipeline_runs(capsys, monkeypatch):
     import runpy
     import sys
 
+    monkeypatch.setenv("RPTREE_EXAMPLE_N", "4000")
     argv = sys.argv
     sys.argv = ["sift_pipeline.py"]
     try:

@@ -284,3 +284,22 @@ def test_remove_tombstones_and_purge():
     # original point 3 is now row 0; payload identity is preserved
     assert f.payload_of(i2[:1, 0]) != ["p0"]
     assert all(p.startswith("p") for p in f.payload_of(i2[:, 0]))
+
+
+def test_packed_int8_preserves_neighbours():
+    """int8 blocks (per-leaf scales, exact stored norms): 4x less fetch
+    than f32; neighbour sets must stay essentially intact."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2000, 32)).astype(np.float32)
+    f = forest_batch(5, 6, 16, 6, 1.0, x)
+    q = x[:16] + 0.02
+    d1, i1 = map(np.asarray, f.knn(q, 8))
+    f.pack_leaves(dtype=jnp.int8)
+    d2, i2 = map(np.asarray, f.knn(q, 8))
+    overlap = np.mean([len(set(i1[b].tolist()) & set(i2[b].tolist())) / 8
+                       for b in range(16)])
+    assert overlap >= 0.9
+    same = i1 == i2
+    np.testing.assert_allclose(d1[same], d2[same], atol=0.5)
