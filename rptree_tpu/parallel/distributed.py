@@ -140,10 +140,11 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
         if variant == "h":
             d_l, i_l = knn_h_local(arrays_l, x_l, sq_l, q_l)
         elif packed_l is not None:
-            x_leaf_l, sq_leaf_l, id_leaf_l = packed_l
+            x_leaf_l, sq_leaf_l, id_leaf_l, scale_l = packed_l
             d_l, i_l = _knn_packed(plan, arrays_l, x_leaf_l, sq_leaf_l,
                                    id_leaf_l, q_l, k, budget, probes,
-                                   metric, dedup, precision)
+                                   metric, dedup, precision,
+                                   block_scale=scale_l)
         else:
             d_l, i_l = _knn(plan, arrays_l, x_l, sq_l, q_l, k, budget,
                             metric, dedup, precision)
@@ -156,8 +157,10 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
         i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s * k)
         return merge_top_k(d_all, i_all, k, dedup=dedup)
 
+    t_ax = P(TREE_AXIS)
     packed_spec = (None if packed is None
-                   else (P(TREE_AXIS), P(TREE_AXIS), P(TREE_AXIS)))
+                   else (t_ax, t_ax, t_ax,
+                         None if packed[3] is None else t_ax))
     return jax.shard_map(
         block,
         mesh=mesh,
@@ -318,22 +321,24 @@ class DistributedForest(RPForest):
         g % S at row g // S) -- per-chip memory is 1/S of the TOTAL index,
         below one dataset copy, and every shard serves the probes it owns.
         """
-        if dtype is not None and jnp.dtype(dtype) == jnp.int8:
-            raise NotImplementedError(
-                "int8 blocks are single-device for now (per-leaf scales "
-                "are not threaded through the sharded query paths)"
-            )
         if self._packed is None:
             super().pack_leaves(dtype=dtype)
             if self._packed is None:
                 return self
+            scale = getattr(self, "_block_scale", None)
             if shard_by == "tree":
                 sh = NamedSharding(self.mesh, P(TREE_AXIS))
                 self._packed = tuple(
                     jax.device_put(a, sh) for a in self._packed
                 )
+                self._block_scale = (None if scale is None
+                                     else jax.device_put(scale, sh))
                 self._packed_mode = "tree"
                 return self
+            if scale is not None:
+                raise NotImplementedError(
+                    "int8 blocks support shard_by='tree' only for now"
+                )
             if shard_by != "leaf":
                 raise ValueError("shard_by must be 'tree' or 'leaf'")
             n_sh = self.mesh.shape[TREE_AXIS]
@@ -384,9 +389,11 @@ class DistributedForest(RPForest):
         if probes is None:
             # per-shard probe cap: local trees x budget = exact
             probes = (self.n_trees // n_sh) * budget
+        packed4 = (None if self._packed is None
+                   else self._packed + (getattr(self, "_block_scale", None),))
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
                          self.sq_norms, qb, int(k), budget, int(probes),
-                         metric, dedup, "flat", precision, self._packed)
+                         metric, dedup, "flat", precision, packed4)
         return d[:b], i[:b]
 
     def knn_h(self, q, k: int, metric: str = "l2",

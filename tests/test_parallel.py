@@ -166,3 +166,18 @@ def test_leaf_sharded_packed_knn_matches_single_device(single, queries, data):
     d3, i3 = dist.knn(queries, k, budget=16,
                       probes_per_shard=max(2, (T * 16) // 8))
     assert np.all(np.asarray(i3)[:, 0] == np.asarray(i1)[:, 0])
+
+
+def test_sharded_int8_packed(single, queries, data):
+    import jax.numpy as jnp
+
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    ).pack_leaves(dtype=jnp.int8)
+    d1, i1 = single.knn(queries, 8, budget=16)
+    d2, i2 = dist.knn(queries, 8, budget=16)
+    overlap = np.mean([
+        len(set(np.asarray(i1)[b].tolist()) & set(np.asarray(i2)[b].tolist())) / 8
+        for b in range(queries.shape[0])
+    ])
+    assert overlap >= 0.9
