@@ -31,7 +31,8 @@ from .config import BenchConfig
 from .models.forest import RPForest, forest_batch
 from .utils import gen as rgen
 
-__all__ = ["benchmark", "run_bench", "bench_grid", "DEFAULT_GRID"]
+__all__ = ["benchmark", "run_bench", "bench_grid", "DEFAULT_GRID",
+           "REFERENCE_SCALE_GRID", "dense_to_ell"]
 
 
 def benchmark(fn: Callable[[], object], reps: int = 2) -> Tuple[float, object]:
@@ -55,21 +56,49 @@ def _fetch(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def dense_to_ell(x: np.ndarray):
+    """Pack a dense array's nonzeros into a padded-ELL sparse dataset."""
+    from .ops.sparse import EllMatrix
+
+    nz = x != 0
+    k = max(1, int(nz.sum(axis=1).max()))
+    n = x.shape[0]
+    cols = np.zeros((n, k), np.int32)
+    vals = np.zeros((n, k), np.float32)
+    for i in range(n):
+        idx = np.nonzero(nz[i])[0]
+        cols[i, : idx.size] = idx
+        vals[i, : idx.size] = x[i, idx]
+    return EllMatrix(x.shape[1], cols, vals)
+
+
 def run_bench(cfg: BenchConfig, seed: int = 1234, data_nz: float = 0.8,
               reps: int = 2, mesh=None) -> dict:
     """Run one experiment: build + recall@10 + QPS (``binMixFQBench``,
     bench/time/Main.hs:54-84).  ``data_nz`` is the data's nonzero density
-    (the reference grid uses 0.8)."""
+    (the reference grid uses 0.8).  ``cfg.sparse_input`` routes the dataset
+    through the padded-ELL path (SVector semantics); ``cfg.streaming``
+    builds through the chunked-ingest pipeline."""
     gen = lambda key, n: rgen.normal_sparse2(  # noqa: E731
         key, n, cfg.vector_dim, data_nz
     )
     x = np.asarray(rgen.data_batch(seed, cfg.data_size, gen), np.float32)
     q = np.asarray(rgen.data_batch(seed + 1, cfg.num_query_points, gen),
                    np.float32)
+    data = dense_to_ell(x) if cfg.sparse_input else x
 
     def build() -> RPForest:
-        f = forest_batch(seed, cfg.max_depth, cfg.min_leaf, cfg.num_trees,
-                         cfg.nz_density, x)
+        if cfg.streaming:
+            from . import forest as forest_stream
+
+            chunks = iter(np.array_split(x, max(1, cfg.data_size
+                                                // cfg.chunk_size)))
+            f = forest_stream(seed, cfg.max_depth, cfg.min_leaf,
+                              cfg.num_trees, cfg.chunk_size, cfg.nz_density,
+                              cfg.vector_dim, chunks)
+        else:
+            f = forest_batch(seed, cfg.max_depth, cfg.min_leaf,
+                             cfg.num_trees, cfg.nz_density, data)
         if mesh is not None or cfg.n_tree_shards * cfg.n_query_shards > 1:
             from .parallel import distribute, forest_mesh
 
@@ -114,6 +143,31 @@ DEFAULT_GRID: List[BenchConfig] = [
     ),
 ]
 
+# BASELINE.json configs[], scaled to bench-friendly sizes (the full-scale
+# SIFT-1M / GIST-1M numbers live in BASELINE.md)
+REFERENCE_SCALE_GRID: List[BenchConfig] = [
+    BenchConfig(description="configs[0] single tree, 784-d, knn k=10",
+                max_depth=9, min_leaf=20, num_trees=1, chunk_size=1000,
+                nz_density=0.35, vector_dim=784, data_size=10_000,
+                num_query_points=128, batch_size=128),
+    BenchConfig(description="configs[1] 10-tree forest recall@10",
+                max_depth=9, min_leaf=20, num_trees=10, chunk_size=1000,
+                nz_density=0.35, vector_dim=784, data_size=10_000,
+                num_query_points=128, batch_size=128),
+    BenchConfig(description="configs[2] sparse bag-of-words (padded ELL)",
+                max_depth=8, min_leaf=32, num_trees=4, chunk_size=1000,
+                nz_density=0.25, vector_dim=10_000, data_size=8_000,
+                num_query_points=64, batch_size=64, sparse_input=True),
+    BenchConfig(description="configs[3] SIFT-shaped dense forest",
+                max_depth=11, min_leaf=64, num_trees=8, chunk_size=1000,
+                nz_density=0.47, vector_dim=128, data_size=100_000,
+                num_query_points=512, batch_size=512),
+    BenchConfig(description="configs[4] streaming chunked-ingest build",
+                max_depth=9, min_leaf=32, num_trees=4, chunk_size=2_000,
+                nz_density=0.35, vector_dim=960, data_size=20_000,
+                num_query_points=64, batch_size=64, streaming=True),
+]
+
 
 def bench_grid(grid: Optional[List[BenchConfig]] = None, seed: int = 1234,
                reps: int = 2) -> List[dict]:
@@ -128,4 +182,9 @@ def bench_grid(grid: Optional[List[BenchConfig]] = None, seed: int = 1234,
 
 
 if __name__ == "__main__":
-    bench_grid()
+    import sys
+
+    if "--reference-scale" in sys.argv:
+        bench_grid(REFERENCE_SCALE_GRID)
+    else:
+        bench_grid()

@@ -95,3 +95,5 @@ class BenchConfig:
     batch_size: int = 128        # query batch size
     n_tree_shards: int = 1       # mesh axis over the forest (tree parallelism)
     n_query_shards: int = 1      # mesh axis over the query batch
+    sparse_input: bool = False   # ingest as padded-ELL (SVector semantics)
+    streaming: bool = False      # chunked-ingest build (conduit semantics)
