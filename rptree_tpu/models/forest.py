@@ -832,11 +832,16 @@ def _prepare_data(data, dtype=jnp.float32):
 
 def forest_batch(seed, max_depth: int, min_leaf: int, n_trees: int,
                  pnz: float, data, payloads: Optional[Sequence] = None,
-                 dtype=jnp.float32) -> RPForest:
+                 dtype=jnp.float32, pack=False) -> RPForest:
     """Batch-build a random projection forest (reference ``forestBatch``,
     ``src/Data/RPTree/Batch.hs:48-63``): sample ``n_trees x max_depth``
     sparse Gaussian projection vectors from the seed, then run the
-    level-synchronous builder with a tree axis."""
+    level-synchronous builder with a tree axis.
+
+    ``pack=True`` (or a dtype, e.g. ``jnp.bfloat16``) immediately applies
+    the leaf-blocked serving layout (:meth:`RPForest.pack_leaves`) --
+    the ~10x-faster query path, at ~``n_trees`` extra copies of the
+    dataset in HBM."""
     x, sq_norms, dim, n = _prepare_data(data, dtype)
     plan = make_plan(n, max_depth, min_leaf)
     r = rgen.sample_projections(seed, n_trees, max_depth, dim, pnz)
@@ -844,7 +849,10 @@ def forest_batch(seed, max_depth: int, min_leaf: int, n_trees: int,
     arrays = build(plan, x, r)
     cfg = ForestConfig(n_trees=n_trees, max_depth=max_depth, min_leaf=min_leaf,
                        proj_nz_density=pnz, dim=dim)
-    return RPForest(plan, arrays, x, sq_norms, cfg, payloads=payloads, seed=seed)
+    f = RPForest(plan, arrays, x, sq_norms, cfg, payloads=payloads, seed=seed)
+    if pack:
+        f.pack_leaves(dtype=None if pack is True else pack)
+    return f
 
 
 def tree_batch(seed, max_depth: int, min_leaf: int, pnz: float, data,
