@@ -72,13 +72,16 @@ def dense_to_ell(x: np.ndarray):
     return EllMatrix(x.shape[1], cols, vals)
 
 
-def run_bench(cfg: BenchConfig, seed: int = 1234, data_nz: float = 0.8,
+def run_bench(cfg: BenchConfig, seed: int = 1234,
+              data_nz: Optional[float] = None,
               reps: int = 2, mesh=None) -> dict:
     """Run one experiment: build + recall@10 + QPS (``binMixFQBench``,
     bench/time/Main.hs:54-84).  ``data_nz`` is the data's nonzero density
     (the reference grid uses 0.8).  ``cfg.sparse_input`` routes the dataset
     through the padded-ELL path (SVector semantics); ``cfg.streaming``
     builds through the chunked-ingest pipeline."""
+    if data_nz is None:
+        data_nz = cfg.data_nz
     gen = lambda key, n: rgen.normal_sparse2(  # noqa: E731
         key, n, cfg.vector_dim, data_nz
     )
@@ -157,7 +160,8 @@ REFERENCE_SCALE_GRID: List[BenchConfig] = [
     BenchConfig(description="configs[2] sparse bag-of-words (padded ELL)",
                 max_depth=8, min_leaf=32, num_trees=4, chunk_size=1000,
                 nz_density=0.25, vector_dim=10_000, data_size=8_000,
-                num_query_points=64, batch_size=64, sparse_input=True),
+                num_query_points=64, batch_size=64, sparse_input=True,
+                data_nz=0.01),
     BenchConfig(description="configs[3] SIFT-shaped dense forest",
                 max_depth=11, min_leaf=64, num_trees=8, chunk_size=1000,
                 nz_density=0.47, vector_dim=128, data_size=100_000,

@@ -97,3 +97,4 @@ class BenchConfig:
     n_query_shards: int = 1      # mesh axis over the query batch
     sparse_input: bool = False   # ingest as padded-ELL (SVector semantics)
     streaming: bool = False      # chunked-ingest build (conduit semantics)
+    data_nz: float = 0.8         # data nonzero density (reference grid: 0.8)

@@ -321,13 +321,47 @@ def _brute_force(x, sq_norms, q, k, metric, precision="highest"):
     anyway).
     """
     if isinstance(x, EllMatrix):
-        dots = jnp.einsum("nk,bnk->bn", x.vals,
-                          jnp.take_along_axis(q[:, None, :],
-                                              jnp.broadcast_to(x.cols, (q.shape[0],) + x.cols.shape).astype(jnp.int32),
-                                              axis=-1))
-        d = _dist_from_dots_full(dots, sq_norms, q, metric)
-        neg, idx = jax.lax.top_k(-d, min(k, d.shape[-1]))
-        return -neg, idx
+        # scan over row chunks: the one-shot gather form materializes
+        # [B, n, K] (tens of GB at bag-of-words scale)
+        n, kz = x.cols.shape
+        b = q.shape[0]
+        c = max(1, min(n, (8 * 1024 * 1024) // max(b * kz, 1)))
+        n_chunks = -(-n // c)
+        pad = n_chunks * c - n
+        cols, vals, sqn = x.cols, x.vals, sq_norms
+        if pad:
+            cols = jnp.concatenate([cols, jnp.zeros((pad, kz), cols.dtype)])
+            vals = jnp.concatenate([vals, jnp.zeros((pad, kz), vals.dtype)])
+            sqn = jnp.concatenate([sqn, jnp.full((pad,), jnp.inf, sqn.dtype)])
+        k = min(k, n)
+
+        def step(carry, chunk):
+            bd, bi = carry
+            ci, vi, sqi, base = chunk
+            qg = jnp.take_along_axis(
+                q[:, None, :],
+                jnp.broadcast_to(ci, (b,) + ci.shape).astype(jnp.int32),
+                axis=-1,
+            )  # [B, c, K]
+            dots = jnp.einsum("ck,bck->bc", vi, qg)
+            d = _dist_from_dots_full(dots, sqi, q, metric)
+            ids = base + jnp.arange(c, dtype=jnp.int32)[None, :]
+            alld = jnp.concatenate([bd, d], axis=-1)
+            alli = jnp.concatenate(
+                [bi, jnp.broadcast_to(ids, d.shape)], axis=-1
+            )
+            neg, sel = jax.lax.top_k(-alld, k)
+            return (-neg, jnp.take_along_axis(alli, sel, axis=-1)), None
+
+        bd0 = jnp.full((b, k), jnp.inf, jnp.float32)
+        bi0 = jnp.full((b, k), -1, jnp.int32)
+        (bd, bi), _ = lax.scan(
+            step, (bd0, bi0),
+            (cols.reshape(n_chunks, c, kz), vals.reshape(n_chunks, c, kz),
+             sqn.reshape(n_chunks, c),
+             jnp.arange(n_chunks, dtype=jnp.int32) * c),
+        )
+        return bd, bi
 
     n, b = x.shape[0], q.shape[0]
     # chunk size: bound the [B, C] distance tile to ~32M floats

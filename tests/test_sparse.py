@@ -81,3 +81,25 @@ def test_high_dim_bag_of_words_shape():
     assert m.dim == 5000 and m.k < 40
     f = rp.forest_batch(2, 4, 8, 2, 0.05, m)
     assert f.tree_size() == 128
+
+
+def test_ell_brute_force_chunked_matches_dense():
+    """The ELL brute force scans row chunks (the one-shot gather form
+    materializes [B, n, K]); neighbour ids must match the dense scan."""
+    import numpy as np
+
+    import rptree_tpu as rt
+    from rptree_tpu.benchmarks import dense_to_ell
+
+    rng = np.random.default_rng(0)
+    dense = rng.normal(size=(700, 40)).astype(np.float32)
+    dense[rng.random(dense.shape) > 0.2] = 0.0
+    ell = dense_to_ell(dense)
+    f = rt.forest_batch(3, 4, 16, 2, 0.5, ell)
+    fd = rt.forest_batch(3, 4, 16, 2, 0.5, dense)
+    q = dense[:6] + 0.01
+    d1, i1 = map(np.asarray, f.brute_force_knn(q, 5))
+    d2, i2 = map(np.asarray, fd.brute_force_knn(q, 5))
+    np.testing.assert_allclose(d1, d2, atol=2e-3)
+    for b in range(6):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
