@@ -182,13 +182,18 @@ class TreePlan:
 
 
 _PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 16  # plans hold O(n * levels) host arrays
 
 
 def make_plan(n: int, max_depth: int, min_leaf: int) -> TreePlan:
-    """Cached plan construction (plans embed O(n * levels) constants; reuse)."""
+    """Cached plan construction (plans embed O(n * levels) constants;
+    bounded FIFO so long-running processes with many dataset shapes do
+    not accumulate them)."""
     k = (n, max_depth, min_leaf)
     plan = _PLAN_CACHE.get(k)
     if plan is None:
         plan = TreePlan(n, max_depth, min_leaf)
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[k] = plan
     return plan

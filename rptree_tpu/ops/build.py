@@ -70,6 +70,7 @@ def project_dataset(x, r_l: jax.Array, precision=lax.Precision.HIGHEST) -> jax.A
 
 
 _PLAN_CONST_CACHE: dict = {}
+_PLAN_CONST_CACHE_MAX = 8  # entries are O(levels * n) numpy arrays
 
 
 def _stacked_plan_constants(plan: TreePlan):
@@ -95,6 +96,8 @@ def _stacked_plan_constants(plan: TreePlan):
     # executable
     out = (np.stack([lp.seg_key for lp in plan.levels]).astype(np.int32),
            pad("thr_pos"), pad("mgl_pos"), pad("mgr_pos"))
+    while len(_PLAN_CONST_CACHE) >= _PLAN_CONST_CACHE_MAX:
+        _PLAN_CONST_CACHE.pop(next(iter(_PLAN_CONST_CACHE)))
     _PLAN_CONST_CACHE[key] = out
     return out
 

@@ -303,3 +303,18 @@ def test_packed_int8_preserves_neighbours():
     assert overlap >= 0.9
     same = i1 == i2
     np.testing.assert_allclose(d1[same], d2[same], atol=0.5)
+
+
+@pytest.mark.parametrize("metric", ["sql2", "cosine", "dot"])
+def test_packed_nonl2_metrics_match_unpacked(circle_forest, metric):
+    f, x = circle_forest
+    qs = np.asarray(rgen.data_batch(17, 6, rgen.circle2d2), np.float32)
+    d1, i1 = map(np.asarray, f.knn(qs, 5, metric=metric))
+    f.pack_leaves()
+    try:
+        d2, i2 = map(np.asarray, f.knn(qs, 5, metric=metric))
+    finally:
+        f._packed = None
+    np.testing.assert_allclose(d1, d2, atol=1e-4)
+    for b in range(6):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
