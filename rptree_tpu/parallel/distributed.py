@@ -47,6 +47,7 @@ from ..models.forest import (
 )
 from ..models.plan import make_plan
 from ..ops.build import TreeArrays, build_forest_arrays
+from ..ops.sparse import EllMatrix
 from ..ops.rerank import gather_leaf_points, merge_top_k, rerank_top_k
 from ..utils import gen as rgen
 from .mesh import QUERY_AXIS, TREE_AXIS, forest_mesh
@@ -262,6 +263,54 @@ def _dist_recall(mesh, plan, arrays, x, sq_norms, q, k, budget, metric):
     )(arrays, x, sq_norms, q)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "plan", "dtype_str"))
+def _dist_pack(mesh, plan, perm, x, dtype_str):
+    """Tree-sharded leaf-block packing: each shard packs its own trees'
+    blocks from the replicated dataset, so per-device peak memory is
+    T_local x dataset instead of the whole forest's blocks on one chip."""
+    lmax = max(plan.max_leaf_len, 1)
+    nl = plan.n_leaves
+    starts = jnp.asarray(plan.leaf_start)
+    lens = jnp.asarray(plan.leaf_len)
+    offs = jnp.arange(lmax, dtype=jnp.int32)
+    pos = starts[:, None] + offs
+    in_leaf = offs < lens[:, None]
+    pos = jnp.where(in_leaf, pos, 0)
+
+    def block(perm_l, x_l):
+        def per_tree(pm):
+            ids = jnp.take(pm, pos)
+            rows = jnp.take(x_l, ids, axis=0)
+            rows = jnp.where(in_leaf[..., None], rows, 0.0)
+            return rows, jnp.where(in_leaf, ids, -1)
+
+        rows, ids = jax.vmap(per_tree)(perm_l)
+        tl, d = perm_l.shape[0], x_l.shape[1]
+        sq = jnp.sum(rows * rows, axis=-1)
+        if dtype_str == "int8":
+            amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
+            scale = jnp.maximum(amax, 1e-30) / 127.0
+            rows = jnp.clip(jnp.round(rows / scale), -127, 127
+                            ).astype(jnp.int8)
+            scale = scale.reshape(tl * nl)
+        else:
+            scale = jnp.ones(tl * nl, jnp.float32)
+            if dtype_str == "bf16":
+                rows = rows.astype(jnp.bfloat16)
+        return (rows.reshape(tl * nl, lmax, d),
+                sq.reshape(tl * nl, lmax),
+                ids.reshape(tl * nl, lmax),
+                scale)
+
+    t_ax = P(TREE_AXIS)
+    return jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(t_ax, P()),
+        out_specs=(t_ax, t_ax, t_ax, t_ax),
+        check_vma=False,
+    )(perm, x)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "plan"))
 def _dist_build(mesh, plan, x, r):
     """Tree-parallel forest build: each shard runs the level-synchronous
@@ -322,19 +371,29 @@ class DistributedForest(RPForest):
         below one dataset copy, and every shard serves the probes it owns.
         """
         if self._packed is None:
+            if isinstance(self.x, EllMatrix):
+                return self
+            if shard_by == "tree":
+                if dtype is None:
+                    dtype_str = "f32"
+                elif jnp.dtype(dtype) == jnp.int8:
+                    dtype_str = "int8"
+                elif jnp.dtype(dtype) == jnp.bfloat16:
+                    dtype_str = "bf16"
+                else:
+                    dtype_str = "f32"
+                rows, sq, ids, scale = _dist_pack(
+                    self.mesh, self.plan, self.arrays.perm, self.x,
+                    dtype_str,
+                )
+                self._packed = (rows, sq, ids)
+                self._block_scale = scale if dtype_str == "int8" else None
+                self._packed_mode = "tree"
+                return self
             super().pack_leaves(dtype=dtype)
             if self._packed is None:
                 return self
             scale = getattr(self, "_block_scale", None)
-            if shard_by == "tree":
-                sh = NamedSharding(self.mesh, P(TREE_AXIS))
-                self._packed = tuple(
-                    jax.device_put(a, sh) for a in self._packed
-                )
-                self._block_scale = (None if scale is None
-                                     else jax.device_put(scale, sh))
-                self._packed_mode = "tree"
-                return self
             if scale is not None:
                 raise NotImplementedError(
                     "int8 blocks support shard_by='tree' only for now"
