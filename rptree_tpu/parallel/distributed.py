@@ -450,8 +450,16 @@ class DistributedForest(RPForest):
             probes = (self.n_trees // n_sh) * budget
         packed4 = (None if self._packed is None
                    else self._packed + (getattr(self, "_block_scale", None),))
-        d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
-                         self.sq_norms, qb, int(k), budget, int(probes),
+        x, sq = self.x, self.sq_norms
+        if x is None:
+            if packed4 is None:
+                raise ValueError("dataset dropped; only packed-path "
+                                 "queries are available")
+            # placeholders: the packed block ignores the raw dataset
+            x = jnp.zeros((1, 1), jnp.float32)
+            sq = jnp.zeros((1,), jnp.float32)
+        d, i = _dist_knn(self.mesh, self.plan, self.arrays, x,
+                         sq, qb, int(k), budget, int(probes),
                          metric, dedup, "flat", precision, packed4)
         return d[:b], i[:b]
 
@@ -465,6 +473,9 @@ class DistributedForest(RPForest):
         kept buckets, and the per-shard top-k merge as usual."""
         from ..models.forest import _as_dense_queries
 
+        if self.x is None:
+            raise ValueError("dataset dropped; knn_h needs the raw rows "
+                             "(use knn on the packed path)")
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
         budget = self._budget(budget)
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
@@ -476,6 +487,8 @@ class DistributedForest(RPForest):
                     budget: Optional[int] = None):
         from ..models.forest import _as_dense_queries
 
+        if self.x is None:
+            raise ValueError("dataset dropped; recall needs the raw rows")
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
         r = _dist_recall(self.mesh, self.plan, self.arrays, self.x,
                          self.sq_norms, qb, int(k), self._budget(budget),

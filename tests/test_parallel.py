@@ -181,3 +181,19 @@ def test_sharded_int8_packed(single, queries, data):
         for b in range(queries.shape[0])
     ])
     assert overlap >= 0.9
+
+
+def test_distributed_serve_only(data, queries):
+    """drop_dataset on a tree-sharded packed forest: packed knn keeps
+    working, paths needing raw rows raise."""
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    ).pack_leaves()
+    d1, i1 = dist.knn(queries, 5)
+    dist.drop_dataset()
+    d2, i2 = dist.knn(queries, 5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    with pytest.raises(ValueError):
+        dist.knn_h(queries, 5)
+    with pytest.raises(ValueError):
+        dist.recall_with(queries, 5)
