@@ -29,13 +29,15 @@ import jax as _jax
 # Persistent XLA compilation cache: first-build compiles through remote-
 # compile TPU backends cost minutes; cached reloads are sub-second.  Opt
 # out with RPTREE_TPU_NO_CACHE=1 or by setting jax's cache dir yourself.
+_platforms = (_os.environ.get("JAX_PLATFORMS", "")
+              or (getattr(_jax.config, "jax_platforms", None) or ""))
 if (not _os.environ.get("RPTREE_TPU_NO_CACHE")
         and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
         and _jax.config.jax_compilation_cache_dir is None
         # CPU AOT cache entries are machine-fingerprinted and reloading
         # them across feature mismatches risks SIGILL; the cache matters
         # for slow remote-compile TPU backends only
-        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")):
+        and "cpu" not in _platforms):
     _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
                            "rptree_tpu", "jax")
     try:
