@@ -17,10 +17,13 @@ Stages:
   5. evaluate-- recall@k against the ground truth (file or brute force).
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(base=None, query=None, gt=None, n_trees=8, k=10,
