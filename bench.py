@@ -108,15 +108,21 @@ def main():
     ref_forest = ref.ref_forest_batch(x, r_np, cfg.max_depth, MIN_LEAF)
     ref_build_s = time.perf_counter() - t0
 
+    # best-of-3 for the oracle: the single-threaded numpy loop is
+    # sensitive to machine load, and taking its fastest run makes the
+    # reported ratio conservative
     nq_ref = 64
     ref_recalls = []
-    t0 = time.perf_counter()
-    for b in range(nq_ref):
-        _, rid = ref.ref_knn(ref_forest, x, q[b], K, dedup=True)
-        ref_recalls.append(
-            len(set(rid.tolist()) & set(exact[b].tolist())) / K
-        )
-    ref_dt = time.perf_counter() - t0
+    ref_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ref_recalls = []
+        for b in range(nq_ref):
+            _, rid = ref.ref_knn(ref_forest, x, q[b], K, dedup=True)
+            ref_recalls.append(
+                len(set(rid.tolist()) & set(exact[b].tolist())) / K
+            )
+        ref_dt = min(ref_dt, time.perf_counter() - t0)
     ref_qps = nq_ref / ref_dt
 
     print(json.dumps({
