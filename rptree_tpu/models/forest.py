@@ -190,7 +190,16 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
     # (a [.., lmax*D] -> [.., lmax, D] reshape forces a relayout copy that
     # measured ~15% of the whole query)
     rows = jnp.take(x_leaf, rows_sel, axis=0)
-    if rows.dtype == jnp.int8:
+    if callable(metric):
+        # user distance callable (the reference's distf, RPTree.hs:168):
+        # applied directly to the gathered block rows
+        if rows.dtype == jnp.int8:
+            raise NotImplementedError(
+                "custom distance callables are unsupported on int8-"
+                "quantized blocks (pack with f32/bf16)"
+            )
+        d = metric(rows.astype(jnp.float32), q[:, None, None, :])
+    elif rows.dtype == jnp.int8:
         # quantized blocks: per-leaf scales stored alongside; the query is
         # symmetrically quantized per row, dots accumulate in int32 on the
         # MXU, and the stored squared norms stay EXACT f32 -- only the
@@ -207,10 +216,11 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
         dots = jnp.einsum("bpld,bd->bpl", rows, q.astype(rows.dtype),
                           preferred_element_type=jnp.float32,
                           precision=_prec(precision))
-    # squared norms precomputed per slot at pack time: a [B, P]-index
-    # gather instead of a second full multiply-reduce over the rows
-    sqx = jnp.take(sq_leaf, rows_sel, axis=0)
-    d = distances_from_dots(dots, sqx, q[:, None], metric)  # [B, P, lmax]
+    if not callable(metric):
+        # squared norms precomputed per slot at pack time: a [B, P]-index
+        # gather instead of a second full multiply-reduce over the rows
+        sqx = jnp.take(sq_leaf, rows_sel, axis=0)
+        d = distances_from_dots(dots, sqx, q[:, None], metric)  # [B, P, lmax]
     lens = jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None))
     valid = (lsel >= 0)[..., None] & (
         jnp.arange(lmax, dtype=jnp.int32) < lens[..., None]
@@ -320,6 +330,10 @@ def _brute_force(x, sq_norms, q, k, metric, precision="highest"):
     single-pass gather form (their n is bounded by the padded-ELL memory
     anyway).
     """
+    if callable(metric) and isinstance(x, EllMatrix):
+        raise NotImplementedError(
+            "custom distance callables need dense data rows"
+        )
     if isinstance(x, EllMatrix):
         # scan over row chunks: the one-shot gather form materializes
         # [B, n, K] (tens of GB at bag-of-words scale)
@@ -381,10 +395,16 @@ def _brute_force(x, sq_norms, q, k, metric, precision="highest"):
     def step(carry, chunk):
         bd, bi = carry
         xi, sqi, base = chunk
-        dots = jnp.einsum("bd,nd->bn", q, xi,
-                          preferred_element_type=jnp.float32,
-                          precision=_prec(precision))
-        d = _dist_from_dots_full(dots, sqi, q, metric)
+        if callable(metric):
+            # user distf (RPTree.hs:168) over the row chunk; padded rows
+            # are masked to +inf below via their +inf squared norm
+            d = metric(xi[None, :, :], q[:, None, :])
+            d = jnp.where(jnp.isinf(sqi)[None, :], jnp.inf, d)
+        else:
+            dots = jnp.einsum("bd,nd->bn", q, xi,
+                              preferred_element_type=jnp.float32,
+                              precision=_prec(precision))
+            d = _dist_from_dots_full(dots, sqi, q, metric)
         ids = base + jnp.arange(c, dtype=jnp.int32)[None, :]
         alld = jnp.concatenate([bd, d], axis=-1)
         alli = jnp.concatenate([bi, jnp.broadcast_to(ids, d.shape)], axis=-1)
@@ -458,6 +478,7 @@ class RPForest:
         self._pending = []   # freshness buffer chunks (add/rebuild)
         self._pending_payloads = []
         self._deleted = None  # bool[n] tombstones (remove/rebuild) or None
+        self._pending_deleted = None  # set of deleted pending-buffer offsets
 
     # -- basic accessors (reference Internal.hs:198-208, RPTree.hs:351-367) --
 
@@ -643,11 +664,21 @@ class RPForest:
         in_range = (ids >= 0) & (ids < self.plan.n)
         self._deleted[ids[in_range]] = True
         self._deleted_dev = jnp.asarray(self._deleted)
+        # ids past the indexed rows address the pending (freshness) buffer:
+        # those points must stop appearing too (and be dropped at rebuild)
+        in_pending = (ids >= self.plan.n) & (ids < self.plan.n + self.n_pending)
+        if in_pending.any():
+            if getattr(self, "_pending_deleted", None) is None:
+                self._pending_deleted = set()
+            self._pending_deleted.update(
+                int(i) - self.plan.n for i in ids[in_pending]
+            )
         return self
 
     @property
     def n_deleted(self) -> int:
-        return int(self._deleted.sum()) if self._deleted is not None else 0
+        n = int(self._deleted.sum()) if self._deleted is not None else 0
+        return n + len(getattr(self, "_pending_deleted", None) or ())
 
     def _mask_deleted(self, d, ids, k):
         """Drop tombstoned ids from a (dists, ids) result and re-select."""
@@ -677,8 +708,17 @@ class RPForest:
             keep = ~self._deleted
             x_old = x_old[jnp.asarray(keep)]
             old_payloads = [p for p, kp in zip(old_payloads, keep) if kp]
-        x_all = jnp.concatenate([x_old] + self._pending, axis=0)
-        new_payloads = old_payloads + sum(self._pending_payloads, [])
+        pend_rows = list(self._pending)
+        pend_payloads = sum(self._pending_payloads, [])
+        dead_p = getattr(self, "_pending_deleted", None)
+        if dead_p and pend_rows:
+            xp = jnp.concatenate(pend_rows, axis=0)
+            keep_p = np.ones(xp.shape[0], dtype=bool)
+            keep_p[list(dead_p)] = False
+            pend_rows = [xp[jnp.asarray(keep_p)]]
+            pend_payloads = [p for p, kp in zip(pend_payloads, keep_p) if kp]
+        x_all = jnp.concatenate([x_old] + pend_rows, axis=0)
+        new_payloads = old_payloads + pend_payloads
         cfg = self.config
         fresh = forest_batch(self.seed, cfg.max_depth, cfg.min_leaf,
                              cfg.n_trees, cfg.proj_nz_density, x_all,
@@ -693,6 +733,7 @@ class RPForest:
         self._pending = []
         self._pending_payloads = []
         self._deleted = None
+        self._pending_deleted = None
         if self._packed is not None:
             self._packed = None
             self.pack_leaves()
@@ -703,8 +744,18 @@ class RPForest:
         forest's results (pending ids continue after the indexed points)."""
         xp = jnp.concatenate(self._pending, axis=0)
         sqp = jnp.sum(xp * xp, axis=-1)
-        dp, ip = _brute_force(xp, sqp, qb, min(k, xp.shape[0]), metric,
-                              precision)
+        dead = getattr(self, "_pending_deleted", None)
+        if dead:
+            mask = np.zeros(xp.shape[0], dtype=bool)
+            mask[list(dead)] = True
+        # over-fetch by the tombstone count so deleted pending points can
+        # never crowd live ones out of the k window (post-mask below)
+        kp = min(k + (len(dead) if dead else 0), xp.shape[0])
+        dp, ip = _brute_force(xp, sqp, qb, kp, metric, precision)
+        if dead:
+            dpd = jnp.take(jnp.asarray(mask), jnp.clip(ip, 0, None)) & (ip >= 0)
+            dp = jnp.where(dpd, jnp.inf, dp)
+            ip = jnp.where(dpd, -1, ip)
         ip = jnp.where(ip >= 0, ip + self.plan.n, -1)
         d_all = jnp.concatenate([d, dp], axis=-1)
         i_all = jnp.concatenate([ids, ip], axis=-1)
@@ -743,6 +794,13 @@ class RPForest:
         ``min_votes > 1`` keeps only candidates found by at least that
         many trees -- the voting filter of Hyvonen et al. 2016 (the cited
         algorithm's full form; the reference library unions only).
+
+        ``metric`` is a builtin name (``l2``/``sql2``/``cosine``/``dot``)
+        or any jit-compatible callable ``distf(rows[..., C, D],
+        q[..., 1, D]) -> [..., C]`` (smaller = closer) -- the reference's
+        user-supplied ``distf`` (RPTree.hs:168) / ``Inner`` extension
+        point (Internal.hs:315-341).  Callables need dense data rows
+        (not ELL datasets or int8 blocks).
         """
         k = self._check_k(k)
         qb = _as_dense_queries(q, self.dim)

@@ -198,12 +198,25 @@ def candidate_distances(
     precomputed squared norms; ``q``: dense ``[B, D]``; ``ids``:
     ``int32[B, C]`` (-1 = invalid -> +inf distance).
 
-    Metrics (the reference's ``distf`` argument, restricted to jit-friendly
-    builtins): ``l2`` (Euclidean, the reference's ``metricL2``), ``sql2``,
+    Metrics (the reference's ``distf`` argument, ``RPTree.hs:168``; the
+    ``Inner`` typeclass extension point, ``Internal.hs:315-341``): the
+    builtins ``l2`` (Euclidean, the reference's ``metricL2``), ``sql2``,
     ``cosine`` (1 - cosine similarity), ``dot`` (negative inner product,
-    for max-inner-product search).
+    for max-inner-product search) -- or any jit-compatible callable
+    ``distf(rows f32[..., C, D], q f32[..., 1, D]) -> f32[..., C]``
+    (smaller = closer), e.g. L1:
+    ``lambda rows, q: jnp.sum(jnp.abs(rows - q), -1)``.
     """
     valid = ids >= 0
+    if callable(metric):
+        if isinstance(x, EllMatrix):
+            raise NotImplementedError(
+                "custom distance callables need dense data rows "
+                "(ELL-sparse datasets support the builtin metrics only)"
+            )
+        rows, _ = _gather_rows(x, ids)  # [B, C, D]
+        d = metric(rows, q[:, None, :])
+        return jnp.where(valid, d, jnp.inf)
     if isinstance(x, EllMatrix):
         cols, vals = _gather_rows(x, ids)  # [B, C, K]
         qg = jnp.take_along_axis(

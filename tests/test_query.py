@@ -286,6 +286,29 @@ def test_remove_tombstones_and_purge():
     assert all(p.startswith("p") for p in f.payload_of(i2[:, 0]))
 
 
+def test_remove_pending_point():
+    """A freshly added (pending, not yet rebuilt) point must be removable:
+    its id addresses the pending buffer, it disappears from results
+    immediately, and rebuild() drops it instead of folding it in."""
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    f = forest_batch(6, 5, 8, 3, 1.0, x)
+    new = rng.normal(size=(4, 8)).astype(np.float32) + 7.0
+    f.add(new)
+    q = new[:1] + 1e-3
+    _, ia = map(np.asarray, f.knn(q, 2))
+    assert ia[0, 0] >= 300
+    f.remove(ia[:1, 0])
+    _, ib = map(np.asarray, f.knn(q, 2))
+    assert ia[0, 0] not in set(ib.reshape(-1).tolist())
+    assert ib[0, 0] >= 300  # the other pending points still show up
+    f.rebuild()
+    assert f.tree_size() == 303  # deleted pending row was purged
+    _, ic = map(np.asarray, f.knn(q, 3))
+    d_exact, _ = map(np.asarray, f.brute_force_knn(q, 3))
+    assert (ic[0] >= 0).all()
+
+
 def test_packed_int8_preserves_neighbours():
     """int8 blocks (per-leaf scales, exact stored norms): 4x less fetch
     than f32; neighbour sets must stay essentially intact."""
