@@ -88,25 +88,32 @@ def _pad_k(dists: jax.Array, ids: jax.Array, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "plan", "k", "budget", "probes", "metric",
-                     "dedup", "variant", "precision"),
+                     "dedup", "variant", "precision", "min_votes"),
 )
 def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
-              dedup, variant, precision="highest", packed=None):
+              dedup, variant, precision="highest", packed=None,
+              min_votes=1):
     """Tree+query-sharded kNN: local rerank to k, all_gather(k per shard)
     over the tree axis, dedup-merge, re-top-k.  With ``packed`` (leaf-
     blocked ``(x_leaf, id_leaf)``, sharded over the tree axis) each shard
-    runs the leaf-blocked rerank on its tree group."""
+    runs the leaf-blocked rerank on its tree group.
 
-    def knn_h_local(arrays_l, x_l, sq_l, q_l):
-        """Faithful global bucket-stop rule (reference knnH,
-        RPTree.hs:196-217): every shard sees all shards' bucket priorities
-        and sizes (an all_gather of a few floats per query), applies the
-        same global cumulative-size cutoff, then expands and reranks only
-        its own kept buckets."""
-        leaf_ids, prio = _traverse_forest(plan, arrays_l, q_l, budget)
-        tl, b, fw = leaf_ids.shape
-        leaf_l = jnp.moveaxis(leaf_ids, 0, 1).reshape(b, tl * fw)
-        prio_l = jnp.moveaxis(prio, 0, 1).reshape(b, tl * fw)
+    ``min_votes > 1`` (the Hyvonen et al. voting filter; same semantics
+    as the single-device path, ``models/forest.py``): each shard ships
+    its FULL scored candidate list without dedup -- duplicate copies of a
+    candidate are its per-tree votes, and no fixed truncation width is
+    safe because unfiltered closer candidates can crowd a filtered-top-k
+    candidate's copies out -- and the cross-shard merge counts copies
+    globally (``merge_top_k(min_votes=...)``).  The merge then sorts the
+    same global union the single-device path sorts; the extra ICI traffic
+    (budget * max_leaf_len candidates/shard/query) is the price of exact
+    vote parity.
+    """
+    def bucket_keep_global(leaf_l, prio_l, tl, fw, b):
+        """Reference knnH's GLOBAL stop rule (RPTree.hs:208-217): every
+        shard sees all shards' bucket priorities and sizes (an all_gather
+        of a few floats per query), applies the same cumulative-size
+        cutoff, and returns the keep-mask for its OWN buckets."""
         prio_all = lax.all_gather(prio_l, TREE_AXIS)  # [S, B, Tl*F]
         leaf_all = lax.all_gather(leaf_l, TREE_AXIS)
         n_sh = prio_all.shape[0]
@@ -125,38 +132,68 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
         inv = jnp.argsort(order, axis=-1)
         keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
         my = lax.axis_index(TREE_AXIS)
-        keep_mine = lax.dynamic_slice_in_dim(keep, my * tl * fw, tl * fw,
-                                             axis=1)
-        leaf_kept = jnp.where(keep_mine, leaf_l, -1)
-        leaf_kept = jnp.moveaxis(leaf_kept.reshape(b, tl, fw), 1, 0)
-        cand = jax.vmap(lambda perm, l: gather_leaf_points(plan, perm, l))(
-            arrays_l.perm, leaf_kept
-        )  # [Tl, B, F*lmax]
-        union = jnp.moveaxis(cand, 0, 1).reshape(b, -1)
-        from ..models.forest import _prec
-        return rerank_top_k(x_l, sq_l, q_l, union, k, metric=metric,
-                            dedup=dedup, precision=_prec(precision))
+        return lax.dynamic_slice_in_dim(keep, my * tl * fw, tl * fw, axis=1)
 
     def block(arrays_l, x_l, sq_l, q_l, packed_l):
-        if variant == "h":
-            d_l, i_l = knn_h_local(arrays_l, x_l, sq_l, q_l)
+        tl = arrays_l.perm.shape[0]
+        lmax = max(plan.max_leaf_len, 1)
+        if min_votes > 1:
+            # full local candidate width: vote copies must not truncate
+            w = (probes if packed_l is not None else tl * budget) * lmax
+            k_eff, dedup_eff = w, False
+        else:
+            k_eff, dedup_eff = k, dedup
+        if variant in ("h", "h_packed"):
+            leaf_ids, prio = _traverse_forest(plan, arrays_l, q_l, budget)
+            tl_, b, fw = leaf_ids.shape
+            leaf_l = jnp.moveaxis(leaf_ids, 0, 1).reshape(b, tl_ * fw)
+            prio_l = jnp.moveaxis(prio, 0, 1).reshape(b, tl_ * fw)
+            keep_mine = bucket_keep_global(leaf_l, prio_l, tl_, fw, b)
+            leaf_kept = jnp.where(keep_mine, leaf_l, -1)
+            if variant == "h":
+                leaf_k3 = jnp.moveaxis(leaf_kept.reshape(b, tl_, fw), 1, 0)
+                cand = jax.vmap(
+                    lambda perm, l: gather_leaf_points(plan, perm, l)
+                )(arrays_l.perm, leaf_k3)  # [Tl, B, F*lmax]
+                union = jnp.moveaxis(cand, 0, 1).reshape(b, -1)
+                from ..models.forest import _prec
+                d_l, i_l = rerank_top_k(x_l, sq_l, q_l, union, k_eff,
+                                        metric=metric, dedup=dedup_eff,
+                                        precision=_prec(precision))
+            else:
+                # serve-only form: score the kept buckets on the packed
+                # leaf blocks instead of gathering raw dataset rows
+                x_leaf_l, sq_leaf_l, id_leaf_l, scale_l = packed_l
+                tree_of = jnp.broadcast_to(
+                    jnp.arange(tl_, dtype=jnp.int32)[:, None], (tl_, fw)
+                ).reshape(1, tl_ * fw)
+                rows = tree_of * plan.n_leaves + jnp.clip(leaf_kept, 0, None)
+                rows = jnp.where(leaf_kept >= 0, rows, 0)
+                kk = k_eff * tl_ if dedup_eff else k_eff
+                d_l, i_l = _score_blocks(
+                    plan, x_leaf_l, sq_leaf_l, id_leaf_l, rows, leaf_kept,
+                    q_l, k_eff, kk, metric, dedup_eff, precision,
+                    block_scale=scale_l,
+                )
         elif packed_l is not None:
             x_leaf_l, sq_leaf_l, id_leaf_l, scale_l = packed_l
             d_l, i_l = _knn_packed(plan, arrays_l, x_leaf_l, sq_leaf_l,
-                                   id_leaf_l, q_l, k, budget, probes,
-                                   metric, dedup, precision,
+                                   id_leaf_l, q_l, k_eff, budget, probes,
+                                   metric, dedup_eff, precision,
                                    block_scale=scale_l)
         else:
-            d_l, i_l = _knn(plan, arrays_l, x_l, sq_l, q_l, k, budget,
-                            metric, dedup, precision)
-        d_l, i_l = _pad_k(d_l, i_l, k)
-        # [S, B_loc, k] -> [B_loc, S*k]; ICI traffic: 8k bytes per query
+            d_l, i_l = _knn(plan, arrays_l, x_l, sq_l, q_l, k_eff, budget,
+                            metric, dedup_eff, precision)
+        d_l, i_l = _pad_k(d_l, i_l, k_eff)
+        # [S, B_loc, w] -> [B_loc, S*w]; ICI traffic: 8w bytes per query
         d_all = lax.all_gather(d_l, TREE_AXIS)
         i_all = lax.all_gather(i_l, TREE_AXIS)
         s = d_all.shape[0]
-        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], s * k)
-        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s * k)
-        return merge_top_k(d_all, i_all, k, dedup=dedup)
+        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], s * k_eff)
+        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s * k_eff)
+        return merge_top_k(d_all, i_all, k,
+                           dedup=(dedup or min_votes > 1),
+                           min_votes=min_votes)
 
     t_ax = P(TREE_AXIS)
     packed_spec = (None if packed is None
@@ -175,10 +212,13 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "plan", "k", "budget", "probes",
-                     "probes_per_shard", "metric", "dedup", "precision"),
+                     "probes_per_shard", "metric", "dedup", "precision",
+                     "min_votes", "bucket_stop"),
 )
 def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
-                           probes_per_shard, metric, dedup, precision):
+                           probes_per_shard, metric, dedup, precision,
+                           min_votes=1, bucket_stop=False,
+                           block_scale=None):
     """kNN with the leaf blocks sharded round-robin across the tree axis
     (per-chip index memory = 1/S of the total).  Every shard traverses the
     whole (small, replicated) forest structure for its queries, keeps the
@@ -191,13 +231,23 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     an S-fold reduction in per-shard scoring work.
     """
 
-    def block(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l, q_l):
+    def block(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l, scale_l,
+              q_l):
         n_sh = lax.psum(1, TREE_AXIS)
         me = lax.axis_index(TREE_AXIS)
         t = r.shape[0]
+        if min_votes > 1:
+            # full owned-probe width: vote copies must not truncate
+            k_eff, dedup_eff = probes_per_shard * max(plan.max_leaf_len, 1), False
+        else:
+            k_eff, dedup_eff = k, dedup
         arrays_small = TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh,
                                   perm=jnp.zeros((t, 1), jnp.int32))
-        gsel, lsel = _select_probes(plan, arrays_small, q_l, budget, probes)
+        # traversal is replicated (the structure arrays are small), so the
+        # knnH bucket-stop mask is computed identically on every shard --
+        # no collective needed before the ownership filter
+        gsel, lsel = _select_probes(plan, arrays_small, q_l, budget, probes,
+                                    k=k, bucket_stop=bucket_stop)
         mine = (lsel >= 0) & (gsel % n_sh == me)
         # keep my highest-priority owned probes (probe slots arrive in
         # priority order from _select_probes), compacted to the front by a
@@ -210,27 +260,31 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         pad_mask = key_s[:, :probes_per_shard] >= m
         l_s = jnp.where(pad_mask, -1, l_s[:, :probes_per_shard])
         rows = jnp.where(pad_mask, 0, g_s[:, :probes_per_shard] // n_sh)
-        kk = k * t if dedup else k
+        kk = k_eff * t if dedup_eff else k_eff
         d_l, i_l = _score_blocks(plan, x_leaf_l, sq_leaf_l, id_leaf_l,
-                                 rows, l_s, q_l, k, kk, metric, dedup,
-                                 precision)
-        d_l, i_l = _pad_k(d_l, i_l, k)
+                                 rows, l_s, q_l, k_eff, kk, metric,
+                                 dedup_eff, precision,
+                                 block_scale=scale_l)
+        d_l, i_l = _pad_k(d_l, i_l, k_eff)
         d_all = lax.all_gather(d_l, TREE_AXIS)
         i_all = lax.all_gather(i_l, TREE_AXIS)
         sh = d_all.shape[0]
-        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], sh * k)
-        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], sh * k)
-        return merge_top_k(d_all, i_all, k, dedup=dedup)
+        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], sh * k_eff)
+        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], sh * k_eff)
+        return merge_top_k(d_all, i_all, k,
+                           dedup=(dedup or min_votes > 1),
+                           min_votes=min_votes)
 
     r, thr, mgl, mgh = small
+    scale_spec = None if block_scale is None else P(TREE_AXIS)
     return jax.shard_map(
         block,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(TREE_AXIS), P(TREE_AXIS),
-                  P(TREE_AXIS), P(QUERY_AXIS)),
+                  P(TREE_AXIS), scale_spec, P(QUERY_AXIS)),
         out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
         check_vma=False,
-    )(r, thr, mgl, mgh, *packed, q)
+    )(r, thr, mgl, mgh, *packed, block_scale, q)
 
 
 @functools.partial(
@@ -394,10 +448,6 @@ class DistributedForest(RPForest):
             if self._packed is None:
                 return self
             scale = getattr(self, "_block_scale", None)
-            if scale is not None:
-                raise NotImplementedError(
-                    "int8 blocks support shard_by='tree' only for now"
-                )
             if shard_by != "leaf":
                 raise ValueError("shard_by must be 'tree' or 'leaf'")
             n_sh = self.mesh.shape[TREE_AXIS]
@@ -414,6 +464,11 @@ class DistributedForest(RPForest):
             il = jnp.take(id_leaf, jnp.asarray(rr), axis=0)
             il = jnp.where(jnp.asarray(pad_row)[:, None], -1, il)
             il_rr = jax.device_put(il, sh)
+            if scale is not None:
+                # int8 per-block scales follow the same round-robin layout
+                self._block_scale = jax.device_put(
+                    jnp.take(scale, jnp.asarray(rr), axis=0), sh
+                )
             self._packed = (x_rr, sq_rr, il_rr)
             repl = NamedSharding(self.mesh, P())
             self._small = tuple(
@@ -427,7 +482,7 @@ class DistributedForest(RPForest):
     def knn(self, q, k: int, metric: str = "l2",
             budget: Optional[int] = None, dedup: bool = True,
             precision: str = "highest", probes: Optional[int] = None,
-            probes_per_shard: Optional[int] = None):
+            probes_per_shard: Optional[int] = None, min_votes: int = 1):
         from ..models.forest import _as_dense_queries
 
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
@@ -442,7 +497,8 @@ class DistributedForest(RPForest):
             d, i = _dist_knn_leaf_sharded(
                 self.mesh, self.plan, self._small, self._packed, qb, int(k),
                 budget, int(probes), int(probes_per_shard), metric, dedup,
-                precision,
+                precision, min_votes=int(min_votes),
+                block_scale=getattr(self, "_block_scale", None),
             )
             return d[:b], i[:b]
         if probes is None:
@@ -460,24 +516,47 @@ class DistributedForest(RPForest):
             sq = jnp.zeros((1,), jnp.float32)
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, x,
                          sq, qb, int(k), budget, int(probes),
-                         metric, dedup, "flat", precision, packed4)
+                         metric, dedup, "flat", precision, packed4,
+                         min_votes=int(min_votes))
         return d[:b], i[:b]
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,
-              precision: str = "highest"):
+              precision: str = "highest", probes: Optional[int] = None):
         """Margin-priority kNN, sharded, with the reference's GLOBAL
         bucket-stop rule (RPTree.hs:208-217): bucket priorities and sizes
         from every shard are all_gathered (a few floats per query), each
         shard applies the same cumulative cutoff and reranks only its own
-        kept buckets, and the per-shard top-k merge as usual."""
+        kept buckets, and the per-shard top-k merge as usual.
+
+        Runs on the packed leaf blocks when available (including after
+        ``drop_dataset``): tree-sharded blocks score the kept buckets
+        directly; leaf-sharded blocks apply the stop rule on the
+        replicated structure arrays before the ownership filter."""
         from ..models.forest import _as_dense_queries
 
-        if self.x is None:
-            raise ValueError("dataset dropped; knn_h needs the raw rows "
-                             "(use knn on the packed path)")
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
         budget = self._budget(budget)
+        if getattr(self, "_packed_mode", None) == "leaf":
+            if probes is None:
+                probes = self.n_trees * budget
+            d, i = _dist_knn_leaf_sharded(
+                self.mesh, self.plan, self._small, self._packed, qb, int(k),
+                budget, int(probes), int(probes), metric, dedup, precision,
+                bucket_stop=True,
+                block_scale=getattr(self, "_block_scale", None),
+            )
+            return d[:b], i[:b]
+        if self._packed is not None:
+            packed4 = self._packed + (getattr(self, "_block_scale", None),)
+            x = jnp.zeros((1, 1), jnp.float32)
+            sq = jnp.zeros((1,), jnp.float32)
+            d, i = _dist_knn(self.mesh, self.plan, self.arrays, x, sq, qb,
+                             int(k), budget, 1, metric, dedup, "h_packed",
+                             precision, packed4)
+            return d[:b], i[:b]
+        if self.x is None:
+            raise ValueError("dataset dropped; pack_leaves() first")
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
                          self.sq_norms, qb, int(k), budget, 1, metric,
                          dedup, "h", precision, None)

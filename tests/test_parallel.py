@@ -184,8 +184,9 @@ def test_sharded_int8_packed(single, queries, data):
 
 
 def test_distributed_serve_only(data, queries):
-    """drop_dataset on a tree-sharded packed forest: packed knn keeps
-    working, paths needing raw rows raise."""
+    """drop_dataset on a tree-sharded packed forest: packed knn AND knn_h
+    keep working (knn_h scores the kept buckets on the blocks); paths
+    needing raw rows raise."""
     dist = forest_batch_distributed(
         SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
     ).pack_leaves()
@@ -193,7 +194,58 @@ def test_distributed_serve_only(data, queries):
     dist.drop_dataset()
     d2, i2 = dist.knn(queries, 5)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
-    with pytest.raises(ValueError):
-        dist.knn_h(queries, 5)
+    dh, ih = dist.knn_h(queries, 5)  # packed/serve-only knn_h
+    assert dh.shape == (queries.shape[0], 5)
+    assert (np.asarray(ih)[:, 0] >= 0).all()
     with pytest.raises(ValueError):
         dist.recall_with(queries, 5)
+
+
+def test_min_votes_matches_single_device(single, queries, data):
+    """The voting filter must behave identically on every distributed
+    path: unpacked, tree-sharded packed, and leaf-sharded packed."""
+    k = 8
+    d1, i1 = single.knn(queries, k, budget=16, min_votes=2)
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    )
+    for prep in (lambda f: f,
+                 lambda f: f.pack_leaves(),
+                 lambda f: f.pack_leaves(shard_by="leaf")):
+        f = prep(forest_batch_distributed(
+            SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)))
+        d2, i2 = f.knn(queries, k, budget=16, min_votes=2)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   atol=1e-5)
+        for b in range(queries.shape[0]):
+            assert (set(np.asarray(i1)[b].tolist())
+                    == set(np.asarray(i2)[b].tolist())), (prep, b)
+
+
+def test_leaf_sharded_knn_h_matches_single_packed(single, queries, data):
+    """Leaf-sharded knn_h applies the identical bucket-stop mask on the
+    replicated structure arrays, so it must match the single-device
+    packed knn_h exactly."""
+    sp = rt.forest_batch(SEED, MAXD, MINL, T, PNZ, data).pack_leaves()
+    d1, i1 = sp.knn_h(queries, 5, budget=16)
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    ).pack_leaves(shard_by="leaf")
+    d2, i2 = dist.knn_h(queries, 5, budget=16)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+
+def test_int8_leaf_sharded_packed(single, queries, data):
+    """int8 blocks + leaf sharding: per-block scales follow the
+    round-robin layout; neighbour quality must hold."""
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    ).pack_leaves(dtype=jnp.int8, shard_by="leaf")
+    d1, i1 = single.knn(queries, 8, budget=16)
+    d2, i2 = dist.knn(queries, 8, budget=16)
+    overlap = np.mean([
+        len(set(np.asarray(i1)[b].tolist())
+            & set(np.asarray(i2)[b].tolist())) / 8
+        for b in range(queries.shape[0])
+    ])
+    assert overlap >= 0.9
