@@ -268,17 +268,12 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                          block_scale=block_scale)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("plan", "budget", "k", "metric", "dedup", "precision"),
-)
-def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
-           precision="highest"):
-    """Margin-priority variant (reference ``knnH``, RPTree.hs:196-217):
-    across all trees, leaf buckets are consumed in ascending margin-priority
-    order until at least k points are collected; only those buckets enter
-    the exact rerank.  (The reference returns the selected buckets unsorted
-    and untruncated; here they are reranked and truncated to k.)"""
+def _knn_h_ids(plan, arrays, q, k, budget):
+    """Candidate point ids selected by the knnH bucket-stop rule
+    (RPTree.hs:208-217): buckets in ascending margin-priority order while
+    the running size stays <= k (always keeping the first).  Returns
+    ``int32[B, M]`` ids with -1 padding -- the rerank-ready candidate set,
+    shared by the single-device and data-sharded paths."""
     leaf_ids, prio = _traverse_forest(plan, arrays, q, budget)  # [T, B, F]
     t, b, f = leaf_ids.shape
     leaf_ids_bt = jnp.transpose(leaf_ids, (1, 0, 2)).reshape(b, t * f)
@@ -313,7 +308,21 @@ def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
     valid = (leaf_kept >= 0)[..., None] & (offs < lens[..., None])
     pos = jnp.where(valid, pos, 0)
     ids = jnp.take_along_axis(perm_rows, pos, axis=-1)
-    ids = jnp.where(valid, ids, -1).reshape(b, -1)
+    return jnp.where(valid, ids, -1).reshape(b, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "budget", "k", "metric", "dedup", "precision"),
+)
+def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
+           precision="highest"):
+    """Margin-priority variant (reference ``knnH``, RPTree.hs:196-217):
+    across all trees, leaf buckets are consumed in ascending margin-priority
+    order until at least k points are collected; only those buckets enter
+    the exact rerank.  (The reference returns the selected buckets unsorted
+    and untruncated; here they are reranked and truncated to k.)"""
+    ids = _knn_h_ids(plan, arrays, q, k, budget)
     return rerank_top_k(x, sq_norms, q, ids, k, metric=metric, dedup=dedup,
                         precision=_prec(precision))
 

@@ -14,6 +14,7 @@ from .distributed import (
 )
 from .data_parallel import (
     DATA_AXIS,
+    DataParallelForest,
     brute_force_knn_sharded,
     data_mesh,
     forest_batch_data_parallel,
@@ -21,6 +22,7 @@ from .data_parallel import (
 
 __all__ = [
     "DATA_AXIS",
+    "DataParallelForest",
     "QUERY_AXIS",
     "TREE_AXIS",
     "brute_force_knn_sharded",

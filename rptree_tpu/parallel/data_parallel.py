@@ -42,13 +42,14 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ForestConfig
-from ..models.forest import RPForest
+from ..models.forest import RPForest, _candidate_ids
 from ..models.plan import TreePlan, make_plan
 from ..ops.build import TreeArrays
+from ..ops.sparse import EllMatrix
 from ..utils import gen as rgen
 
-__all__ = ["forest_batch_data_parallel", "brute_force_knn_sharded",
-           "DATA_AXIS", "data_mesh"]
+__all__ = ["DataParallelForest", "forest_batch_data_parallel",
+           "brute_force_knn_sharded", "DATA_AXIS", "data_mesh"]
 
 DATA_AXIS = "data"
 
@@ -123,9 +124,12 @@ def _select_rank(keys_sorted, seg_lo, seg_hi, ranks, n_local):
 
 @functools.partial(jax.jit, static_argnames=("mesh", "plan"))
 def _dp_build_tree(mesh, plan: TreePlan, x, r):
-    """One tree's data-parallel build.  ``x: f32[N, D]`` sharded over rows;
-    ``r: f32[depth, D]`` replicated.  Returns (thr, mgl, mgh ``[L, S_max]``
-    replicated; leaf codes ``int32[N]`` sharded)."""
+    """All trees' data-parallel build in ONE dispatch.  ``x: f32[N, D]``
+    sharded over rows; ``r: f32[T, depth, D]`` replicated.  Returns
+    (thr, mgl, mgh ``[T, L, S_max]`` replicated; leaf codes ``int32[T, N]``
+    sharded over the point axis).  The per-tree body is vmapped over the
+    tree axis inside the shard_map, so the radix-selection collectives
+    batch across trees instead of dispatching T sequential pipelines."""
     nl = plan.n_levels
     smax = max(lp.n_segs for lp in plan.levels) if nl else 1
 
@@ -146,7 +150,7 @@ def _dp_build_tree(mesh, plan: TreePlan, x, r):
     for l, lp in enumerate(plan.levels):
         child[l, : lp.n_segs] = lp.child_enc
 
-    def block(x_l, r_l):
+    def one_tree(x_l, r_l):
         n_local = x_l.shape[0]
         my_shard = lax.axis_index(DATA_AXIS)
         n_shards = lax.psum(1, DATA_AXIS)
@@ -228,66 +232,394 @@ def _dp_build_tree(mesh, plan: TreePlan, x, r):
         mgh = jnp.stack(mgh_out) if nl else jnp.zeros((0, 1), jnp.float32)
         return thr, mgl, mgh, leaf
 
+    def block(x_l, r_all):
+        return jax.vmap(lambda r_l: one_tree(x_l, r_l))(r_all)
+
     return jax.shard_map(
         block,
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P()),
-        out_specs=(P(), P(), P(), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(), P(None, DATA_AXIS)),
         check_vma=False,
     )(x, r)
+
+
+@jax.jit
+def _leaf_perm(leaf):
+    """Stable per-tree permutation from leaf codes: ``int32[T, N]`` ->
+    argsort by (leaf, original index).  The codes are tiny (4 bytes/point/
+    tree); XLA gathers the sharded codes and sorts on device -- no host
+    round trip, no per-tree Python loop."""
+    return jnp.argsort(leaf, axis=-1, stable=True).astype(jnp.int32)
+
+
+@jax.jit
+def _sq_norms_sharded(x):
+    return jnp.sum(x * x, axis=-1)
 
 
 def forest_batch_data_parallel(
     seed, max_depth: int, min_leaf: int, n_trees: int, pnz: float, data,
     mesh: Optional[Mesh] = None, payloads: Optional[Sequence] = None,
-) -> RPForest:
-    """Batch-build with the dataset sharded over points.
+) -> "DataParallelForest":
+    """Batch-build with the dataset sharded over points, end to end.
 
     The projections and median selection run sharded (each device touches
-    only its rows); the finalize step gathers the per-point leaf codes
-    (int32[N] per tree -- tiny) to assemble the standard leaf-sorted
-    permutation, and returns an ordinary :class:`RPForest`.  ``N`` must be
-    divisible by the shard count.
+    only its rows, all trees in one dispatch); the permutation is a
+    device-side stable sort of the per-point leaf codes; and the returned
+    :class:`DataParallelForest` KEEPS the dataset sharded -- rerank, brute
+    force, recall, and leaf packing all consume shard-local rows, so no
+    device ever materializes the full dataset.  ``N`` must be divisible by
+    the shard count.  Reference analogue: ``partitionAtMedian`` at scale
+    (``Internal.hs:484-505``); the sharding itself has no reference
+    counterpart (SURVEY.md section 2.11).
     """
     if mesh is None:
         mesh = data_mesh()
     n_shards = mesh.shape[DATA_AXIS]
-    x = jnp.asarray(data, dtype=jnp.float32)
-    n, dim = x.shape
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if isinstance(data, jax.Array) and data.sharding.is_equivalent_to(
+            sharding, data.ndim):
+        xs = data  # already sharded on this mesh: zero movement
+    else:
+        # device_put from host shards directly; never materialize the
+        # full array on one device
+        xs = jax.device_put(np.asarray(data, dtype=np.float32), sharding)
+    n, dim = xs.shape
     if n % n_shards:
         raise ValueError(f"N={n} not divisible by {n_shards} data shards")
     plan = make_plan(n, max_depth, min_leaf)
     r = rgen.sample_projections(seed, n_trees, max_depth, dim, pnz)
-    xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+    r = jax.device_put(r, NamedSharding(mesh, P()))
 
-    thrs, mgls, mghs, perms = [], [], [], []
-    for t in range(n_trees):
-        if plan.n_levels == 0:  # single-leaf tree
-            thrs.append(np.zeros((0, 1), np.float32))
-            mgls.append(np.zeros((0, 1), np.float32))
-            mghs.append(np.zeros((0, 1), np.float32))
-            perms.append(np.arange(n, dtype=np.int32))
-            continue
-        thr, mgl, mgh, leaf = _dp_build_tree(mesh, plan, xs, r[t])
-        leaf_np = np.asarray(leaf)
-        # stable sort by (leaf, original index) -> the standard permutation
-        order = np.argsort(leaf_np, kind="stable")
-        perms.append(order.astype(np.int32))
-        thrs.append(np.asarray(thr))
-        mgls.append(np.asarray(mgl))
-        mghs.append(np.asarray(mgh))
-
-    arrays = TreeArrays(
-        r=r,
-        thr=jnp.asarray(np.stack(thrs)),
-        mgl=jnp.asarray(np.stack(mgls)),
-        mgh=jnp.asarray(np.stack(mghs)),
-        perm=jnp.asarray(np.stack(perms)),
-    )
-    sq = jnp.sum(x * x, axis=-1)
+    if plan.n_levels == 0:  # single-leaf trees
+        arrays = TreeArrays(
+            r=r,
+            thr=jnp.zeros((n_trees, 0, 1), jnp.float32),
+            mgl=jnp.zeros((n_trees, 0, 1), jnp.float32),
+            mgh=jnp.zeros((n_trees, 0, 1), jnp.float32),
+            perm=jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                                  (n_trees, n)),
+        )
+    else:
+        thr, mgl, mgh, leaf = _dp_build_tree(mesh, plan, xs, r)
+        arrays = TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh,
+                            perm=_leaf_perm(leaf))
+    sq = _sq_norms_sharded(xs)
     cfg = ForestConfig(n_trees=n_trees, max_depth=max_depth,
                        min_leaf=min_leaf, proj_nz_density=pnz, dim=dim)
-    return RPForest(plan, arrays, x, sq, cfg, payloads=payloads, seed=seed)
+    return DataParallelForest(plan, arrays, xs, sq, cfg, mesh,
+                              payloads=payloads, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# sharded query pipelines (dataset stays sharded over points)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "plan", "k", "budget", "metric", "dedup",
+                     "precision", "min_votes", "variant"),
+)
+def _dp_knn(mesh, plan, arrays, x, sq, q, k, budget, metric, dedup,
+            precision, min_votes=1, variant="flat"):
+    """kNN with the dataset sharded over points: the (tiny, replicated)
+    structure arrays are traversed identically on every shard, each shard
+    exactly reranks only the candidates whose rows it OWNS, and an
+    all_gather + re-top-k merges (the reference's Semigroup fold,
+    RPTree.hs:176, as a collective).  ``min_votes`` is exact: every copy
+    of a candidate id lives in the replicated union, so the vote filter
+    runs before the ownership mask."""
+    from ..models.forest import _knn_h_ids, _prec
+    from ..ops.rerank import dedup_ids, merge_top_k, rerank_top_k
+    from .distributed import _pad_k
+
+    def block(arrays_r, x_l, sq_l, q_r):
+        n_l = x_l.shape[0]
+        me = lax.axis_index(DATA_AXIS)
+        base = me * n_l
+        if variant == "h":
+            union = _knn_h_ids(plan, arrays_r, q_r, k, budget)  # [B, M]
+        else:
+            cand = _candidate_ids(plan, arrays_r, q_r, budget)  # [T, B, C]
+            t, b, c = cand.shape
+            union = jnp.transpose(cand, (1, 0, 2)).reshape(b, t * c)
+        if min_votes > 1:
+            union = dedup_ids(union, min_votes=min_votes)
+            dedup_l = False
+        else:
+            dedup_l = dedup
+        local = union - base
+        mine = (union >= 0) & (local >= 0) & (local < n_l)
+        local_ids = jnp.where(mine, local, -1)
+        d_l, i_l = rerank_top_k(x_l, sq_l, q_r, local_ids, k, metric=metric,
+                                dedup=dedup_l, precision=_prec(precision))
+        i_l = jnp.where(i_l >= 0, i_l + base, -1)
+        d_l, i_l = _pad_k(d_l, i_l, k)
+        d_all = lax.all_gather(d_l, DATA_AXIS)  # [S, B, k]
+        i_all = lax.all_gather(i_l, DATA_AXIS)
+        s = d_all.shape[0]
+        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], s * k)
+        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s * k)
+        return merge_top_k(d_all, i_all, k, dedup=dedup or min_votes > 1)
+
+    spec = TreeArrays(r=P(), thr=P(), mgl=P(), mgh=P(), perm=P())
+    return jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(spec, P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(arrays, x, sq, q)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "plan", "k", "budget", "metric")
+)
+def _dp_recall(mesh, plan, arrays, x, sq, q, k, budget, metric):
+    """recallWith (RPTree.hs:259-268) with the ground truth computed by
+    the sharded brute-force scan: per-shard exact top-k, all_gather +
+    re-top-k, then the per-tree candidate intersection on the replicated
+    structure arrays."""
+    from ..models.forest import _brute_force
+    from ..ops.rerank import merge_top_k
+    from .distributed import _pad_k
+
+    def block(arrays_r, x_l, sq_l, q_r):
+        n_l = x_l.shape[0]
+        d_l, i_l = _brute_force(x_l, sq_l, q_r, k, metric)
+        i_l = jnp.where(i_l >= 0, i_l + lax.axis_index(DATA_AXIS) * n_l, -1)
+        d_l, i_l = _pad_k(d_l, i_l, k)
+        d_all = lax.all_gather(d_l, DATA_AXIS)
+        i_all = lax.all_gather(i_l, DATA_AXIS)
+        s = d_all.shape[0]
+        d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], s * k)
+        i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], s * k)
+        _, exact_ids = merge_top_k(d_all, i_all, k, dedup=False)
+        cand = _candidate_ids(plan, arrays_r, q_r, budget)  # [T, B, C]
+        hit = (exact_ids[None, :, :, None] == cand[:, :, None, :]) & (
+            cand[:, :, None, :] >= 0
+        )
+        found = jnp.any(hit, axis=-1)
+        return jnp.mean(jnp.sum(found, -1).astype(jnp.float32) / k, axis=0)
+
+    spec = TreeArrays(r=P(), thr=P(), mgl=P(), mgh=P(), perm=P())
+    return jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(spec, P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(arrays, x, sq, q)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "plan", "n_trees", "dtype_str"))
+def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str):
+    """Leaf-blocked packing FROM the sharded dataset, INTO leaf-sharded
+    blocks (block g on shard g % S at local row g // S -- the layout
+    :func:`rptree_tpu.parallel.distributed._dist_knn_leaf_sharded`
+    serves).  Each destination shard's blocks are assembled by one psum of
+    per-source partial blocks, looped over destinations so per-device peak
+    memory stays O(index / S); total ICI traffic is one dataset copy.  No
+    device ever holds more than its 1/S of the rows or of the blocks."""
+    lmax = max(plan.max_leaf_len, 1)
+    nl = plan.n_leaves
+    n_sh = mesh.shape[DATA_AXIS]
+    g_total = n_trees * nl
+    g_per = -(-g_total // n_sh)  # blocks per shard (last may pad)
+    starts = np.asarray(plan.leaf_start)
+    lens = np.asarray(plan.leaf_len)
+    pos_all = starts[:, None] + np.arange(lmax)[None, :]  # [nl, lmax]
+    in_leaf_all = np.arange(lmax)[None, :] < lens[:, None]
+    pos_all = np.where(in_leaf_all, pos_all, 0).astype(np.int32)
+
+    def block(perm_r, x_l):
+        me = lax.axis_index(DATA_AXIS)
+        n_l = x_l.shape[0]
+        base = me * n_l
+        d = x_l.shape[1]
+        acc = jnp.zeros((g_per, lmax, d), jnp.float32)
+        for s in range(n_sh):
+            g = s + n_sh * np.arange(g_per)           # destination blocks
+            g_ok = g < g_total
+            g = np.minimum(g, g_total - 1)
+            t_of = (g // nl).astype(np.int32)
+            leaf_of = (g % nl).astype(np.int32)
+            pos = jnp.asarray(pos_all[leaf_of])       # [g_per, lmax]
+            ids = perm_r[jnp.asarray(t_of)[:, None], pos]
+            valid = jnp.asarray(in_leaf_all[leaf_of] & g_ok[:, None])
+            local = ids - base
+            mine = valid & (local >= 0) & (local < n_l)
+            rows_p = jnp.where(
+                mine[..., None],
+                jnp.take(x_l, jnp.clip(local, 0, n_l - 1), axis=0),
+                0.0,
+            )
+            rows_full = lax.psum(rows_p, DATA_AXIS)
+            acc = jnp.where(me == s, rows_full, acc)
+        # ids / occupancy of MY OWN blocks (me is traced: gather the static
+        # tables by traced block index)
+        j = jnp.arange(g_per, dtype=jnp.int32)
+        g_own = me + n_sh * j
+        own_ok = g_own < g_total
+        g_own = jnp.minimum(g_own, g_total - 1)
+        t_own = g_own // nl
+        leaf_own = g_own % nl
+        pos_own = jnp.take(jnp.asarray(pos_all), leaf_own, axis=0)
+        in_own = jnp.take(jnp.asarray(in_leaf_all), leaf_own, axis=0)
+        in_own = in_own & own_ok[:, None]
+        ids_own = perm_r[t_own[:, None], pos_own]
+        ids_own = jnp.where(in_own, ids_own, -1)
+        rows = jnp.where(in_own[..., None], acc, 0.0)
+        sq = jnp.sum(rows * rows, axis=-1)
+        if dtype_str == "int8":
+            amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
+            scale = jnp.maximum(amax, 1e-30) / 127.0
+            rows = jnp.clip(jnp.round(rows / scale), -127, 127
+                            ).astype(jnp.int8)
+            scale = scale.reshape(g_per)
+        else:
+            scale = jnp.ones(g_per, jnp.float32)
+            if dtype_str == "bf16":
+                rows = rows.astype(jnp.bfloat16)
+        return rows, sq, ids_own, scale
+
+    d_ax = P(DATA_AXIS)
+    return jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), d_ax),
+        out_specs=(d_ax, d_ax, d_ax, d_ax),
+        check_vma=False,
+    )(perm, x)
+
+
+class DataParallelForest(RPForest):
+    """An :class:`RPForest` whose DATASET is sharded over points on a
+    1-D device mesh -- for datasets beyond one chip's HBM.
+
+    Build, rerank, brute force, recall, and leaf packing all consume
+    shard-local rows; serving uses leaf-sharded packed blocks (1/S of the
+    index per chip).  The small structure arrays (projections, thresholds,
+    margins, permutation) are replicated: traversal is cheap and data
+    movement is what kills.
+    """
+
+    def __init__(self, plan, arrays, x, sq_norms, config, mesh: Mesh,
+                 payloads: Optional[Sequence] = None, seed=None):
+        super().__init__(plan, arrays, x, sq_norms, config,
+                         payloads=payloads, seed=seed)
+        self.mesh = mesh
+
+    def _q_repl(self, q):
+        from ..models.forest import _as_dense_queries
+
+        qb = _as_dense_queries(q, self.dim)
+        return jax.device_put(qb, NamedSharding(self.mesh, P()))
+
+    def knn(self, q, k: int, metric: str = "l2",
+            budget: Optional[int] = None, dedup: bool = True,
+            precision: str = "highest", probes: Optional[int] = None,
+            min_votes: int = 1):
+        qb = self._q_repl(q)
+        budget = self._budget(budget)
+        if getattr(self, "_packed_mode", None) == "leaf":
+            from .distributed import _dist_knn_leaf_sharded
+
+            if probes is None:
+                probes = self.n_trees * budget
+            out = _dist_knn_leaf_sharded(
+                self.mesh, self.plan, self._small, self._packed, qb, int(k),
+                budget, int(probes), int(probes), metric, dedup, precision,
+                min_votes=int(min_votes),
+                block_scale=getattr(self, "_block_scale", None),
+                axis=DATA_AXIS,
+            )
+        else:
+            if self.x is None:
+                raise ValueError("dataset dropped; only packed-path "
+                                 "queries are available")
+            out = _dp_knn(self.mesh, self.plan, self.arrays, self.x,
+                          self.sq_norms, qb, int(k), budget, metric, dedup,
+                          precision, min_votes=int(min_votes))
+        if self._deleted is not None:
+            out = self._mask_deleted(out[0], out[1], int(k))
+        if getattr(self, "_pending", None):
+            out = self._merge_pending(qb, out[0], out[1], int(k), metric,
+                                      precision)
+        return out
+
+    def knn_h(self, q, k: int, metric: str = "l2",
+              budget: Optional[int] = None, dedup: bool = True,
+              precision: str = "highest", probes: Optional[int] = None):
+        qb = self._q_repl(q)
+        budget = self._budget(budget)
+        if getattr(self, "_packed_mode", None) == "leaf":
+            from .distributed import _dist_knn_leaf_sharded
+
+            if probes is None:
+                probes = self.n_trees * budget
+            return _dist_knn_leaf_sharded(
+                self.mesh, self.plan, self._small, self._packed, qb, int(k),
+                budget, int(probes), int(probes), metric, dedup, precision,
+                bucket_stop=True,
+                block_scale=getattr(self, "_block_scale", None),
+                axis=DATA_AXIS,
+            )
+        if self.x is None:
+            raise ValueError("dataset dropped; pack_leaves() first")
+        return _dp_knn(self.mesh, self.plan, self.arrays, self.x,
+                       self.sq_norms, qb, int(k), budget, metric, dedup,
+                       precision, variant="h")
+
+    def brute_force_knn(self, q, k: int, metric: str = "l2",
+                        precision: str = "highest"):
+        if self.x is None:
+            raise ValueError("dataset dropped; brute force needs raw rows")
+        qb = self._q_repl(q)
+        return _bf_sharded(self.mesh, self.x, self.sq_norms, qb, int(k),
+                           metric)
+
+    def recall_with(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None):
+        if self.x is None:
+            raise ValueError("dataset dropped; recall needs raw rows")
+        qb = self._q_repl(q)
+        return _dp_recall(self.mesh, self.plan, self.arrays, self.x,
+                          self.sq_norms, qb, int(k), self._budget(budget),
+                          metric)
+
+    def pack_leaves(self, dtype=None,
+                    shard_by: str = "leaf") -> "DataParallelForest":
+        """Pack leaf blocks directly from the SHARDED dataset into
+        leaf-sharded blocks (1/S of the index per chip).  Only
+        ``shard_by="leaf"`` exists here: any other layout would
+        materialize more than 1/S of the data somewhere."""
+        if shard_by != "leaf":
+            raise ValueError("DataParallelForest packs shard_by='leaf' "
+                             "only (the memory-complete layout)")
+        if self._packed is not None:
+            return self
+        if isinstance(self.x, EllMatrix):
+            return self
+        if dtype is None:
+            dtype_str = "f32"
+        elif jnp.dtype(dtype) == jnp.int8:
+            dtype_str = "int8"
+        elif jnp.dtype(dtype) == jnp.bfloat16:
+            dtype_str = "bf16"
+        else:
+            dtype_str = "f32"
+        rows, sq, ids, scale = _dp_pack(self.mesh, self.plan, self.n_trees,
+                                        self.arrays.perm, self.x, dtype_str)
+        self._packed = (rows, sq, ids)
+        self._block_scale = scale if dtype_str == "int8" else None
+        self._packed_mode = "leaf"
+        repl = NamedSharding(self.mesh, P())
+        self._small = tuple(
+            jax.device_put(a, repl)
+            for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,
+                      self.arrays.mgh)
+        )
+        return self
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "metric"))

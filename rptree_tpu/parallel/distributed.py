@@ -213,12 +213,12 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
     jax.jit,
     static_argnames=("mesh", "plan", "k", "budget", "probes",
                      "probes_per_shard", "metric", "dedup", "precision",
-                     "min_votes", "bucket_stop"),
+                     "min_votes", "bucket_stop", "axis"),
 )
 def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            probes_per_shard, metric, dedup, precision,
                            min_votes=1, bucket_stop=False,
-                           block_scale=None):
+                           block_scale=None, axis=TREE_AXIS):
     """kNN with the leaf blocks sharded round-robin across the tree axis
     (per-chip index memory = 1/S of the total).  Every shard traverses the
     whole (small, replicated) forest structure for its queries, keeps the
@@ -233,8 +233,8 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
 
     def block(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l, scale_l,
               q_l):
-        n_sh = lax.psum(1, TREE_AXIS)
-        me = lax.axis_index(TREE_AXIS)
+        n_sh = lax.psum(1, axis)
+        me = lax.axis_index(axis)
         t = r.shape[0]
         if min_votes > 1:
             # full owned-probe width: vote copies must not truncate
@@ -266,8 +266,8 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                                  dedup_eff, precision,
                                  block_scale=scale_l)
         d_l, i_l = _pad_k(d_l, i_l, k_eff)
-        d_all = lax.all_gather(d_l, TREE_AXIS)
-        i_all = lax.all_gather(i_l, TREE_AXIS)
+        d_all = lax.all_gather(d_l, axis)
+        i_all = lax.all_gather(i_l, axis)
         sh = d_all.shape[0]
         d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], sh * k_eff)
         i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], sh * k_eff)
@@ -276,13 +276,14 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            min_votes=min_votes)
 
     r, thr, mgl, mgh = small
-    scale_spec = None if block_scale is None else P(TREE_AXIS)
+    scale_spec = None if block_scale is None else P(axis)
+    q_spec = P(QUERY_AXIS) if QUERY_AXIS in mesh.shape else P()
     return jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(TREE_AXIS), P(TREE_AXIS),
-                  P(TREE_AXIS), scale_spec, P(QUERY_AXIS)),
-        out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis),
+                  P(axis), scale_spec, q_spec),
+        out_specs=(q_spec, q_spec),
         check_vma=False,
     )(r, thr, mgl, mgh, *packed, block_scale, q)
 

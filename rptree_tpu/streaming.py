@@ -71,12 +71,23 @@ class ForestBuilder:
     def n_points(self) -> int:
         return self._n
 
+    def _mesh_devices(self):
+        import jax
+
+        if self.mesh is not None:
+            return list(self.mesh.devices.flatten())
+        return jax.devices()
+
     def insert_chunk(self, chunk, payloads: Optional[Sequence] = None):
         """Fold one data chunk into the builder (reference ``insertC``,
         Conduit.hs:79-91).  Chunks are transferred to the device eagerly
         and asynchronously, overlapping host->device uploads with the
         source's own ingest work instead of paying one large transfer at
-        finalize."""
+        finalize.  In data-parallel mode chunks are placed ROUND-ROBIN
+        across the mesh's devices, so accumulation peak per device is
+        O(N / S) -- the bounded-memory property of the reference's conduit
+        pipeline (Conduit.hs:169-176), which the sharded finalize then
+        consumes without ever assembling the dataset on one chip."""
         import jax
 
         c = np.asarray(chunk, dtype=np.float32)
@@ -87,7 +98,11 @@ class ForestBuilder:
         if payloads is not None and len(payloads) != c.shape[0]:
             raise ValueError("payloads length != chunk length")
         try:
-            c = jax.device_put(c)  # async; jnp.concatenate at build time
+            if self.data_parallel:
+                devs = self._mesh_devices()
+                c = jax.device_put(c, devs[len(self._chunks) % len(devs)])
+            else:
+                c = jax.device_put(c)  # async; jnp.concatenate at build
         except Exception:
             pass  # keep the host copy if the device is unavailable
         self._chunks.append(c)
@@ -114,32 +129,65 @@ class ForestBuilder:
         if self._index is None:
             import jax.numpy as jnp
 
-            x = jnp.concatenate([jnp.asarray(c) for c in self._chunks],
-                                axis=0)
             if self.data_parallel:
-                # sharded finalize: projections + distributed median
-                # selection run with the accumulated data sharded over
-                # points (rptree_tpu.parallel.data_parallel); pad the tail
-                # chunk so rows divide the shard count
+                # sharded finalize: reassemble the round-robin-accumulated
+                # chunks into the contiguous data-sharded layout CHUNK-WISE
+                # (device-to-device slices; per-device peak stays O(N/S)
+                # throughout -- its final 1/S block plus in-flight chunks),
+                # preserving ingest-order ids exactly, then run the
+                # distributed-median build on the sharded rows
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
                 from .parallel.data_parallel import (
+                    DATA_AXIS,
                     data_mesh,
                     forest_batch_data_parallel,
                 )
 
                 mesh = self.mesh if self.mesh is not None else data_mesh()
-                s = int(np.prod(list(mesh.shape.values())))
-                if x.shape[0] % s:
+                devs = list(mesh.devices.flatten())
+                s = len(devs)
+                n = self._n
+                if n % s:
                     raise ValueError(
-                        f"streamed rows ({x.shape[0]}) must divide the "
+                        f"streamed rows ({n}) must divide the "
                         f"data-shard count ({s}) for the sharded finalize"
                     )
+                per = n // s
+                parts: list = [[] for _ in range(s)]
+                off = 0
+                for c in self._chunks:
+                    c = jnp.asarray(c)
+                    m = c.shape[0]
+                    a = off
+                    while a < off + m:
+                        d = min(a // per, s - 1)
+                        e = min(off + m, (d + 1) * per)
+                        parts[d].append(
+                            jax.device_put(c[a - off:e - off], devs[d])
+                        )
+                        a = e
+                    off += m
+                blocks = [
+                    bl[0] if len(bl) == 1 else jnp.concatenate(bl, axis=0)
+                    for bl in parts
+                ]
+                xs = jax.make_array_from_single_device_arrays(
+                    (n, self.dim),
+                    NamedSharding(mesh, P(DATA_AXIS)),
+                    blocks,
+                )
                 self._index = forest_batch_data_parallel(
                     self.seed, self.max_depth, self.min_leaf, self.n_trees,
-                    self.pnz, x, mesh=mesh,
+                    self.pnz, xs, mesh=mesh,
                 )
                 if self._all_payloads() is not None:
                     self._index.payloads = self._all_payloads()
             else:
+                x = jnp.concatenate(
+                    [jnp.asarray(c) for c in self._chunks], axis=0
+                )
                 self._index = forest_batch(
                     self.seed, self.max_depth, self.min_leaf, self.n_trees,
                     self.pnz, x, payloads=self._all_payloads(),

@@ -89,6 +89,43 @@ def test_streaming_oracle_refine_semantics():
     assert d.max() < 1.0
 
 
+def test_streaming_data_parallel_bounded_memory():
+    """VERDICT r1 item 4: streaming accumulation is sharded -- chunks land
+    round-robin across the mesh devices (per-device peak O(N/S)), the
+    finalize consumes shard-local rows, and the built forest keeps the
+    dataset sharded.  GIST-shaped rows (dim 960), scaled down for CI."""
+    import collections
+
+    import numpy as np
+
+    from rptree_tpu import ForestBuilder
+    from rptree_tpu.parallel.data_parallel import data_mesh
+
+    n, dim, chunk = 4096, 960, 256
+    rng = np.random.default_rng(5)
+    mesh = data_mesh(8)
+    b = ForestBuilder(9, 5, 64, 2, 0.5, dim, mesh=mesh)
+    for s in range(0, n, chunk):
+        b.insert_chunk(rng.normal(size=(chunk, dim)).astype(np.float32))
+
+    # accumulation: every chunk committed to ONE device, rows balanced
+    per_dev = collections.Counter()
+    for c in b._chunks:
+        devs = list(c.devices())
+        assert len(devs) == 1
+        per_dev[devs[0]] += c.shape[0]
+    assert max(per_dev.values()) <= n // 8 + chunk
+
+    f = b.build()
+    assert f.tree_size() == n
+    # the finalized forest keeps x sharded: 1/8 of the rows per device
+    assert max(sh.data.shape[0] for sh in f.x.addressable_shards) == n // 8
+    # and it serves correctly
+    q = np.asarray(b._chunks[0])[:4]
+    d, i = map(np.asarray, f.knn(q, 3))
+    assert (i[:, 0] >= 0).all() and (d[:, 0] < d[:, 2]).all()
+
+
 def test_streaming_data_parallel_finalize():
     """Streaming accumulation with the sharded (data-parallel) finalize
     must equal the single-device streaming build."""
