@@ -39,7 +39,7 @@ from ..ops.rerank import (
     merge_top_k,
     rerank_top_k,
 )
-from ..ops.sparse import EllMatrix, ell_sq_norms, ell_to_dense
+from ..ops.sparse import EllBlocks, EllMatrix, ell_sq_norms, ell_to_dense
 from ..ops.traverse import traverse_tree
 from ..utils import gen as rgen
 from .plan import TreePlan, make_plan
@@ -177,15 +177,52 @@ def _select_probes(plan, arrays, q, budget, probes, k=None,
 
 def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
                   kk, metric, dedup, precision, min_votes=1,
-                  block_scale=None):
+                  block_scale=None, block_len=None):
     """Fetch and exactly score the selected leaf blocks.
 
     ``rows_sel int32[B, P]``: row index into the (possibly shard-local)
     block arrays; ``lsel``: leaf ids for occupancy masking (-1 = skip).
+    ``block_len int32[G]``, when given, overrides the plan's static leaf
+    occupancy (blocks grown by :meth:`RPForest.fold`).  The slot axis may
+    exceed ``plan.max_leaf_len`` (slack slots for folded inserts).
     Returns ``(dists f32[B, k], ids int32[B, k])``.
     """
-    lmax = max(plan.max_leaf_len, 1)
+    lmax = x_leaf.shape[-2]
     b, probes = rows_sel.shape
+    if isinstance(x_leaf, EllBlocks):
+        # sparse blocks: gather whole (cols, vals) blocks with the same
+        # [B, P] index pattern, fetch the DENSE query at the stored
+        # column indices, contract over the K slot axis (padding slots
+        # are col=0/val=0 and contribute nothing) -- the batched form of
+        # the reference's innerSD pointer walk (Internal.hs:369-382)
+        if callable(metric):
+            raise NotImplementedError(
+                "custom distance callables need dense data rows"
+            )
+        cols = jnp.take(x_leaf.cols, rows_sel, axis=0)  # [B, P, lmax, K]
+        vals = jnp.take(x_leaf.vals, rows_sel, axis=0)
+        qg = jnp.take_along_axis(q[:, None, None, :],
+                                 cols.astype(jnp.int32), axis=-1)
+        dots = jnp.sum(vals.astype(jnp.float32) * qg, axis=-1)
+        sqx = jnp.take(sq_leaf, rows_sel, axis=0)
+        d = distances_from_dots(dots, sqx, q[:, None], metric)
+        if block_len is not None:
+            lens = jnp.take(block_len, rows_sel)
+        else:
+            lens = jnp.take(jnp.asarray(plan.leaf_len),
+                            jnp.clip(lsel, 0, None))
+        valid = (lsel >= 0)[..., None] & (
+            jnp.arange(lmax, dtype=jnp.int32) < lens[..., None]
+        )
+        d = jnp.where(valid, d, jnp.inf).reshape(b, probes * lmax)
+        kk = min(kk, probes * lmax)
+        ids_blk = jnp.take(id_leaf, rows_sel, axis=0)
+        ids_flat = ids_blk.reshape(b, probes * lmax)
+        d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
+        d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
+        ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
+        return merge_top_k(d_top, ids_top, k, dedup=dedup,
+                           min_votes=min_votes)
     # [B, P, lmax, D] block gather; x_leaf is stored 3-D so no reshape
     # (a [.., lmax*D] -> [.., lmax, D] reshape forces a relayout copy that
     # measured ~15% of the whole query)
@@ -221,7 +258,10 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
         # gather instead of a second full multiply-reduce over the rows
         sqx = jnp.take(sq_leaf, rows_sel, axis=0)
         d = distances_from_dots(dots, sqx, q[:, None], metric)  # [B, P, lmax]
-    lens = jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None))
+    if block_len is not None:
+        lens = jnp.take(block_len, rows_sel)
+    else:
+        lens = jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None))
     valid = (lsel >= 0)[..., None] & (
         jnp.arange(lmax, dtype=jnp.int32) < lens[..., None]
     )
@@ -249,7 +289,8 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
 )
 def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                 probes, metric, dedup, precision="highest",
-                bucket_stop=False, min_votes=1, block_scale=None):
+                bucket_stop=False, min_votes=1, block_scale=None,
+                block_len=None):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -265,7 +306,7 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     kk = k * t if dedup else k
     return _score_blocks(plan, x_leaf, sq_leaf, id_leaf, gsel, lsel, q, k,
                          kk, metric, dedup, precision, min_votes=min_votes,
-                         block_scale=block_scale)
+                         block_scale=block_scale, block_len=block_len)
 
 
 def _knn_h_ids(plan, arrays, q, k, budget):
@@ -325,6 +366,47 @@ def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
     ids = _knn_h_ids(plan, arrays, q, k, budget)
     return rerank_top_k(x, sq_norms, q, ids, k, metric=metric, dedup=dedup,
                         precision=_prec(precision))
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _descend(plan, arrays, xnew):
+    """Leaf each point reaches by pure threshold descent (the placement
+    step of the reference's ``insert``, ``Internal.hs:270-276``, without
+    the chunk re-split): ``proj < thr -> left, else right`` -- the same
+    primary side the query traversal follows, so a folded point is always
+    findable by a query at its location.  Returns ``int32[T, M]``."""
+    nl = plan.n_levels
+    t = arrays.perm.shape[0]
+    if nl == 0:
+        return jnp.zeros((t, xnew.shape[0]), jnp.int32)
+    proj = jnp.einsum("md,tld->tml", xnew, arrays.r[:, :nl],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    smax = max(lp.n_segs for lp in plan.levels)
+    child = np.zeros((nl, smax, 2), np.int32)
+    for l, lp in enumerate(plan.levels):
+        child[l, : lp.n_segs] = lp.child_enc
+    m = xnew.shape[0]
+    code = jnp.zeros((t, m), jnp.int32)
+    leaf = jnp.full((t, m), -1, jnp.int32)
+    for l in range(nl):
+        my_thr = jnp.take_along_axis(arrays.thr[:, l, :], code, axis=1)
+        live = leaf < 0
+        side = (proj[:, :, l] >= my_thr).astype(jnp.int32)
+        nxt = jnp.asarray(child[l])[jnp.clip(code, 0, smax - 1), side]
+        leaf = jnp.where(live & (nxt < 0), -(nxt + 1), leaf)
+        code = jnp.where(live & (nxt >= 0), nxt, code)
+    return leaf
+
+
+@jax.jit
+def _scatter_fold(x_leaf, sq_leaf, id_leaf, g, s, rows, sq, ids):
+    """Write folded rows into block slack slots: ``g/s int32[T*M]`` block
+    row / slot, ``rows f32[T*M, D]``, ``ids int32[T*M]``."""
+    x_leaf = x_leaf.at[g, s].set(rows.astype(x_leaf.dtype))
+    sq_leaf = sq_leaf.at[g, s].set(sq)
+    id_leaf = id_leaf.at[g, s].set(ids)
+    return x_leaf, sq_leaf, id_leaf
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "precision"))
@@ -488,6 +570,11 @@ class RPForest:
         self._pending_payloads = []
         self._deleted = None  # bool[n] tombstones (remove/rebuild) or None
         self._pending_deleted = None  # set of deleted pending-buffer offsets
+        self._block_len = None      # int32[G] dynamic occupancy (fold)
+        self._block_len_dev = None  # device copy of the above
+        self._folded_x = []         # folded-in rows (for rebuild/payloads)
+        self._folded_payloads = []
+        self._pack_slack = 0
 
     # -- basic accessors (reference Internal.hs:198-208, RPTree.hs:351-367) --
 
@@ -502,7 +589,10 @@ class RPForest:
     @property
     def dim(self) -> int:
         if self.x is None:
-            return int(self._packed[0].shape[-1])
+            blocks = self._packed[0]
+            if isinstance(blocks, EllBlocks):
+                return blocks.dim  # slot width is K (nnz), not the dim
+            return int(blocks.shape[-1])
         return self.x.dim if isinstance(self.x, EllMatrix) else int(self.x.shape[1])
 
     def levels(self) -> int:
@@ -560,7 +650,7 @@ class RPForest:
             raise ValueError(f"k must be >= 1, got {k}")
         return k
 
-    def pack_leaves(self, dtype=None) -> "RPForest":
+    def pack_leaves(self, dtype=None, slack: int = 0) -> "RPForest":
         """Precompute leaf-blocked copies of the dataset: ``x_leaf
         [T * n_leaves, lmax * D]`` holds each leaf's points contiguously
         (zero-padded to the max leaf size), ``id_leaf [T * n_leaves * lmax]``
@@ -574,10 +664,51 @@ class RPForest:
         (~1e-2 relative error -- reranking of near-ties may flip, recall
         statistics do not; exact distances are still reported from the
         same bf16 rows).  Default keeps the dataset dtype.
+
+        ``slack > 0`` reserves that many EMPTY slots per leaf block for
+        :meth:`fold` (amortized online inserts without rebuild).
+
+        ELL-sparse datasets pack into :class:`EllBlocks` (leaf-blocked
+        padded cols/vals) and serve through the same probe-compacted
+        block path.
         """
+        if self._packed is None and isinstance(self.x, EllMatrix):
+            plan = self.plan
+            self._pack_slack = int(slack)
+            lmax = max(plan.max_leaf_len, 1) + int(slack)
+            starts = jnp.asarray(plan.leaf_start)
+            lens = jnp.asarray(plan.leaf_len)
+            offs = jnp.arange(lmax, dtype=jnp.int32)
+            pos = starts[:, None] + offs
+            in_leaf = offs < lens[:, None]
+            pos = jnp.where(in_leaf, pos, 0)
+            sqn = self.sq_norms
+
+            def per_tree(perm):
+                ids = jnp.take(perm, pos)  # [n_leaves, lmax]
+                cols = jnp.take(self.x.cols, ids, axis=0)
+                vals = jnp.take(self.x.vals, ids, axis=0)
+                cols = jnp.where(in_leaf[..., None], cols, 0)
+                vals = jnp.where(in_leaf[..., None], vals, 0.0)
+                sq = jnp.where(in_leaf, jnp.take(sqn, ids), 0.0)
+                return cols, vals, sq, jnp.where(in_leaf, ids, -1)
+
+            cols, vals, sq, ids = jax.vmap(per_tree)(self.arrays.perm)
+            g = self.n_trees * plan.n_leaves
+            kz = self.x.k
+            if dtype is not None and jnp.dtype(dtype) == jnp.bfloat16:
+                vals = vals.astype(jnp.bfloat16)
+            blocks = EllBlocks(self.dim,
+                               cols.reshape(g, lmax, kz),
+                               vals.reshape(g, lmax, kz))
+            self._packed = (blocks, sq.reshape(g, lmax),
+                            ids.reshape(g, lmax))
+            self._block_scale = None
+            return self
         if self._packed is None and not isinstance(self.x, EllMatrix):
             plan = self.plan
-            lmax = max(plan.max_leaf_len, 1)
+            self._pack_slack = int(slack)
+            lmax = max(plan.max_leaf_len, 1) + int(slack)
             starts = jnp.asarray(plan.leaf_start)
             lens = jnp.asarray(plan.leaf_len)
             offs = jnp.arange(lmax, dtype=jnp.int32)
@@ -668,19 +799,20 @@ class RPForest:
         index.  The reference has no delete (its trees are immutable); this
         completes the online-update surface alongside :meth:`add`."""
         ids = np.asarray(ids).reshape(-1)
+        n_idx = self.plan.n + self.n_folded  # indexed + fold-appended rows
         if self._deleted is None:
-            self._deleted = np.zeros(self.plan.n, dtype=bool)
-        in_range = (ids >= 0) & (ids < self.plan.n)
+            self._deleted = np.zeros(n_idx, dtype=bool)
+        in_range = (ids >= 0) & (ids < n_idx)
         self._deleted[ids[in_range]] = True
         self._deleted_dev = jnp.asarray(self._deleted)
         # ids past the indexed rows address the pending (freshness) buffer:
         # those points must stop appearing too (and be dropped at rebuild)
-        in_pending = (ids >= self.plan.n) & (ids < self.plan.n + self.n_pending)
+        in_pending = (ids >= n_idx) & (ids < n_idx + self.n_pending)
         if in_pending.any():
             if getattr(self, "_pending_deleted", None) is None:
                 self._pending_deleted = set()
             self._pending_deleted.update(
-                int(i) - self.plan.n for i in ids[in_pending]
+                int(i) - n_idx for i in ids[in_pending]
             )
         return self
 
@@ -691,7 +823,9 @@ class RPForest:
 
     def _mask_deleted(self, d, ids, k):
         """Drop tombstoned ids from a (dists, ids) result and re-select."""
-        dead = jnp.take(self._deleted_dev, jnp.clip(ids, 0, None)) & (ids >= 0)
+        nflag = self._deleted_dev.shape[0]
+        dead = (jnp.take(self._deleted_dev, jnp.clip(ids, 0, None))
+                & (ids >= 0) & (ids < nflag))
         d = jnp.where(dead, jnp.inf, d)
         ids = jnp.where(dead, -1, ids)
         return merge_top_k(d, ids, k, dedup=False)
@@ -700,19 +834,132 @@ class RPForest:
     def n_pending(self) -> int:
         return sum(int(c.shape[0]) for c in getattr(self, "_pending", None) or [])
 
+    @property
+    def n_folded(self) -> int:
+        return sum(int(c.shape[0])
+                   for c in getattr(self, "_folded_x", None) or [])
+
+    def fold(self) -> "RPForest":
+        """Fold the pending buffer into the packed leaf blocks' slack
+        slots: each point descends every tree by the stored thresholds
+        (the placement step of the reference's ``insert``,
+        ``Internal.hs:257-297``) and is appended to the leaf it reaches --
+        amortized cost O(chunk x depth) + one scatter, NOT the O(n)
+        rebuild.  Points whose target leaf is full in ANY tree stay in the
+        exact pending merge; :meth:`rebuild` folds everything for real.
+        Requires :meth:`pack_leaves` (use ``slack=...`` to reserve room);
+        like rebuild, folding renumbers the buffered points' ids."""
+        if self._packed is None:
+            raise ValueError("pack_leaves(slack=...) first: fold inserts "
+                             "into the packed blocks' slack slots")
+        if getattr(self, "_block_scale", None) is not None:
+            raise NotImplementedError("fold into int8 blocks is "
+                                      "unsupported (pack f32/bf16)")
+        if isinstance(self._packed[0], EllBlocks):
+            raise NotImplementedError("fold into sparse (ELL) blocks is "
+                                      "unsupported")
+        if not getattr(self, "_pending", None):
+            return self
+        xp = jnp.concatenate(self._pending, axis=0)
+        pays = sum(self._pending_payloads, [])
+        dead = getattr(self, "_pending_deleted", None) or set()
+        if dead:
+            keepm = np.ones(xp.shape[0], bool)
+            keepm[list(dead)] = False
+            xp = xp[jnp.asarray(keepm)]
+            pays = [p for p, kp in zip(pays, keepm) if kp]
+            self._pending_deleted = None
+        m = int(xp.shape[0])
+        if m == 0:
+            self._pending, self._pending_payloads = [], []
+            return self
+
+        t, nl = self.n_trees, self.plan.n_leaves
+        lmax_eff = self._packed[0].shape[-2]
+        if self._block_len is None:
+            self._block_len = np.tile(
+                np.asarray(self.plan.leaf_len, np.int32), t
+            )
+        bl = self._block_len
+        leaf = np.asarray(_descend(self.plan, self.arrays, xp))  # [T, M]
+        g = leaf + np.arange(t, dtype=np.int32)[:, None] * nl
+
+        def _ranks(g_row, width):
+            """Stable rank of each element within its equal-value group."""
+            order = np.argsort(g_row, kind="stable")
+            gs = g_row[order]
+            first = np.concatenate([[True], gs[1:] != gs[:-1]])
+            start = np.maximum.accumulate(
+                np.where(first, np.arange(width), 0))
+            rank = np.empty(width, np.int64)
+            rank[order] = np.arange(width) - start
+            return rank
+
+        # pass 1: acceptance with conservative ranks over ALL candidates
+        # (a point is folded only if it fits in EVERY tree; rejecting a
+        # point can only free slots, so pass-2 ranks never exceed these)
+        fits = np.ones(m, bool)
+        for tt in range(t):
+            fits &= bl[g[tt]] + _ranks(g[tt], m) < lmax_eff
+        sel = np.where(fits)[0]
+        if sel.size:
+            msel = sel.size
+            gsel = g[:, sel]
+            slots = np.zeros((t, msel), np.int32)
+            for tt in range(t):  # pass 2: contiguous slots among accepted
+                slots[tt] = bl[gsel[tt]] + _ranks(gsel[tt], msel)
+            base = self.plan.n + self.n_folded
+            ids_new = base + np.arange(msel, dtype=np.int32)
+            rows = xp[jnp.asarray(sel)]
+            sq = jnp.sum(rows * rows, axis=-1)
+            x_leaf, sq_leaf, id_leaf = self._packed
+            self._packed = _scatter_fold(
+                x_leaf, sq_leaf, id_leaf,
+                jnp.asarray(gsel.reshape(-1)),
+                jnp.asarray(slots.reshape(-1)),
+                jnp.tile(rows, (t, 1)),
+                jnp.tile(sq, t),
+                jnp.tile(jnp.asarray(ids_new), t),
+            )
+            for tt in range(t):
+                np.add.at(bl, gsel[tt], 1)
+            self._block_len_dev = jnp.asarray(bl)
+            self._folded_x.append(np.asarray(rows))
+            self._folded_payloads.extend(
+                pays[j] for j in sel.tolist())
+            if self._deleted is not None:
+                self._deleted = np.concatenate(
+                    [self._deleted, np.zeros(msel, bool)])
+                self._deleted_dev = jnp.asarray(self._deleted)
+        # overflowing points stay in the exact pending merge
+        rest = np.where(~fits)[0]
+        if rest.size:
+            self._pending = [xp[jnp.asarray(rest)]]
+            self._pending_payloads = [[pays[j] for j in rest.tolist()]]
+        else:
+            self._pending, self._pending_payloads = [], []
+        return self
+
     def rebuild(self) -> "RPForest":
         """Fold pending points into (and purge deletions from) a fresh
         index (same seed and construction parameters; the plan adapts to
         the new size).  NOTE: ids are row indices of the current index, so
         a rebuild that purges deletions renumbers them; payloads follow
         the points."""
-        if not getattr(self, "_pending", None) and self.n_deleted == 0:
+        if (not getattr(self, "_pending", None) and self.n_deleted == 0
+                and self.n_folded == 0):
             return self
         from .forest import forest_batch  # self-import safe at runtime
 
         x_old = jnp.asarray(self.points())
         old_payloads = (list(self.payloads) if self.payloads is not None
                         else [None] * self.plan.n)
+        # fold-appended rows re-enter the exact build as ordinary points
+        if self.n_folded:
+            x_old = jnp.concatenate(
+                [x_old] + [jnp.asarray(c) for c in self._folded_x], axis=0
+            )
+            old_payloads = old_payloads + list(self._folded_payloads)
         if self._deleted is not None and self._deleted.any():
             keep = ~self._deleted
             x_old = x_old[jnp.asarray(keep)]
@@ -743,9 +990,13 @@ class RPForest:
         self._pending_payloads = []
         self._deleted = None
         self._pending_deleted = None
+        self._folded_x = []
+        self._folded_payloads = []
+        self._block_len = None
+        self._block_len_dev = None
         if self._packed is not None:
             self._packed = None
-            self.pack_leaves()
+            self.pack_leaves(slack=self._pack_slack)
         return self
 
     def _merge_pending(self, qb, d, ids, k, metric, precision):
@@ -765,7 +1016,7 @@ class RPForest:
             dpd = jnp.take(jnp.asarray(mask), jnp.clip(ip, 0, None)) & (ip >= 0)
             dp = jnp.where(dpd, jnp.inf, dp)
             ip = jnp.where(dpd, -1, ip)
-        ip = jnp.where(ip >= 0, ip + self.plan.n, -1)
+        ip = jnp.where(ip >= 0, ip + self.plan.n + self.n_folded, -1)
         d_all = jnp.concatenate([d, dp], axis=-1)
         i_all = jnp.concatenate([ids, ip], axis=-1)
         return merge_top_k(d_all, i_all, k, dedup=False)
@@ -822,7 +1073,8 @@ class RPForest:
                               id_leaf, qb, int(k), budget, int(probes),
                               metric, dedup, precision,
                               min_votes=int(min_votes),
-                              block_scale=getattr(self, "_block_scale", None))
+                              block_scale=getattr(self, "_block_scale", None),
+                              block_len=self._block_len_dev)
             if self._deleted is not None:
                 out = self._mask_deleted(out[0], out[1], int(k))
             if getattr(self, "_pending", None):
@@ -865,7 +1117,8 @@ class RPForest:
             return _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
                                id_leaf, qb, int(k), budget, int(probes),
                                metric, dedup, precision, bucket_stop=True,
-                               block_scale=getattr(self, "_block_scale", None))
+                               block_scale=getattr(self, "_block_scale", None),
+                               block_len=self._block_len_dev)
         return _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
                       budget, metric, dedup, precision)
 
@@ -881,6 +1134,9 @@ class RPForest:
                     budget: Optional[int] = None) -> jax.Array:
         """Average recall@k over the forest's trees (reference
         ``recallWith``, RPTree.hs:250-285).  Returns ``f32[B]``."""
+        if self.x is None:
+            raise ValueError("dataset dropped (drop_dataset); recall "
+                             "needs the raw rows")
         qb = _as_dense_queries(q, self.dim)
         return _recall(self.plan, self.arrays, self.x, self.sq_norms, qb,
                        int(k), self._budget(budget), metric)
@@ -888,6 +1144,9 @@ class RPForest:
     def brute_force_knn(self, q, k: int, metric: str = "l2",
                         precision: str = "highest"):
         """Exact kNN by full scan (ground-truth oracle)."""
+        if self.x is None:
+            raise ValueError("dataset dropped (drop_dataset); brute "
+                             "force needs the raw rows")
         qb = _as_dense_queries(q, self.dim)
         return _brute_force(self.x, self.sq_norms, qb, int(k), metric,
                             precision)
@@ -898,6 +1157,7 @@ class RPForest:
         buffer's payloads."""
         ids = np.asarray(ids)
         pending = sum(getattr(self, "_pending_payloads", None) or [], [])
+        folded = getattr(self, "_folded_payloads", None) or []
 
         def one(i):
             i = int(i)
@@ -905,6 +1165,9 @@ class RPForest:
                 return None
             if i >= self.plan.n:
                 j = i - self.plan.n
+                if j < len(folded):  # fold-appended rows come first
+                    return folded[j]
+                j -= len(folded)
                 return pending[j] if j < len(pending) else None
             if self.payloads is None:
                 return i

@@ -19,7 +19,40 @@ import numpy as np
 
 from .vector import SVec
 
-__all__ = ["EllMatrix", "ell_from_svecs", "ell_from_scipy_like", "ell_project", "ell_sq_norms", "ell_to_dense", "ell_rows_to_svecs"]
+__all__ = ["EllMatrix", "EllBlocks", "ell_from_svecs", "ell_from_scipy_like", "ell_project", "ell_sq_norms", "ell_to_dense", "ell_rows_to_svecs"]
+
+
+@jax.tree_util.register_pytree_node_class
+class EllBlocks:
+    """Leaf-blocked padded-ELL rows for the packed serving path: per
+    (tree, leaf) block, ``cols: int32[G, lmax, K]`` / ``vals: f32[G, lmax,
+    K]`` hold each leaf's sparse points contiguously (the sparse
+    counterpart of the dense ``x_leaf`` blocks).  Blocks gather with the
+    same per-(query, probe) block index pattern as dense blocks; scoring
+    gathers the DENSE query at the stored column indices (``q[b, cols]``)
+    and contracts over the K slot axis -- padding (col=0, val=0)
+    contributes nothing.  Reference semantics: ``SVector`` inner products
+    (``Internal.hs:92-119, 369-382``), batched."""
+
+    def __init__(self, dim: int, cols, vals):
+        self.dim = int(dim)
+        self.cols = cols
+        self.vals = vals
+
+    @property
+    def shape(self):
+        return self.cols.shape
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), self.dim
+
+    @classmethod
+    def tree_unflatten(cls, dim, children):
+        return cls(dim, *children)
 
 
 @jax.tree_util.register_pytree_node_class

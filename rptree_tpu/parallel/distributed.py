@@ -582,7 +582,8 @@ def distribute(forest: RPForest, mesh: Optional[Mesh] = None
     built elsewhere or restored from a checkpoint)."""
     if mesh is None:
         mesh = forest_mesh()
-    if getattr(forest, "_pending", None) or getattr(forest, "n_deleted", 0):
+    if (getattr(forest, "_pending", None) or getattr(forest, "n_deleted", 0)
+            or getattr(forest, "n_folded", 0)):
         raise ValueError("rebuild() before distribute(): pending inserts / "
                          "tombstones are single-device state")
     spec = _arrays_pspec(forest.plan.n_levels)

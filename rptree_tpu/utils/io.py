@@ -40,7 +40,8 @@ _FORMAT_VERSION = 1
 
 
 def _check_clean(forest: RPForest):
-    if getattr(forest, "_pending", None) or getattr(forest, "n_deleted", 0):
+    if (getattr(forest, "_pending", None) or getattr(forest, "n_deleted", 0)
+            or getattr(forest, "n_folded", 0)):
         raise ValueError(
             "forest has pending inserts or tombstoned deletions; call "
             "rebuild() before serialising so the checkpoint is complete"

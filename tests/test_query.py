@@ -309,6 +309,81 @@ def test_remove_pending_point():
     assert (ic[0] >= 0).all()
 
 
+def test_fold_incremental_insert():
+    """fold(): pending points descend the stored thresholds and land in
+    their leaves' slack slots -- immediately findable by normal probing,
+    payloads and deletes follow, rebuild() folds them for real
+    (reference ``insert``'s bounded-work online update,
+    Internal.hs:257-297)."""
+    rng = np.random.default_rng(33)
+    x = rng.normal(size=(600, 8)).astype(np.float32)
+    f = forest_batch(8, 4, 16, 3, 1.0, x,
+                     payloads=[f"p{i}" for i in range(600)])
+    f.pack_leaves(slack=16)
+    new = rng.normal(size=(10, 8)).astype(np.float32)
+    f.add(new, payloads=[f"n{i}" for i in range(10)])
+    f.fold()
+    assert f.n_pending == 0 and f.n_folded == 10
+    # folded points are found by BLOCK probing (not the pending merge)
+    q = new + 1e-4
+    _, ids = map(np.asarray, f.knn(q, 1, budget=f.plan.n_leaves))
+    assert (ids[:, 0] >= 600).all()
+    assert f.payload_of(ids[:3, 0]) == [f"n{i}" for i in range(3)]
+    # base points still found
+    _, ib = map(np.asarray, f.knn(x[:5] + 1e-4, 1, budget=8))
+    assert (ib[:, 0] == np.arange(5)).all()
+    # delete a folded point
+    f.remove(ids[:1, 0])
+    _, ids2 = map(np.asarray, f.knn(q[:1], 1, budget=f.plan.n_leaves))
+    assert ids2[0, 0] != ids[0, 0]
+    # rebuild folds everything into a fresh exact index
+    f.rebuild()
+    assert f.tree_size() == 609 and f.n_folded == 0
+
+
+def test_fold_overflow_stays_pending():
+    """Points whose leaf is full in any tree stay in the exact pending
+    merge (still searchable) instead of being dropped."""
+    rng = np.random.default_rng(34)
+    x = rng.normal(size=(400, 4)).astype(np.float32)
+    f = forest_batch(9, 4, 8, 2, 1.0, x)
+    f.pack_leaves()  # slack=0: max-size leaves have NO room
+    new = rng.normal(size=(50, 4)).astype(np.float32)
+    f.add(new)
+    f.fold()
+    assert f.n_pending + f.n_folded == 50
+    assert f.n_pending > 0  # slack-0 packing can't absorb everything
+    # every new point still findable (block or pending merge)
+    _, ids = map(np.asarray, f.knn(new + 1e-5, 1, budget=f.plan.n_leaves))
+    assert (ids[:, 0] >= 400).all()
+
+
+def test_fold_is_sublinear():
+    """Amortized fold cost must not scale with the index size: folding a
+    small chunk is far cheaper than rebuild() at the same n."""
+    import time
+
+    rng = np.random.default_rng(35)
+    x = rng.normal(size=(30_000, 16)).astype(np.float32)
+    f = forest_batch(10, 8, 32, 3, 1.0, x)
+    f.pack_leaves(slack=8)
+    new = rng.normal(size=(32, 16)).astype(np.float32)
+    # warm the jitted descend/scatter kernels on identical shapes
+    f.add(new)
+    f.fold()
+    f.add(new + 1.0)
+    t0 = time.perf_counter()
+    f.fold()
+    fold_s = time.perf_counter() - t0
+    g = forest_batch(10, 8, 32, 3, 1.0, x)
+    g.pack_leaves(slack=8)
+    g.add(new)
+    t0 = time.perf_counter()
+    g.rebuild()
+    rebuild_s = time.perf_counter() - t0
+    assert fold_s < rebuild_s / 5, (fold_s, rebuild_s)
+
+
 def test_packed_int8_preserves_neighbours():
     """int8 blocks (per-leaf scales, exact stored norms): 4x less fetch
     than f32; neighbour sets must stay essentially intact."""

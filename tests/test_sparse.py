@@ -103,3 +103,45 @@ def test_ell_brute_force_chunked_matches_dense():
     np.testing.assert_allclose(d1, d2, atol=2e-3)
     for b in range(6):
         assert set(i1[b].tolist()) == set(i2[b].tolist())
+
+
+def test_sparse_packed_knn_matches_unpacked():
+    """ELL packed serving (EllBlocks): the probe-compacted block path must
+    return the same neighbours as the unpacked sparse rerank."""
+    svs = _random_svecs(400, 32, 0.25, seed=7)
+    m = rp.ell_from_svecs(svs)
+    q = np.random.default_rng(8).normal(size=(9, 32)).astype(np.float32)
+    f1 = rp.forest_batch(5, 5, 16, 3, 1.0, m)
+    d1, i1 = map(np.asarray, f1.knn(q, 5, budget=8))
+    f2 = rp.forest_batch(5, 5, 16, 3, 1.0, m).pack_leaves()
+    assert f2._packed is not None
+    d2, i2 = map(np.asarray, f2.knn(q, 5, budget=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(9):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+
+
+def test_sparse_packed_serve_only():
+    """pack + drop_dataset on a sparse index: packed queries keep working,
+    raw-row paths raise."""
+    svs = _random_svecs(300, 24, 0.3, seed=9)
+    m = rp.ell_from_svecs(svs)
+    q = np.random.default_rng(10).normal(size=(4, 24)).astype(np.float32)
+    f = rp.forest_batch(6, 5, 16, 2, 1.0, m).pack_leaves()
+    d1, i1 = map(np.asarray, f.knn(q, 3))
+    f.drop_dataset()
+    d2, i2 = map(np.asarray, f.knn(q, 3))
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    with pytest.raises(ValueError):
+        f.brute_force_knn(q, 3)
+
+
+def test_sparse_packed_knn_h():
+    svs = _random_svecs(300, 24, 0.3, seed=11)
+    m = rp.ell_from_svecs(svs)
+    q = np.random.default_rng(12).normal(size=(4, 24)).astype(np.float32)
+    f1 = rp.forest_batch(7, 5, 16, 2, 1.0, m)
+    d1, _ = map(np.asarray, f1.knn_h(q, 5, budget=8))
+    f2 = rp.forest_batch(7, 5, 16, 2, 1.0, m).pack_leaves()
+    d2, _ = map(np.asarray, f2.knn_h(q, 5, budget=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
