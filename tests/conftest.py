@@ -18,3 +18,15 @@ import jax  # noqa: E402
 # jax.config before any backend is initialised.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: the suite's wall clock is dominated by XLA
+# compiles (hundreds of distinct shapes); caching them across runs cuts
+# repeat runs severalfold.  Safe to share: entries are keyed by HLO hash.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/rptree_tpu_test_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "all")
+except Exception:
+    pass  # older jax without the persistent-cache options
