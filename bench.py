@@ -108,22 +108,129 @@ def main():
     ref_forest = ref.ref_forest_batch(x, r_np, cfg.max_depth, MIN_LEAF)
     ref_build_s = time.perf_counter() - t0
 
-    # best-of-3 for the oracle: the single-threaded numpy loop is
-    # sensitive to machine load, and taking its fastest run makes the
-    # reported ratio conservative
+    # CPU-time-based oracle measurement: the single-threaded numpy loop's
+    # wall clock varies ~3x with machine load; process_time is stable and
+    # is exactly what the reference's own bench harness measures
+    # (getCPUTime, bench/time/Main.hs:188-193)
     nq_ref = 64
     ref_recalls = []
-    ref_dt = float("inf")
+    t0 = time.process_time()
+    for b in range(nq_ref):
+        _, rid = ref.ref_knn(ref_forest, x, q[b], K, dedup=True)
+        ref_recalls.append(
+            len(set(rid.tolist()) & set(exact[b].tolist())) / K
+        )
+    ref_qps = nq_ref / (time.process_time() - t0)
+    del ref_forest
+
+    # ---- high-recall operating point (recall@10 >= 0.9), n=100k ---------
+    # On iid-Gaussian 128-d data the RP forest's recall saturates per
+    # forest shape (forks are structural), so the engine's cheapest
+    # >=0.9 config is the exact MXU scan (recall 1.0); the best measured
+    # tree point is reported alongside for the frontier.  tune()
+    # (rptree_tpu.tuning) automates this sweep offline; the winning
+    # configs are pinned here to keep the driver bench's compile count
+    # bounded.
+    TARGET = 0.9
+    QT, MLT, BT, PT = 32, 4096, 2, 32  # quality forest: T=32, min_leaf=4096
+    cfg_q = rt.rp_tree_cfg(MLT, N, DIM)
+    fq = rt.forest_batch(SEED, cfg_q.max_depth, MLT, QT,
+                         cfg_q.proj_nz_density, x)
+    fq.pack_leaves(dtype=jnp.bfloat16)
+    lmax_q = fq.plan.max_leaf_len
+    cbq = 1 << int(np.log2(max(32, (1 << 21) // max(PT * lmax_q, 1))))
+    ids_q = np.concatenate(
+        [np.asarray(fq.knn(qd[s:s + cbq], K, budget=BT, probes=PT,
+                           precision="default")[1])
+         for s in range(0, 1024, cbq)], axis=0)
+    recall_tree = float(np.mean([
+        len(set(ids_q[b].tolist()) & set(exact[b].tolist())) / K
+        for b in range(1024)
+    ]))
+
+    BQ = 8192  # enough to amortize dispatch at the heavy tree config
+
+    def sweep_q():
+        outs = [fq.knn(qd[s:s + cbq], K, budget=BT, probes=PT,
+                       precision="default")[1] for s in range(0, BQ, cbq)]
+        return int(jnp.sum(outs[-1]))
+
+    sweep_q()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        sweep_q()
+    qps_tree = BQ / ((time.perf_counter() - t0) / 2)
+    del fq
+
+    # exact scan on the MXU (the engine's own brute_force_knn)
+    def sweep_bf():
+        outs = [f.brute_force_knn(qd[s:s + 2048], K,
+                                  precision="default")[1]
+                for s in range(0, B, 2048)]
+        return int(jnp.sum(outs[-1]))
+
+    sweep_bf()
+    t0 = time.perf_counter()
     for _ in range(3):
-        t0 = time.perf_counter()
-        ref_recalls = []
-        for b in range(nq_ref):
-            _, rid = ref.ref_knn(ref_forest, x, q[b], K, dedup=True)
-            ref_recalls.append(
-                len(set(rid.tolist()) & set(exact[b].tolist())) / K
-            )
-        ref_dt = min(ref_dt, time.perf_counter() - t0)
-    ref_qps = nq_ref / ref_dt
+        sweep_bf()
+    qps_scan = B / ((time.perf_counter() - t0) / 3)
+    ids_scan = np.concatenate(
+        [np.asarray(f.brute_force_knn(qd[s:s + 2048], K,
+                                      precision="default")[1])
+         for s in range(0, 1024, 2048)], axis=0)
+    recall_scan = float(np.mean([
+        len(set(ids_scan[b].tolist()) & set(exact[b].tolist())) / K
+        for b in range(min(1024, ids_scan.shape[0]))
+    ]))
+    cands = [(qps_tree, recall_tree), (qps_scan, recall_scan)]
+    meeting = [c for c in cands if c[1] >= TARGET] or [max(cands,
+                                                           key=lambda c: c[1])]
+    qps_at_target, recall_at_target = max(meeting)
+
+    # oracle at matched recall: its cheapest >=0.9 semantics-faithful
+    # config is likewise the exact scan (its tree at T=32/ml=4096 scans
+    # MORE candidates per query with Python overhead on top).  Give the
+    # oracle its best shot: factored-distance GEMV with precomputed
+    # squared norms (not the naive (x-q)^2 loop).
+    nq_bf = 64
+    sq_np = np.sum(x * x, axis=1)
+    t0 = time.process_time()
+    for b in range(nq_bf):
+        d2 = sq_np - 2.0 * (x @ q[b])
+        np.argpartition(d2, K)[:K]
+    ref_qps_target = nq_bf / (time.process_time() - t0)
+
+    # ---- 1M-point high-recall point --------------------------------------
+    N1 = 1_000_000
+    x1 = rng.normal(size=(N1, DIM)).astype(np.float32)
+    f1 = rt.forest_batch(SEED, 3, N1, 1, 1.0, x1)  # single-leaf: scan host
+    q1 = qd[:4096]
+
+    def sweep_bf1():
+        outs = [f1.brute_force_knn(q1[s:s + 1024], K,
+                                   precision="default")[1]
+                for s in range(0, 4096, 1024)]
+        return int(jnp.sum(outs[-1]))
+
+    sweep_bf1()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        sweep_bf1()
+    qps_scan_1m = 4096 / ((time.perf_counter() - t0) / 2)
+    exact_1m = np.asarray(f1.brute_force_knn(q1[:256], K)[1])  # highest
+    got_1m = np.asarray(f1.brute_force_knn(q1[:256], K,
+                                           precision="default")[1])
+    recall_1m = float(np.mean([
+        len(set(got_1m[b].tolist()) & set(exact_1m[b].tolist())) / K
+        for b in range(256)
+    ]))
+    sq1_np = np.sum(x1 * x1, axis=1)
+    t0 = time.process_time()
+    for b in range(8):
+        d2 = sq1_np - 2.0 * (x1 @ q[b])
+        np.argpartition(d2, K)[:K]
+    ref_qps_1m = 8 / (time.process_time() - t0)
+    del f1, x1
 
     print(json.dumps({
         "metric": "knn_qps",
@@ -136,6 +243,17 @@ def main():
         "build_s": round(build_s, 3),
         "build_cold_s": round(build_cold_s, 3),
         "baseline_build_s": round(ref_build_s, 3),
+        "recall_target": TARGET,
+        "qps_at_target": round(qps_at_target, 1),
+        "recall_at_target": round(recall_at_target, 4),
+        "vs_baseline_at_target": round(qps_at_target / ref_qps_target, 1),
+        "baseline_qps_at_target": round(ref_qps_target, 1),
+        "tree_point_at_target": {
+            "qps": round(qps_tree, 1), "recall": round(recall_tree, 4),
+            "trees": QT, "min_leaf": MLT, "budget": BT, "probes": PT},
+        "qps_at_target_1m": round(qps_scan_1m, 1),
+        "recall_at_target_1m": round(recall_1m, 4),
+        "vs_baseline_at_target_1m": round(qps_scan_1m / ref_qps_1m, 1),
         "config": {"n": N, "dim": DIM, "trees": T, "k": K,
                    "max_depth": cfg.max_depth, "min_leaf": MIN_LEAF,
                    "budget": BUDGET, "probes": PROBES, "batch": B,

@@ -109,8 +109,8 @@ def run_bench(cfg: BenchConfig, seed: int = 1234,
                 cfg.n_tree_shards, cfg.n_query_shards
             )
             f = distribute(f, m)
-        if not cfg.sparse_input:
-            f.pack_leaves()  # serving layout (dense data only)
+        f.pack_leaves()  # serving layout (dense blocks, or EllBlocks for
+        #                  sparse bag-of-words datasets)
         _fetch(f.arrays.perm)
         return f
 

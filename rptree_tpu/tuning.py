@@ -55,6 +55,14 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
                 "cost": probes * lmax,  # reranked candidate slots per query
             })
 
+    # the exact MXU scan is always a candidate operating point: its cost
+    # is n reranked slots/query and its recall is 1.0 by definition.  On
+    # hard (e.g. iid high-dim) data the forest's recall saturates below
+    # high targets while probes * lmax approaches n, so the scan can be
+    # the CHEAPEST config meeting the target -- report it honestly.
+    results.append({"budget": None, "probes": None, "recall": 1.0,
+                    "cost": forest.n_points, "scan": True})
+
     results.sort(key=lambda r: (r["cost"], -r["recall"]))
     meeting = [r for r in results if r["recall"] >= target_recall]
     if meeting:

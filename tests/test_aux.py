@@ -76,7 +76,10 @@ def test_tune_meets_target():
     best = rt.tune(f, q, k=5, target_recall=0.8,
                    budgets=(2, 8), probes_per_tree=(1.0, 2.0))
     assert best["met"] and best["recall"] >= 0.8
-    assert len(best["frontier"]) == 4
+    # 2x2 tree-config grid + the exact-scan candidate (recall 1.0, cost n)
+    assert len(best["frontier"]) == 5
+    scan = [r for r in best["frontier"] if r.get("scan")]
+    assert len(scan) == 1 and scan[0]["cost"] == 3000
     # frontier sorted by cost; chosen config is the cheapest meeting one
     costs = [r["cost"] for r in best["frontier"] if r["recall"] >= 0.8]
     assert best["cost"] == min(costs)
