@@ -165,7 +165,7 @@ def main():
     # exact scan on the MXU (the engine's own brute_force_knn)
     def sweep_bf():
         outs = [f.brute_force_knn(qd[s:s + 2048], K,
-                                  precision="default")[1]
+                                  precision="fastest")[1]
                 for s in range(0, B, 2048)]
         return int(jnp.sum(outs[-1]))
 
@@ -176,8 +176,8 @@ def main():
     qps_scan = B / ((time.perf_counter() - t0) / 3)
     ids_scan = np.concatenate(
         [np.asarray(f.brute_force_knn(qd[s:s + 2048], K,
-                                      precision="default")[1])
-         for s in range(0, 1024, 2048)], axis=0)
+                                      precision="fastest")[1])
+         for s in range(0, 2048, 2048)], axis=0)
     recall_scan = float(np.mean([
         len(set(ids_scan[b].tolist()) & set(exact[b].tolist())) / K
         for b in range(min(1024, ids_scan.shape[0]))
@@ -208,7 +208,7 @@ def main():
 
     def sweep_bf1():
         outs = [f1.brute_force_knn(q1[s:s + 1024], K,
-                                   precision="default")[1]
+                                   precision="fastest")[1]
                 for s in range(0, 4096, 1024)]
         return int(jnp.sum(outs[-1]))
 
@@ -219,7 +219,7 @@ def main():
     qps_scan_1m = 4096 / ((time.perf_counter() - t0) / 2)
     exact_1m = np.asarray(f1.brute_force_knn(q1[:256], K)[1])  # highest
     got_1m = np.asarray(f1.brute_force_knn(q1[:256], K,
-                                           precision="default")[1])
+                                           precision="fastest")[1])
     recall_1m = float(np.mean([
         len(set(got_1m[b].tolist()) & set(exact_1m[b].tolist())) / K
         for b in range(256)
@@ -262,4 +262,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import shutil
+    import sys
+
+    try:
+        main()
+    except Exception:
+        # the persistent compile cache can hold a corrupted executable
+        # (observed once after a heavily contended run: every subsequent
+        # run died with INVALID_ARGUMENT until the cache was cleared) --
+        # self-heal by wiping it and re-executing once
+        cache = os.path.expanduser("~/.cache/rptree_tpu/jax")
+        if os.environ.get("RPTREE_BENCH_RETRY") != "1" and os.path.isdir(cache):
+            shutil.rmtree(cache, ignore_errors=True)
+            sys.stderr.write("bench failed; cleared the persistent compile "
+                             "cache, retrying once\n")
+            env = dict(os.environ, RPTREE_BENCH_RETRY="1")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
+        raise

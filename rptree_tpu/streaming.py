@@ -50,9 +50,20 @@ class ForestBuilder:
     def __init__(self, seed, max_depth: int, min_leaf: int, n_trees: int,
                  pnz: float, dim: int, chunk_size: int = 0,
                  periodic_rebuild_every: int = 0, mesh=None,
-                 data_parallel: bool = False):
+                 data_parallel: bool = False, anytime_slack: int = 0):
         self.mesh = mesh
         self.data_parallel = bool(data_parallel) or mesh is not None
+        # produce-anytime refinement (the reference refines thresholds as
+        # chunks arrive, Internal.hs:280-285, but only RETURNS at end of
+        # stream; anytime_slack > 0 goes further: a queryable partial
+        # index absorbs every chunk ONLINE via RPForest.fold at
+        # O(chunk x depth) cost -- no mid-stream rebuilds).  The final
+        # build() is still the exact batch build over everything seen.
+        self.anytime_slack = int(anytime_slack)
+        self._anytime: Optional[RPForest] = None
+        if self.anytime_slack and self.data_parallel:
+            raise ValueError("anytime_slack is a single-device feature "
+                             "(the sharded finalize is exact-only)")
         self.seed = seed
         self.max_depth = int(max_depth)
         self.min_leaf = int(min_leaf)
@@ -70,6 +81,15 @@ class ForestBuilder:
     @property
     def n_points(self) -> int:
         return self._n
+
+    @property
+    def partial_index(self) -> Optional[RPForest]:
+        """Anytime view of the stream (``anytime_slack > 0``): a
+        queryable index reflecting every chunk inserted so far, updated
+        online at O(chunk x depth) per chunk (folded into leaf slack
+        slots; overflow stays in its exact pending merge).  The final
+        :meth:`build` remains the exact batch build."""
+        return self._anytime
 
     def _mesh_devices(self):
         import jax
@@ -110,6 +130,20 @@ class ForestBuilder:
         self._n += c.shape[0]
         self._index = None
         self._chunks_since_rebuild += 1
+        if self.anytime_slack:
+            if self._anytime is None:
+                # seed the partial index from the first chunk; slack slots
+                # absorb later chunks without rebuild
+                self._anytime = forest_batch(
+                    self.seed, self.max_depth, self.min_leaf, self.n_trees,
+                    self.pnz, np.asarray(c),
+                    payloads=(list(payloads) if payloads is not None
+                              else None),
+                )
+                self._anytime.pack_leaves(slack=self.anytime_slack)
+            else:
+                self._anytime.add(np.asarray(c), payloads=payloads)
+                self._anytime.fold()
         if self.periodic and self._chunks_since_rebuild >= self.periodic:
             self.build()
 

@@ -146,3 +146,37 @@ def test_streaming_data_parallel_finalize():
         l1 = [set(b) for b in f1.leaves(t)]
         l2 = [set(b) for b in f2.leaves(t)]
         assert sum(a != b for a, b in zip(l1, l2)) == 0
+
+
+def test_anytime_partial_index():
+    """anytime_slack: a queryable partial index tracks the stream online
+    (fold into slack slots; NO mid-stream rebuilds), while build() stays
+    the exact batch build.  Closes the reference's refine-as-you-go gap
+    (Internal.hs:280-285) with strictly better freshness: the reference
+    never exposes a mid-stream index at all."""
+    import numpy as np
+
+    from rptree_tpu import ForestBuilder
+
+    rng = np.random.default_rng(77)
+    dim = 8
+    b = ForestBuilder(11, 5, 32, 2, 1.0, dim, anytime_slack=512)
+    first = rng.normal(size=(600, dim)).astype(np.float32)
+    b.insert_chunk(first)
+    assert b.partial_index is not None
+    n_plan = b.partial_index.plan.n
+    marker = None
+    for i in range(4):
+        c = rng.normal(size=(200, dim)).astype(np.float32) + (i + 1)
+        b.insert_chunk(c)
+        marker = c[0]
+        # the partial index already answers for the chunk just inserted
+        d, ids = map(np.asarray,
+                     b.partial_index.knn(marker, 1,
+                                         budget=b.partial_index.plan.n_leaves))
+        assert float(d[0, 0]) < 1e-3
+    # bounded work: the partial index was NEVER rebuilt (same plan size)
+    assert b.partial_index.plan.n == n_plan
+    # exact finalize unchanged
+    f = b.build()
+    assert f.tree_size() == 600 + 4 * 200
