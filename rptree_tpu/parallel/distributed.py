@@ -427,6 +427,19 @@ class DistributedForest(RPForest):
         """
         if self._packed is None:
             if isinstance(self.x, EllMatrix):
+                # sparse (EllBlocks) packing, sharded over the tree axis:
+                # the blocks are computed once and resharded by tree group
+                # (cols/vals/sq/ids all lead with the [T * n_leaves] axis)
+                if shard_by != "tree":
+                    raise ValueError("sparse blocks shard by tree only")
+                super().pack_leaves(dtype=dtype)
+                if self._packed is None:
+                    return self
+                sh = NamedSharding(self.mesh, P(TREE_AXIS))
+                self._packed = jax.tree.map(
+                    lambda a: jax.device_put(a, sh), self._packed
+                )
+                self._packed_mode = "tree"
                 return self
             if shard_by == "tree":
                 if dtype is None:

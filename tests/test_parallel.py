@@ -249,3 +249,29 @@ def test_int8_leaf_sharded_packed(single, queries, data):
         for b in range(queries.shape[0])
     ])
     assert overlap >= 0.9
+
+
+def test_sparse_packed_tree_sharded(queries):
+    """ELL datasets pack into tree-sharded EllBlocks; distributed packed
+    queries must match the single-device packed sparse path."""
+    from rptree_tpu.ops.sparse import EllMatrix
+
+    rng = np.random.default_rng(61)
+    cols = np.stack([np.sort(rng.choice(DIM, size=5, replace=False))
+                     for _ in range(800)]).astype(np.int32)
+    vals = rng.normal(size=(800, 5)).astype(np.float32)
+    m = EllMatrix(DIM, jnp.asarray(cols), jnp.asarray(vals))
+    single = rt.forest_batch(3, 5, 16, T, 1.0, m).pack_leaves()
+    d1, i1 = map(np.asarray, single.knn(queries, 5, budget=8))
+    dist = forest_batch_distributed(
+        3, 5, 16, T, 1.0, m, mesh=forest_mesh(8, 1)
+    ).pack_leaves()
+    assert dist._packed is not None
+    d2, i2 = map(np.asarray, dist.knn(queries, 5, budget=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(queries.shape[0]):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+    # serve-only works for sparse too
+    dist.drop_dataset()
+    d3, i3 = map(np.asarray, dist.knn(queries, 5, budget=8))
+    np.testing.assert_allclose(d2, d3, atol=1e-6)
