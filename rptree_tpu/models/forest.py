@@ -877,9 +877,6 @@ class RPForest:
         if self._packed is None:
             raise ValueError("pack_leaves(slack=...) first: fold inserts "
                              "into the packed blocks' slack slots")
-        if getattr(self, "_block_scale", None) is not None:
-            raise NotImplementedError("fold into int8 blocks is "
-                                      "unsupported (pack f32/bf16)")
         if isinstance(self._packed[0], EllBlocks):
             raise NotImplementedError("fold into sparse (ELL) blocks is "
                                       "unsupported")
@@ -936,13 +933,26 @@ class RPForest:
             base = self.plan.n + self.n_folded
             ids_new = base + np.arange(msel, dtype=np.int32)
             rows = xp[jnp.asarray(sel)]
-            sq = jnp.sum(rows * rows, axis=-1)
+            sq = jnp.sum(rows * rows, axis=-1)  # exact norms, as at pack
+            scale = getattr(self, "_block_scale", None)
+            if scale is None:
+                flat_rows = jnp.tile(rows, (t, 1))
+            else:
+                # int8 blocks: quantize each folded row with its TARGET
+                # block's existing scale (rows larger than the block's
+                # original amplitude clip; stored norms stay exact)
+                sc = np.asarray(scale)[gsel]  # [T, msel]
+                rq = np.clip(
+                    np.round(np.asarray(rows)[None] / sc[..., None]),
+                    -127, 127,
+                ).astype(np.int8)
+                flat_rows = jnp.asarray(rq.reshape(t * msel, -1))
             x_leaf, sq_leaf, id_leaf = self._packed
             self._packed = _scatter_fold(
                 x_leaf, sq_leaf, id_leaf,
                 jnp.asarray(gsel.reshape(-1)),
                 jnp.asarray(slots.reshape(-1)),
-                jnp.tile(rows, (t, 1)),
+                flat_rows,
                 jnp.tile(sq, t),
                 jnp.tile(jnp.asarray(ids_new), t),
             )

@@ -384,6 +384,23 @@ def test_fold_is_sublinear():
     assert fold_s < rebuild_s / 5, (fold_s, rebuild_s)
 
 
+def test_fold_into_int8_blocks():
+    """fold() quantizes folded rows with the target block's scale; new
+    points are findable through the int8 scorer."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(44)
+    x = rng.normal(size=(500, 8)).astype(np.float32)
+    f = forest_batch(13, 4, 16, 2, 1.0, x)
+    f.pack_leaves(dtype=jnp.int8, slack=8)
+    new = rng.normal(size=(5, 8)).astype(np.float32)
+    f.add(new)
+    f.fold()
+    assert f.n_folded == 5 and f.n_pending == 0
+    _, ids = map(np.asarray, f.knn(new + 1e-4, 1, budget=f.plan.n_leaves))
+    assert (ids[:, 0] >= 500).all()
+
+
 def test_packed_int8_preserves_neighbours():
     """int8 blocks (per-leaf scales, exact stored norms): 4x less fetch
     than f32; neighbour sets must stay essentially intact."""
