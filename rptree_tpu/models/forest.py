@@ -846,6 +846,15 @@ class RPForest:
         n = int(self._deleted.sum()) if self._deleted is not None else 0
         return n + len(getattr(self, "_pending_deleted", None) or ())
 
+    def _apply_update_hooks(self, qb, d, ids, k, metric, precision):
+        """Tombstone masking + exact pending merge -- applied by every
+        query surface (knn, knn_h, and the sharded facades)."""
+        if self._deleted is not None:
+            d, ids = self._mask_deleted(d, ids, k)
+        if getattr(self, "_pending", None):
+            d, ids = self._merge_pending(qb, d, ids, k, metric, precision)
+        return d, ids
+
     def _mask_deleted(self, d, ids, k):
         """Drop tombstoned ids from a (dists, ids) result and re-select."""
         nflag = self._deleted_dev.shape[0]
@@ -874,6 +883,12 @@ class RPForest:
         exact pending merge; :meth:`rebuild` folds everything for real.
         Requires :meth:`pack_leaves` (use ``slack=...`` to reserve room);
         like rebuild, folding renumbers the buffered points' ids."""
+        if getattr(self, "mesh", None) is not None:
+            raise NotImplementedError(
+                "fold() is single-device: sharded packed layouts reorder "
+                "the block rows and their query kernels read the static "
+                "plan occupancy -- use rebuild() on sharded forests"
+            )
         if self._packed is None:
             raise ValueError("pack_leaves(slack=...) first: fold inserts "
                              "into the packed blocks' slack slots")
@@ -1149,13 +1164,21 @@ class RPForest:
             x_leaf, sq_leaf, id_leaf = self._packed
             if probes is None:
                 probes = self.n_trees * budget
-            return _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
-                               id_leaf, qb, int(k), budget, int(probes),
-                               metric, dedup, precision, bucket_stop=True,
-                               block_scale=getattr(self, "_block_scale", None),
-                               block_len=self._block_len_dev)
-        return _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
-                      budget, metric, dedup, precision)
+            out = _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
+                              id_leaf, qb, int(k), budget, int(probes),
+                              metric, dedup, precision, bucket_stop=True,
+                              block_scale=getattr(self, "_block_scale", None),
+                              block_len=self._block_len_dev)
+        else:
+            out = _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb,
+                         int(k), budget, metric, dedup, precision)
+        # deletions and pending inserts apply to every query surface
+        if self._deleted is not None:
+            out = self._mask_deleted(out[0], out[1], int(k))
+        if getattr(self, "_pending", None):
+            out = self._merge_pending(qb, out[0], out[1], int(k), metric,
+                                      precision)
+        return out
 
     def candidates(self, q, budget: Optional[int] = None, tree: Optional[int] = None):
         """Candidate point ids per tree (reference ``candidates``,

@@ -123,7 +123,9 @@ def scan_topk(x, sq, q, k, metric="l2", block_q=256, block_n=2048,
     if bpad or dpad:
         qp = jnp.pad(qp, ((0, bpad), (0, dpad)))
     if metric == "dot":
-        sq = jnp.zeros_like(sq)
+        # zero the partial-norm term but KEEP the +inf padding mask --
+        # zeroing everything would let padded rows win with distance 0
+        sq = jnp.where(jnp.isinf(sq), jnp.inf, jnp.zeros_like(sq))
     n_t = (n + npad) // block_n
     b_t = (b + bpad) // block_q
     sq2 = sq.reshape(n_t, 1, block_n)
@@ -145,13 +147,10 @@ def scan_topk(x, sq, q, k, metric="l2", block_q=256, block_n=2048,
             jax.ShapeDtypeStruct((b + bpad, k), jnp.float32),
             jax.ShapeDtypeStruct((b + bpad, k), jnp.int32),
         ],
-        scratch_shapes=(
-            [pltpu.VMEM((block_q, k), jnp.float32),
-             pltpu.VMEM((block_q, k), jnp.int32)]
-            if (pltpu is not None and not interpret)
-            else [pltpu.VMEM((block_q, k), jnp.float32),
-                  pltpu.VMEM((block_q, k), jnp.int32)]
-        ),
+        scratch_shapes=[  # pltpu is required even in interpret mode
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
         interpret=interpret,
     )(qp, xb, sq2)
     outd, outi = outd[:b], outi[:b]

@@ -413,7 +413,7 @@ def _dp_recall(mesh, plan, arrays, x, sq, q, k, budget, metric):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "plan", "n_trees", "dtype_str"))
-def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str):
+def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr):
     """Leaf-blocked packing FROM the sharded dataset, INTO leaf-sharded
     blocks (block g on shard g % S at local row g // S -- the layout
     :func:`rptree_tpu.parallel.distributed._dist_knn_leaf_sharded`
@@ -426,13 +426,12 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str):
     n_sh = mesh.shape[DATA_AXIS]
     g_total = n_trees * nl
     g_per = -(-g_total // n_sh)  # blocks per shard (last may pad)
-    starts = np.asarray(plan.leaf_start)
-    lens = np.asarray(plan.leaf_len)
-    pos_all = starts[:, None] + np.arange(lmax)[None, :]  # [nl, lmax]
-    in_leaf_all = np.arange(lmax)[None, :] < lens[:, None]
-    pos_all = np.where(in_leaf_all, pos_all, 0).astype(np.int32)
+    # pos_arr [nl, lmax] / in_leaf_arr [nl, lmax] arrive as ARGUMENTS:
+    # they are O(n)-sized, and baking them into the HLO as constants can
+    # blow past the remote compiler's request limit (CLAUDE.md: pass big
+    # arrays as jit arguments, never close over them)
 
-    def block(perm_r, x_l):
+    def block(perm_r, x_l, pos_r, in_r):
         me = lax.axis_index(DATA_AXIS)
         n_l = x_l.shape[0]
         base = me * n_l
@@ -443,10 +442,11 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str):
             g_ok = g < g_total
             g = np.minimum(g, g_total - 1)
             t_of = (g // nl).astype(np.int32)
-            leaf_of = (g % nl).astype(np.int32)
-            pos = jnp.asarray(pos_all[leaf_of])       # [g_per, lmax]
+            leaf_of = jnp.asarray((g % nl).astype(np.int32))
+            pos = jnp.take(pos_r, leaf_of, axis=0)    # [g_per, lmax]
             ids = perm_r[jnp.asarray(t_of)[:, None], pos]
-            valid = jnp.asarray(in_leaf_all[leaf_of] & g_ok[:, None])
+            valid = (jnp.take(in_r, leaf_of, axis=0)
+                     & jnp.asarray(g_ok)[:, None])
             local = ids - base
             mine = valid & (local >= 0) & (local < n_l)
             rows_p = jnp.where(
@@ -464,8 +464,8 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str):
         g_own = jnp.minimum(g_own, g_total - 1)
         t_own = g_own // nl
         leaf_own = g_own % nl
-        pos_own = jnp.take(jnp.asarray(pos_all), leaf_own, axis=0)
-        in_own = jnp.take(jnp.asarray(in_leaf_all), leaf_own, axis=0)
+        pos_own = jnp.take(pos_r, leaf_own, axis=0)
+        in_own = jnp.take(in_r, leaf_own, axis=0)
         in_own = in_own & own_ok[:, None]
         ids_own = perm_r[t_own[:, None], pos_own]
         ids_own = jnp.where(in_own, ids_own, -1)
@@ -486,10 +486,10 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str):
     d_ax = P(DATA_AXIS)
     return jax.shard_map(
         block, mesh=mesh,
-        in_specs=(P(), d_ax),
+        in_specs=(P(), d_ax, P(), P()),
         out_specs=(d_ax, d_ax, d_ax, d_ax),
         check_vma=False,
-    )(perm, x)
+    )(perm, x, pos_arr, in_leaf_arr)
 
 
 class DataParallelForest(RPForest):
@@ -557,18 +557,22 @@ class DataParallelForest(RPForest):
 
             if probes is None:
                 probes = self.n_trees * budget
-            return _dist_knn_leaf_sharded(
+            out = _dist_knn_leaf_sharded(
                 self.mesh, self.plan, self._small, self._packed, qb, int(k),
                 budget, int(probes), int(probes), metric, dedup, precision,
                 bucket_stop=True,
                 block_scale=getattr(self, "_block_scale", None),
                 axis=DATA_AXIS,
             )
+            return self._apply_update_hooks(qb, out[0], out[1], int(k),
+                                            metric, precision)
         if self.x is None:
             raise ValueError("dataset dropped; pack_leaves() first")
-        return _dp_knn(self.mesh, self.plan, self.arrays, self.x,
-                       self.sq_norms, qb, int(k), budget, metric, dedup,
-                       precision, variant="h")
+        out = _dp_knn(self.mesh, self.plan, self.arrays, self.x,
+                      self.sq_norms, qb, int(k), budget, metric, dedup,
+                      precision, variant="h")
+        return self._apply_update_hooks(qb, out[0], out[1], int(k),
+                                        metric, precision)
 
     def brute_force_knn(self, q, k: int, metric: str = "l2",
                         precision: str = "highest"):
@@ -587,8 +591,60 @@ class DataParallelForest(RPForest):
                           self.sq_norms, qb, int(k), self._budget(budget),
                           metric)
 
-    def pack_leaves(self, dtype=None,
-                    shard_by: str = "leaf") -> "DataParallelForest":
+    def rebuild(self) -> "DataParallelForest":
+        """Fold pending inserts / purge tombstones by re-running the
+        DATA-PARALLEL build (the base rebuild would produce a
+        single-device forest under this class's sharded query paths).
+        Rebuild is a heavyweight op: rows are staged through the host.
+        The new size must still divide the shard count."""
+        if not getattr(self, "_pending", None) and self.n_deleted == 0:
+            return self
+        n_sh = self.mesh.shape[DATA_AXIS]
+        x_old = np.asarray(self.x)
+        payloads = (list(self.payloads) if self.payloads is not None
+                    else [None] * self.plan.n)
+        if self._deleted is not None and self._deleted.any():
+            keep = ~self._deleted
+            x_old = x_old[keep]
+            payloads = [p for p, kp in zip(payloads, keep) if kp]
+        pend = [np.asarray(c) for c in self._pending]
+        pp = sum(self._pending_payloads, [])
+        dead = getattr(self, "_pending_deleted", None) or set()
+        if dead and pend:
+            xp = np.concatenate(pend)
+            keepp = np.ones(xp.shape[0], bool)
+            keepp[list(dead)] = False
+            pend = [xp[keepp]]
+            pp = [p for p, kp in zip(pp, keepp) if kp]
+        x_all = np.concatenate([x_old] + pend) if pend else x_old
+        if x_all.shape[0] % n_sh:
+            raise ValueError(
+                f"rebuilt size {x_all.shape[0]} does not divide the "
+                f"{n_sh} data shards; add/remove to a divisible size"
+            )
+        new_payloads = payloads + pp
+        cfg = self.config
+        fresh = forest_batch_data_parallel(
+            self.seed, cfg.max_depth, cfg.min_leaf, cfg.n_trees,
+            cfg.proj_nz_density, x_all, mesh=self.mesh,
+            payloads=(None if all(p is None for p in new_payloads)
+                      else new_payloads),
+        )
+        self.plan, self.arrays = fresh.plan, fresh.arrays
+        self.x, self.sq_norms = fresh.x, fresh.sq_norms
+        self.payloads = fresh.payloads
+        self._pending, self._pending_payloads = [], []
+        self._deleted = None
+        self._pending_deleted = None
+        if self._packed is not None:
+            self._packed = None
+            self._small = None
+            self._packed_mode = None
+            self.pack_leaves()
+        return self
+
+    def pack_leaves(self, dtype=None, shard_by: str = "leaf",
+                    slack: int = 0) -> "DataParallelForest":
         """Pack leaf blocks directly from the SHARDED dataset into
         leaf-sharded blocks (1/S of the index per chip).  Only
         ``shard_by="leaf"`` exists here: any other layout would
@@ -596,6 +652,9 @@ class DataParallelForest(RPForest):
         if shard_by != "leaf":
             raise ValueError("DataParallelForest packs shard_by='leaf' "
                              "only (the memory-complete layout)")
+        if slack:
+            raise ValueError("slack slots are single-device (fold() is "
+                             "unsupported on sharded forests)")
         if self._packed is not None:
             return self
         if isinstance(self.x, EllMatrix):
@@ -608,8 +667,19 @@ class DataParallelForest(RPForest):
             dtype_str = "bf16"
         else:
             dtype_str = "f32"
-        rows, sq, ids, scale = _dp_pack(self.mesh, self.plan, self.n_trees,
-                                        self.arrays.perm, self.x, dtype_str)
+        lmax = max(self.plan.max_leaf_len, 1)
+        starts = np.asarray(self.plan.leaf_start)
+        lens = np.asarray(self.plan.leaf_len)
+        pos_all = starts[:, None] + np.arange(lmax)[None, :]
+        in_leaf_all = np.arange(lmax)[None, :] < lens[:, None]
+        pos_all = np.where(in_leaf_all, pos_all, 0).astype(np.int32)
+        repl = NamedSharding(self.mesh, P())
+        rows, sq, ids, scale = _dp_pack(
+            self.mesh, self.plan, self.n_trees, self.arrays.perm, self.x,
+            dtype_str,
+            jax.device_put(jnp.asarray(pos_all), repl),
+            jax.device_put(jnp.asarray(in_leaf_all), repl),
+        )
         self._packed = (rows, sq, ids)
         self._block_scale = scale if dtype_str == "int8" else None
         self._packed_mode = "leaf"

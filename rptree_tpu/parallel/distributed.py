@@ -415,16 +415,21 @@ class DistributedForest(RPForest):
                                                 qb.dtype)], axis=0)
         return qb, b
 
-    def pack_leaves(self, dtype=None,
-                    shard_by: str = "tree") -> "DistributedForest":
+    def pack_leaves(self, dtype=None, shard_by: str = "tree",
+                    slack: int = 0) -> "DistributedForest":
         """Leaf-blocked packing, sharded over the tree axis.
 
-        ``shard_by="tree"``: each shard holds its tree group's blocks
+        ``slack`` must be 0 (``fold()`` is single-device; sharded
+        layouts reorder block rows).  ``shard_by="tree"``: each shard
+        holds its tree group's blocks
         (per-chip memory ~ T_local x dataset).  ``shard_by="leaf"``: blocks
         are distributed round-robin by global block id (block g on shard
         g % S at row g // S) -- per-chip memory is 1/S of the TOTAL index,
         below one dataset copy, and every shard serves the probes it owns.
         """
+        if slack:
+            raise ValueError("slack slots are single-device (fold() is "
+                             "unsupported on sharded forests)")
         if self._packed is None:
             if isinstance(self.x, EllMatrix):
                 # sparse (EllBlocks) packing, sharded over the tree axis:
@@ -514,7 +519,8 @@ class DistributedForest(RPForest):
                 precision, min_votes=int(min_votes),
                 block_scale=getattr(self, "_block_scale", None),
             )
-            return d[:b], i[:b]
+            return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
+                                            metric, precision)
         if probes is None:
             # per-shard probe cap: local trees x budget = exact
             probes = (self.n_trees // n_sh) * budget
@@ -532,7 +538,8 @@ class DistributedForest(RPForest):
                          sq, qb, int(k), budget, int(probes),
                          metric, dedup, "flat", precision, packed4,
                          min_votes=int(min_votes))
-        return d[:b], i[:b]
+        return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
+                                        metric, precision)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,
@@ -560,7 +567,8 @@ class DistributedForest(RPForest):
                 bucket_stop=True,
                 block_scale=getattr(self, "_block_scale", None),
             )
-            return d[:b], i[:b]
+            return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
+                                            metric, precision)
         if self._packed is not None:
             packed4 = self._packed + (getattr(self, "_block_scale", None),)
             x = jnp.zeros((1, 1), jnp.float32)
@@ -568,13 +576,15 @@ class DistributedForest(RPForest):
             d, i = _dist_knn(self.mesh, self.plan, self.arrays, x, sq, qb,
                              int(k), budget, 1, metric, dedup, "h_packed",
                              precision, packed4)
-            return d[:b], i[:b]
+            return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
+                                            metric, precision)
         if self.x is None:
             raise ValueError("dataset dropped; pack_leaves() first")
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, self.x,
                          self.sq_norms, qb, int(k), budget, 1, metric,
                          dedup, "h", precision, None)
-        return d[:b], i[:b]
+        return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
+                                        metric, precision)
 
     def recall_with(self, q, k: int, metric: str = "l2",
                     budget: Optional[int] = None):

@@ -28,6 +28,13 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
     ``frontier`` lists every measured point (for plotting recall/cost
     curves).  If no configuration reaches the target, the best-recall
     configuration is returned with ``"met": False``.
+
+    The exact scan is always a candidate: when it is the cheapest config
+    meeting the target the winner has ``"scan": True`` and
+    ``budget``/``probes`` are ``None`` -- serve those queries with
+    ``forest.brute_force_knn(..., precision="fastest")`` instead of
+    ``knn``.  ALWAYS check ``"scan"`` before feeding the knobs back into
+    ``knn`` (passing ``budget=None`` would silently use the defaults).
     """
     from .models.forest import _as_dense_queries
 

@@ -164,3 +164,25 @@ def test_sharded_brute_force_matches_single(data):
     np.testing.assert_allclose(d1, d2, atol=1e-5)
     for b in range(7):
         assert set(i1[b].tolist()) == set(i2[b].tolist())
+
+
+def test_dp_rebuild_stays_sharded(data):
+    """rebuild() on a DataParallelForest re-runs the SHARDED build (the
+    base rebuild would silently produce a single-device forest under the
+    sharded query paths) and refuses indivisible sizes."""
+    mesh = data_mesh(8)
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data, mesh=mesh)
+    f.pack_leaves()
+    f.add(data[:8] + 3.0)
+    with pytest.raises(NotImplementedError):
+        f.fold()  # single-device only
+    f.rebuild()
+    assert f.tree_size() == N + 8
+    # still sharded after rebuild
+    assert max(sh.data.shape[0] for sh in f.x.addressable_shards) \
+        == (N + 8) // 8
+    d, i = map(np.asarray, f.knn(data[:1] + 3.0, 1))
+    assert i[0, 0] >= 0
+    f.add(data[:3])  # (N+11) % 8 != 0
+    with pytest.raises(ValueError):
+        f.rebuild()

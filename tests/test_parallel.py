@@ -275,3 +275,39 @@ def test_sparse_packed_tree_sharded(queries):
     dist.drop_dataset()
     d3, i3 = map(np.asarray, dist.knn(queries, 5, budget=8))
     np.testing.assert_allclose(d2, d3, atol=1e-6)
+
+
+def test_sharded_fold_raises_and_rebuild_repacks(data, queries):
+    """Review findings r2: fold() must refuse sharded layouts (their
+    block rows are reordered and the sharded kernels read static
+    occupancy), and rebuild() on a packed sharded forest must re-pack
+    without crashing on the slack kwarg."""
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    ).pack_leaves()
+    new = data[:4] + 3.0
+    dist.add(new)
+    with pytest.raises(NotImplementedError):
+        dist.fold()
+    # pending points are still served exactly by the merge
+    _, ids = map(np.asarray, dist.knn(new[:1] + 1e-4, 1))
+    assert ids[0, 0] >= N
+    dist.rebuild()  # must re-pack (slack=0) without TypeError
+    assert dist.tree_size() == N + 4
+
+
+def test_sharded_knn_h_respects_remove_and_add(data, queries):
+    """Review finding r2: knn_h must apply tombstones and the pending
+    merge on the sharded paths, like knn does."""
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    )
+    q = data[:2] + 1e-4
+    _, i0 = map(np.asarray, dist.knn_h(q, 1, budget=8))
+    assert (i0[:, 0] == np.arange(2)).all()
+    dist.remove([0, 1])
+    _, i1 = map(np.asarray, dist.knn_h(q, 2, budget=8))
+    assert not set(i1.reshape(-1).tolist()) & {0, 1}
+    dist.add(data[:2] + 5.0)
+    _, i2 = map(np.asarray, dist.knn_h(data[:1] + 5.0, 1, budget=8))
+    assert i2[0, 0] >= N

@@ -448,3 +448,23 @@ def test_brute_force_fastest_mode():
     overlap = np.mean([len(set(i1[b]) & set(i2[b])) / 10 for b in range(16)])
     assert overlap >= 0.9
     assert (np.asarray(d2)[:, 0] < 1.0).all()
+
+
+def test_knn_h_respects_remove_and_add():
+    """Review finding r2: knn_h (packed and unpacked) must apply
+    tombstones and the exact pending merge, like knn."""
+    rng = np.random.default_rng(50)
+    x = rng.normal(size=(400, 8)).astype(np.float32)
+    for pack in (False, True):
+        f = forest_batch(14, 5, 8, 3, 1.0, x)
+        if pack:
+            f.pack_leaves()
+        q = x[:2] + 1e-4
+        _, i0 = map(np.asarray, f.knn_h(q, 1, budget=8))
+        assert (i0[:, 0] == np.arange(2)).all(), pack
+        f.remove([0, 1])
+        _, i1 = map(np.asarray, f.knn_h(q, 2, budget=8))
+        assert not set(i1.reshape(-1).tolist()) & {0, 1}, pack
+        f.add(x[:2] + 5.0)
+        _, i2 = map(np.asarray, f.knn_h(x[:1] + 5.0, 1, budget=8))
+        assert i2[0, 0] >= 400, pack

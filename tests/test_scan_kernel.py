@@ -46,3 +46,17 @@ def test_scan_topk_padding_edges():
     i = np.asarray(i)
     assert ((i >= 0) & (i < 131)).all()
     assert np.isfinite(np.asarray(d)).all()
+
+
+def test_scan_topk_dot_padding_mask():
+    """Regression: metric='dot' must keep the +inf padding mask -- with
+    all-negative inner products, padded rows would otherwise win with
+    distance 0 and ids >= N."""
+    rng = np.random.default_rng(7)
+    x = np.abs(rng.normal(size=(130, 16))).astype(np.float32)
+    q = -np.abs(rng.normal(size=(8, 16))).astype(np.float32)  # dots < 0
+    sq = (x * x).sum(1).astype(np.float32)
+    d, i = scan_topk(jnp.asarray(x), jnp.asarray(sq), jnp.asarray(q), 5,
+                     metric="dot", block_q=8, block_n=128, interpret=True)
+    i = np.asarray(i)
+    assert ((i >= 0) & (i < 130)).all(), i
