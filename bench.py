@@ -72,17 +72,17 @@ def main():
     qd = jnp.asarray(q)
 
     def sweep():
-        return [f.knn(qd[s:s + CHUNK], K, budget=BUDGET, probes=PROBES,
-                      precision="default")
-                for s in range(0, B, CHUNK)]
+        # one-dispatch batched query (lax.map over chunks): peak rerank
+        # memory stays per-chunk, the host pays one dispatch per sweep
+        return f.knn_batched(qd, K, budget=BUDGET, probes=PROBES,
+                             precision="default", chunk=CHUNK)
 
     def sweep_timed():
         # single scalar fetch at the end: one host round-trip times the
         # whole batch (per-chunk fetches through the tunneled TPU backend
         # would serialize ~25ms of RTT each into the measurement)
-        outs = sweep()
-        total = sum(jnp.sum(jnp.clip(i, 0, None)) for _, i in outs)
-        return int(total)
+        _, ids = sweep()
+        return int(jnp.sum(jnp.clip(ids, 0, None)))
 
     sweep_timed()  # compile + warm
     t0 = time.perf_counter()
@@ -93,8 +93,7 @@ def main():
     qps = B / dt
 
     # quality: recall@10 of the returned neighbours vs exact top-k
-    outs = sweep()
-    got = np.concatenate([np.asarray(i) for _, i in outs], axis=0)
+    got = np.asarray(sweep()[1])
     exact = np.concatenate([
         np.asarray(f.brute_force_knn(qd[s:s + CHUNK], K)[1])
         for s in range(0, B, CHUNK)

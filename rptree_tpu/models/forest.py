@@ -357,6 +357,33 @@ def _knn_h_ids(plan, arrays, q, k, budget):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
+                     "precision", "bucket_stop", "min_votes", "chunk"),
+)
+def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
+                     probes, metric, dedup, precision, bucket_stop,
+                     min_votes, block_scale, block_len, chunk):
+    """One-dispatch chunked batch query: ``lax.map`` over query chunks of
+    the packed kNN pipeline.  Peak memory stays per-chunk (the rerank
+    buffers are reused across iterations) while the host pays ONE
+    dispatch for the whole batch -- in dispatch-bound environments this
+    recovers most of the device/wall gap (measured in bench.py)."""
+    b = q.shape[0]
+    nc = b // chunk
+    qc = q.reshape(nc, chunk, q.shape[-1])
+
+    def one(qi):
+        return _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, qi, k,
+                           budget, probes, metric, dedup, precision,
+                           bucket_stop=bucket_stop, min_votes=min_votes,
+                           block_scale=block_scale, block_len=block_len)
+
+    d, ids = lax.map(one, qc)
+    return d.reshape(b, -1), ids.reshape(b, -1)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("plan", "budget", "k", "metric", "dedup", "precision"),
 )
 def _knn_h(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
@@ -1143,6 +1170,41 @@ class RPForest:
             out = self._merge_pending(qb, out[0], out[1], int(k), metric,
                                       precision)
         return out
+
+    def knn_batched(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None, dedup: bool = True,
+                    precision: str = "highest",
+                    probes: Optional[int] = None, min_votes: int = 1,
+                    chunk: int = 4096) -> Tuple[jax.Array, jax.Array]:
+        """Large-batch kNN in ONE device dispatch: queries are processed
+        in chunks of ``chunk`` inside a single ``lax.map`` program, so
+        peak rerank memory is per-chunk but the host pays one dispatch
+        for the whole batch.  Requires :meth:`pack_leaves`.  Results are
+        identical to chunked :meth:`knn` calls."""
+        if self._packed is None:
+            raise ValueError("pack_leaves() first: knn_batched runs the "
+                             "leaf-blocked pipeline")
+        k = self._check_k(k)
+        qb = _as_dense_queries(q, self.dim)
+        budget = self._budget(budget)
+        b = qb.shape[0]
+        chunk = max(1, min(int(chunk), b))
+        pad = (-b) % chunk
+        if pad:
+            qb = jnp.concatenate(
+                [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+        x_leaf, sq_leaf, id_leaf = self._packed
+        if probes is None:
+            probes = self.n_trees * budget
+        out = _knn_packed_many(
+            self.plan, self.arrays, x_leaf, sq_leaf, id_leaf, qb, int(k),
+            budget, int(probes), metric, dedup, precision, False,
+            int(min_votes), getattr(self, "_block_scale", None),
+            self._block_len_dev, chunk,
+        )
+        out = (out[0][:b], out[1][:b])
+        return self._apply_update_hooks(qb[:b], out[0], out[1], int(k),
+                                        metric, precision)
 
     def knn_pq(self, q, k: int, metric: str = "l2",
                budget: Optional[int] = None, precision: str = "highest"):

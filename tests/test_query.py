@@ -468,3 +468,26 @@ def test_knn_h_respects_remove_and_add():
         f.add(x[:2] + 5.0)
         _, i2 = map(np.asarray, f.knn_h(x[:1] + 5.0, 1, budget=8))
         assert i2[0, 0] >= 400, pack
+
+
+def test_knn_batched_matches_chunked_knn():
+    """knn_batched (one-dispatch lax.map over chunks) must equal chunked
+    knn calls exactly, including the padded tail and update hooks."""
+    rng = np.random.default_rng(51)
+    x = rng.normal(size=(2000, 8)).astype(np.float32)
+    f = forest_batch(15, 5, 16, 3, 1.0, x).pack_leaves()
+    q = rng.normal(size=(37, 8)).astype(np.float32)
+    d1, i1 = map(np.asarray, f.knn(q, 5, budget=4, probes=8))
+    d2, i2 = map(np.asarray, f.knn_batched(q, 5, budget=4, probes=8,
+                                           chunk=16))
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+    # hooks: removed points vanish, pending points appear
+    f.remove(i1[:1, 0])
+    f.add(q[:1] * 0 + 50.0)
+    d3, i3 = map(np.asarray, f.knn_batched(q, 5, budget=4, probes=8,
+                                           chunk=16))
+    assert i1[0, 0] not in set(i3[0].tolist())
+    d4, i4 = map(np.asarray,
+                 f.knn_batched(np.full((1, 8), 50.0, np.float32), 1))
+    assert i4[0, 0] >= 2000
