@@ -153,9 +153,9 @@ def main():
     BQ = 8192  # enough to amortize dispatch at the heavy tree config
 
     def sweep_q():
-        outs = [fq.knn(qd[s:s + cbq], K, budget=BT, probes=PT,
-                       precision="default")[1] for s in range(0, BQ, cbq)]
-        return int(jnp.sum(outs[-1]))
+        _, ids = fq.knn_batched(qd[:BQ], K, budget=BT, probes=PT,
+                                precision="default", chunk=cbq)
+        return int(jnp.sum(ids))
 
     sweep_q()
     t0 = time.perf_counter()
@@ -164,12 +164,12 @@ def main():
     qps_tree = BQ / ((time.perf_counter() - t0) / 2)
     del fq
 
-    # exact scan on the MXU (the engine's own brute_force_knn)
+    # exact scan on the MXU (the engine's own brute_force_knn),
+    # one dispatch for the whole batch
     def sweep_bf():
-        outs = [f.brute_force_knn(qd[s:s + 2048], K,
-                                  precision="fastest")[1]
-                for s in range(0, B, 2048)]
-        return int(jnp.sum(outs[-1]))
+        _, ids = f.brute_force_knn(qd, K, precision="fastest",
+                                   query_chunk=2048)
+        return int(jnp.sum(ids))
 
     sweep_bf()
     t0 = time.perf_counter()
@@ -209,10 +209,9 @@ def main():
     q1 = qd[:4096]
 
     def sweep_bf1():
-        outs = [f1.brute_force_knn(q1[s:s + 1024], K,
-                                   precision="fastest")[1]
-                for s in range(0, 4096, 1024)]
-        return int(jnp.sum(outs[-1]))
+        _, ids = f1.brute_force_knn(q1, K, precision="fastest",
+                                    query_chunk=1024)
+        return int(jnp.sum(ids))
 
     sweep_bf1()
     t0 = time.perf_counter()

@@ -439,6 +439,20 @@ def _scatter_fold(x_leaf, sq_leaf, id_leaf, g, s, rows, sq, ids):
     return x_leaf, sq_leaf, id_leaf
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "precision", "chunk")
+)
+def _brute_force_many(x, sq_norms, q, k, metric, precision, chunk):
+    """One-dispatch chunked brute force: ``lax.map`` over query chunks of
+    the streaming scan (same recipe as :func:`_knn_packed_many`)."""
+    b = q.shape[0]
+    qc = q.reshape(b // chunk, chunk, q.shape[-1])
+    d, ids = lax.map(
+        lambda qi: _brute_force(x, sq_norms, qi, k, metric, precision), qc
+    )
+    return d.reshape(b, -1), ids.reshape(b, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "precision"))
 def _brute_force(x, sq_norms, q, k, metric, precision="highest"):
     """Exact k nearest neighbours over the whole dataset (the ground truth
@@ -1262,12 +1276,25 @@ class RPForest:
                        int(k), self._budget(budget), metric)
 
     def brute_force_knn(self, q, k: int, metric: str = "l2",
-                        precision: str = "highest"):
-        """Exact kNN by full scan (ground-truth oracle)."""
+                        precision: str = "highest",
+                        query_chunk: Optional[int] = None):
+        """Exact kNN by full scan (ground-truth oracle).  ``query_chunk``
+        processes the batch in one device dispatch, ``query_chunk``
+        queries at a time (large batches; dense data only)."""
         if self.x is None:
             raise ValueError("dataset dropped (drop_dataset); brute "
                              "force needs the raw rows")
         qb = _as_dense_queries(q, self.dim)
+        if query_chunk and not isinstance(self.x, EllMatrix):
+            b = qb.shape[0]
+            ch = max(1, min(int(query_chunk), b))
+            pad = (-b) % ch
+            if pad:
+                qb = jnp.concatenate(
+                    [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+            d, ids = _brute_force_many(self.x, self.sq_norms, qb, int(k),
+                                       metric, precision, ch)
+            return d[:b], ids[:b]
         return _brute_force(self.x, self.sq_norms, qb, int(k), metric,
                             precision)
 

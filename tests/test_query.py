@@ -491,3 +491,14 @@ def test_knn_batched_matches_chunked_knn():
     d4, i4 = map(np.asarray,
                  f.knn_batched(np.full((1, 8), 50.0, np.float32), 1))
     assert i4[0, 0] >= 2000
+
+
+def test_brute_force_query_chunk_matches():
+    rng = np.random.default_rng(52)
+    x = rng.normal(size=(1500, 8)).astype(np.float32)
+    f = forest_batch(16, 3, 1024, 1, 1.0, x)
+    q = rng.normal(size=(23, 8)).astype(np.float32)
+    d1, i1 = map(np.asarray, f.brute_force_knn(q, 6))
+    d2, i2 = map(np.asarray, f.brute_force_knn(q, 6, query_chunk=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
