@@ -128,9 +128,19 @@ def run_bench(cfg: BenchConfig, seed: int = 1234,
     t_query, outs = benchmark(queries, reps=reps)
 
     recall = float(np.mean(_fetch(f.recall_with(q, k))))
+    # forest-level recall of the returned neighbours (the per-tree
+    # recallWith above mirrors the reference's metric, RPTree.hs:259-268,
+    # and is tiny by construction at deep configs)
+    got = np.concatenate([i for _, i in outs], axis=0)
+    exact = _fetch(f.brute_force_knn(q, k)[1])
+    recall_forest = float(np.mean([
+        len(set(got[b].tolist()) & set(exact[b].tolist())) / k
+        for b in range(got.shape[0])
+    ]))
     return {
         "description": cfg.description,
-        "recall_at_10": round(recall, 4),
+        "recall_at_10": round(recall_forest, 4),
+        "recall_per_tree": round(recall, 4),
         "build_s": round(t_build, 4),
         "query_s": round(t_query, 4),
         "qps": round(cfg.num_query_points / t_query, 1),
