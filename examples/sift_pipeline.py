@@ -71,10 +71,16 @@ def main(base=None, query=None, gt=None, n_trees=8, k=10,
         _, gt_ids = f.brute_force_knn(xq, k)
         gt_ids = np.asarray(gt_ids)
 
-    f.drop_dataset()  # serve-only: leaf blocks are the remaining copy
     t0 = time.perf_counter()
-    _, ids = f.knn(xq, k, budget=best["budget"], probes=best["probes"],
-                   precision="default")
+    if best.get("scan"):
+        # tune() found the exact MXU scan to be the cheapest config
+        # meeting the target (small/hard datasets) -- serve with it
+        print("serving via the exact scan (tune() picked it)")
+        _, ids = f.brute_force_knn(xq, k, precision="fastest")
+    else:
+        f.drop_dataset()  # serve-only: leaf blocks are the remaining copy
+        _, ids = f.knn(xq, k, budget=best["budget"], probes=best["probes"],
+                       precision="default")
     ids = np.asarray(ids)
     dt = time.perf_counter() - t0
     recall = float(np.mean([
