@@ -66,6 +66,18 @@ def _prec(precision: str):
             else jax.lax.Precision.DEFAULT)
 
 
+def _pad_to_chunk(qb: jax.Array, chunk: int):
+    """Pad a [B, D] batch up to a multiple of ``chunk`` rows; returns
+    (padded batch, original B, effective chunk)."""
+    b = qb.shape[0]
+    ch = max(1, min(int(chunk), b))
+    pad = (-b) % ch
+    if pad:
+        qb = jnp.concatenate(
+            [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+    return qb, b, ch
+
+
 def _as_dense_queries(q, dim: int) -> jax.Array:
     """Queries as f32[B, D]; single vectors are auto-batched; sparse queries
     (SVec or EllMatrix) are densified (B is small)."""
@@ -209,58 +221,45 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
         dots = jnp.sum(vals.astype(jnp.float32) * qg, axis=-1)
         sqx = jnp.take(sq_leaf, rows_sel, axis=0)
         d = distances_from_dots(dots, sqx, q[:, None], metric)
-        if block_len is not None:
-            lens = jnp.take(block_len, rows_sel)
-        else:
-            lens = jnp.take(jnp.asarray(plan.leaf_len),
-                            jnp.clip(lsel, 0, None))
-        valid = (lsel >= 0)[..., None] & (
-            jnp.arange(lmax, dtype=jnp.int32) < lens[..., None]
-        )
-        d = jnp.where(valid, d, jnp.inf).reshape(b, probes * lmax)
-        kk = min(kk, probes * lmax)
-        ids_blk = jnp.take(id_leaf, rows_sel, axis=0)
-        ids_flat = ids_blk.reshape(b, probes * lmax)
-        d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
-        d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
-        ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
-        return merge_top_k(d_top, ids_top, k, dedup=dedup,
-                           min_votes=min_votes)
-    # [B, P, lmax, D] block gather; x_leaf is stored 3-D so no reshape
-    # (a [.., lmax*D] -> [.., lmax, D] reshape forces a relayout copy that
-    # measured ~15% of the whole query)
-    rows = jnp.take(x_leaf, rows_sel, axis=0)
-    if callable(metric):
-        # user distance callable (the reference's distf, RPTree.hs:168):
-        # applied directly to the gathered block rows
-        if rows.dtype == jnp.int8:
-            raise NotImplementedError(
-                "custom distance callables are unsupported on int8-"
-                "quantized blocks (pack with f32/bf16)"
-            )
-        d = metric(rows.astype(jnp.float32), q[:, None, None, :])
-    elif rows.dtype == jnp.int8:
-        # quantized blocks: per-leaf scales stored alongside; the query is
-        # symmetrically quantized per row, dots accumulate in int32 on the
-        # MXU, and the stored squared norms stay EXACT f32 -- only the
-        # cross term of |x|^2 - 2 x.q + |q|^2 carries quantization error
-        qmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-        qscale = jnp.maximum(qmax, 1e-30) / 127.0
-        q_i8 = jnp.clip(jnp.round(q / qscale), -127, 127).astype(jnp.int8)
-        dots_i = jnp.einsum("bpld,bd->bpl", rows, q_i8,
-                            preferred_element_type=jnp.int32)
-        bscale = jnp.take(block_scale, rows_sel, axis=0)  # [B, P]
-        dots = (dots_i.astype(jnp.float32)
-                * bscale[..., None] * qscale[:, None])
     else:
-        dots = jnp.einsum("bpld,bd->bpl", rows, q.astype(rows.dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=_prec(precision))
-    if not callable(metric):
-        # squared norms precomputed per slot at pack time: a [B, P]-index
-        # gather instead of a second full multiply-reduce over the rows
-        sqx = jnp.take(sq_leaf, rows_sel, axis=0)
-        d = distances_from_dots(dots, sqx, q[:, None], metric)  # [B, P, lmax]
+        # [B, P, lmax, D] block gather; x_leaf is stored 3-D so no
+        # reshape (a [.., lmax*D] -> [.., lmax, D] reshape forces a
+        # relayout copy that measured ~15% of the whole query)
+        rows = jnp.take(x_leaf, rows_sel, axis=0)
+        if callable(metric):
+            # user distance callable (the reference's distf,
+            # RPTree.hs:168): applied to the gathered block rows
+            if rows.dtype == jnp.int8:
+                raise NotImplementedError(
+                    "custom distance callables are unsupported on int8-"
+                    "quantized blocks (pack with f32/bf16)"
+                )
+            d = metric(rows.astype(jnp.float32), q[:, None, None, :])
+        else:
+            if rows.dtype == jnp.int8:
+                # quantized blocks: per-leaf scales stored alongside; the
+                # query is symmetrically quantized per row, dots
+                # accumulate in int32 on the MXU, and the stored squared
+                # norms stay EXACT f32 -- only the cross term of
+                # |x|^2 - 2 x.q + |q|^2 carries quantization error
+                qmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+                qscale = jnp.maximum(qmax, 1e-30) / 127.0
+                q_i8 = jnp.clip(jnp.round(q / qscale), -127, 127
+                                ).astype(jnp.int8)
+                dots_i = jnp.einsum("bpld,bd->bpl", rows, q_i8,
+                                    preferred_element_type=jnp.int32)
+                bscale = jnp.take(block_scale, rows_sel, axis=0)  # [B, P]
+                dots = (dots_i.astype(jnp.float32)
+                        * bscale[..., None] * qscale[:, None])
+            else:
+                dots = jnp.einsum("bpld,bd->bpl", rows,
+                                  q.astype(rows.dtype),
+                                  preferred_element_type=jnp.float32,
+                                  precision=_prec(precision))
+            # squared norms precomputed per slot at pack time: a [B, P]-
+            # index gather instead of a second multiply-reduce over rows
+            sqx = jnp.take(sq_leaf, rows_sel, axis=0)
+            d = distances_from_dots(dots, sqx, q[:, None], metric)
     if block_len is not None:
         lens = jnp.take(block_len, rows_sel)
     else:
@@ -412,10 +411,8 @@ def _descend(plan, arrays, xnew):
     proj = jnp.einsum("md,tld->tml", xnew, arrays.r[:, :nl],
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-    smax = max(lp.n_segs for lp in plan.levels)
-    child = np.zeros((nl, smax, 2), np.int32)
-    for l, lp in enumerate(plan.levels):
-        child[l, : lp.n_segs] = lp.child_enc
+    child = plan.padded_child_table()
+    smax = child.shape[1]
     m = xnew.shape[0]
     code = jnp.zeros((t, m), jnp.int32)
     leaf = jnp.full((t, m), -1, jnp.int32)
@@ -1166,24 +1163,16 @@ class RPForest:
                               min_votes=int(min_votes),
                               block_scale=getattr(self, "_block_scale", None),
                               block_len=self._block_len_dev)
-            if self._deleted is not None:
-                out = self._mask_deleted(out[0], out[1], int(k))
-            if getattr(self, "_pending", None):
-                out = self._merge_pending(qb, out[0], out[1], int(k),
-                                          metric, precision)
-            return out
+            return self._apply_update_hooks(qb, out[0], out[1], int(k),
+                                            metric, precision)
         if self.x is None:
             raise ValueError("dataset dropped (drop_dataset); only packed-"
                              "path queries are available")
         out = _knn(self.plan, self.arrays, self.x, self.sq_norms, qb, int(k),
                    budget, metric, dedup, precision,
                    min_votes=int(min_votes))
-        if self._deleted is not None:
-            out = self._mask_deleted(out[0], out[1], int(k))
-        if getattr(self, "_pending", None):
-            out = self._merge_pending(qb, out[0], out[1], int(k), metric,
-                                      precision)
-        return out
+        return self._apply_update_hooks(qb, out[0], out[1], int(k), metric,
+                                        precision)
 
     def knn_batched(self, q, k: int, metric: str = "l2",
                     budget: Optional[int] = None, dedup: bool = True,
@@ -1199,14 +1188,8 @@ class RPForest:
             raise ValueError("pack_leaves() first: knn_batched runs the "
                              "leaf-blocked pipeline")
         k = self._check_k(k)
-        qb = _as_dense_queries(q, self.dim)
+        qb, b, chunk = _pad_to_chunk(_as_dense_queries(q, self.dim), chunk)
         budget = self._budget(budget)
-        b = qb.shape[0]
-        chunk = max(1, min(int(chunk), b))
-        pad = (-b) % chunk
-        if pad:
-            qb = jnp.concatenate(
-                [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
         x_leaf, sq_leaf, id_leaf = self._packed
         if probes is None:
             probes = self.n_trees * budget
@@ -1248,13 +1231,8 @@ class RPForest:
         else:
             out = _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb,
                          int(k), budget, metric, dedup, precision)
-        # deletions and pending inserts apply to every query surface
-        if self._deleted is not None:
-            out = self._mask_deleted(out[0], out[1], int(k))
-        if getattr(self, "_pending", None):
-            out = self._merge_pending(qb, out[0], out[1], int(k), metric,
-                                      precision)
-        return out
+        return self._apply_update_hooks(qb, out[0], out[1], int(k), metric,
+                                        precision)
 
     def candidates(self, q, budget: Optional[int] = None, tree: Optional[int] = None):
         """Candidate point ids per tree (reference ``candidates``,
@@ -1286,12 +1264,7 @@ class RPForest:
                              "force needs the raw rows")
         qb = _as_dense_queries(q, self.dim)
         if query_chunk and not isinstance(self.x, EllMatrix):
-            b = qb.shape[0]
-            ch = max(1, min(int(query_chunk), b))
-            pad = (-b) % ch
-            if pad:
-                qb = jnp.concatenate(
-                    [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+            qb, b, ch = _pad_to_chunk(qb, query_chunk)
             d, ids = _brute_force_many(self.x, self.sq_norms, qb, int(k),
                                        metric, precision, ch)
             return d[:b], ids[:b]

@@ -164,6 +164,20 @@ class TreePlan:
         # total node count (branch + leaf), for tree stats
         self.n_branches = sum(lp.n_segs for lp in self.levels)
 
+    def padded_child_table(self) -> np.ndarray:
+        """Child encodings padded to the widest level:
+        ``int32[n_levels, max_segs, 2]`` (enc >= 0: split-segment index at
+        the next level; enc < 0: -(leaf_id+1)).  Shared by the fold
+        descent and the data-parallel builder; cached (plans are
+        immutable)."""
+        if getattr(self, "_child_table", None) is None:
+            smax = max((lp.n_segs for lp in self.levels), default=1)
+            child = np.zeros((self.n_levels, smax, 2), np.int32)
+            for l, lp in enumerate(self.levels):
+                child[l, : lp.n_segs] = lp.child_enc
+            self._child_table = child
+        return self._child_table
+
     # -- static-arg protocol -------------------------------------------------
 
     def _key(self):

@@ -146,9 +146,7 @@ def _dp_build_tree(mesh, plan: TreePlan, x, r):
         ranks3[l, 1, :ns] = lp.thr_pos - lp.seg_start
         ranks3[l, 2, :ns] = lp.mgr_pos - lp.seg_start
     # child encodings per level (padded): enc >= 0 split-index else leaf
-    child = np.zeros((nl, smax, 2), np.int32)
-    for l, lp in enumerate(plan.levels):
-        child[l, : lp.n_segs] = lp.child_enc
+    child = plan.padded_child_table()
 
     def one_tree(x_l, r_l):
         n_local = x_l.shape[0]
@@ -540,12 +538,8 @@ class DataParallelForest(RPForest):
             out = _dp_knn(self.mesh, self.plan, self.arrays, self.x,
                           self.sq_norms, qb, int(k), budget, metric, dedup,
                           precision, min_votes=int(min_votes))
-        if self._deleted is not None:
-            out = self._mask_deleted(out[0], out[1], int(k))
-        if getattr(self, "_pending", None):
-            out = self._merge_pending(qb, out[0], out[1], int(k), metric,
-                                      precision)
-        return out
+        return self._apply_update_hooks(qb, out[0], out[1], int(k), metric,
+                                        precision)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,
