@@ -108,6 +108,12 @@ def scan_topk(x, sq, q, k, metric="l2", block_q=256, block_n=2048,
     and ``dot`` (runs with ``sq = 0``; partial = -2 x.q, halved after).
     Returns ``(dists f32[B, k], ids int32[B, k])``.
     """
+    if metric not in ("l2", "sql2", "dot"):
+        raise ValueError(
+            f"scan_topk supports metrics ('l2', 'sql2', 'dot'); got "
+            f"{metric!r} (cosine has no factored partial-distance form "
+            "here -- use brute_force_knn)"
+        )
     n, dim = x.shape
     b = q.shape[0]
     k = int(min(k, n))

@@ -3,14 +3,14 @@
 The reference exposes raw knobs and a closed-form construction heuristic
 (``rpTreeCfg``, Conduit.hs:132-141) but no way to pick query-time
 parameters for a quality target.  :func:`tune` sweeps the (budget, probes)
-surface on a validation query set against the exact brute-force answer and
-returns the cheapest configuration whose measured recall@k clears the
-target -- "cheapest" by reranked-candidate volume, the quantity the
-serving cost is proportional to.
+surface on a validation query set against the exact brute-force answer,
+MEASURES each configuration's throughput on the live device, and returns
+the fastest configuration whose measured recall@k clears the target.
 """
 
 from __future__ import annotations
 
+import time
 from typing import Optional, Sequence
 
 import numpy as np
@@ -21,20 +21,32 @@ __all__ = ["tune"]
 def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
          budgets: Sequence[int] = (1, 2, 4, 8, 16, 32),
          probes_per_tree: Sequence[float] = (1.0, 1.5, 2.0, 3.0, 4.0),
-         metric: str = "l2", precision: str = "highest") -> dict:
-    """Pick the cheapest (budget, probes) meeting ``target_recall``.
+         metric: str = "l2", precision: str = "highest",
+         measure: bool = True, reps: int = 2) -> dict:
+    """Pick the best (budget, probes) meeting ``target_recall``.
 
-    Returns ``{"budget", "probes", "recall", "cost", "frontier"}`` where
-    ``frontier`` lists every measured point (for plotting recall/cost
-    curves).  If no configuration reaches the target, the best-recall
-    configuration is returned with ``"met": False``.
+    With ``measure=True`` (default) every swept configuration -- and the
+    always-included exact-scan candidate -- is TIMED on the validation
+    batch (``reps`` repetitions after a warm-up call, completion forced by
+    a host fetch), and the winner is the highest measured-QPS config
+    clearing the target.  ``measure=False`` falls back to the static
+    proxy cost ``budget + probes * max_leaf_len`` (reranked candidate
+    slots plus traversal frontier width) and picks the cheapest.
 
-    The exact scan is always a candidate: when it is the cheapest config
-    meeting the target the winner has ``"scan": True`` and
-    ``budget``/``probes`` are ``None`` -- serve those queries with
-    ``forest.brute_force_knn(..., precision="fastest")`` instead of
-    ``knn``.  ALWAYS check ``"scan"`` before feeding the knobs back into
-    ``knn`` (passing ``budget=None`` would silently use the defaults).
+    Returns ``{"budget", "probes", "recall", "cost", "qps", "frontier"}``
+    where ``frontier`` lists every measured point (for plotting
+    recall/throughput curves).  If no configuration reaches the target,
+    the best-recall configuration is returned with ``"met": False``.
+
+    The exact scan is always a candidate: when it wins, the result has
+    ``"scan": True`` and ``budget``/``probes`` are ``None`` -- serve those
+    queries with ``forest.brute_force_knn(..., precision="fastest")``
+    instead of ``knn``.  ALWAYS check ``"scan"`` before feeding the knobs
+    back into ``knn`` (passing ``budget=None`` would silently use the
+    defaults).  NOTE: the scan recommendation is only executable while the
+    forest still holds its raw rows -- after ``drop_dataset()`` the
+    serve-only forest cannot run ``brute_force_knn`` (and ``tune`` itself
+    needs the raw rows for its ground truth).
     """
     from .models.forest import _as_dense_queries
 
@@ -43,6 +55,16 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
     exact = np.asarray(exact)
     nq = qb.shape[0]
 
+    def timed_qps(fn):
+        """Measured queries/s of one config: warm (compile) call, then
+        ``reps`` timed calls, completion forced by the host fetch."""
+        np.asarray(fn()[1])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(fn()[1])
+        dt = time.perf_counter() - t0
+        return nq * reps / dt if dt > 0 else float("inf")
+
     lmax = max(forest.plan.max_leaf_len, 1)
     results = []
     for budget in sorted(set(int(b) for b in budgets)):
@@ -50,27 +72,44 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
         for ppt in sorted(set(probes_per_tree)):
             probes = max(1, min(int(round(ppt * forest.n_trees)),
                                 forest.n_trees * budget))
-            _, ids = forest.knn(qb, k, metric=metric, budget=budget,
-                                probes=probes, precision=precision)
+
+            def run(budget=budget, probes=probes):
+                return forest.knn(qb, k, metric=metric, budget=budget,
+                                  probes=probes, precision=precision)
+
+            _, ids = run()
             ids = np.asarray(ids)
             recall = float(np.mean([
                 len(set(ids[b].tolist()) & set(exact[b].tolist())) / k
                 for b in range(nq)
             ]))
-            results.append({
+            point = {
                 "budget": budget, "probes": probes, "recall": recall,
-                "cost": probes * lmax,  # reranked candidate slots per query
-            })
+                # static proxy: reranked slots + traversal frontier work
+                "cost": budget + probes * lmax,
+            }
+            if measure:
+                point["qps"] = timed_qps(run)
+            results.append(point)
 
-    # the exact MXU scan is always a candidate operating point: its cost
-    # is n reranked slots/query and its recall is 1.0 by definition.  On
-    # hard (e.g. iid high-dim) data the forest's recall saturates below
-    # high targets while probes * lmax approaches n, so the scan can be
-    # the CHEAPEST config meeting the target -- report it honestly.
-    results.append({"budget": None, "probes": None, "recall": 1.0,
-                    "cost": forest.n_points, "scan": True})
+    # the exact MXU scan is always a candidate operating point: recall is
+    # 1.0 by definition and its cost is every stored row.  On hard (e.g.
+    # iid high-dim) data the forest's recall saturates below high targets
+    # while probes * lmax approaches n, so the scan can be the best config
+    # meeting the target -- report it honestly.
+    n_all = forest.n_points + getattr(forest, "n_folded", 0)
+    scan_point = {"budget": None, "probes": None, "recall": 1.0,
+                  "cost": n_all, "scan": True}
+    if measure:
+        scan_point["qps"] = timed_qps(
+            lambda: forest.brute_force_knn(qb, k, metric=metric,
+                                           precision="fastest"))
+    results.append(scan_point)
 
-    results.sort(key=lambda r: (r["cost"], -r["recall"]))
+    if measure:
+        results.sort(key=lambda r: (-r["qps"], -r["recall"]))
+    else:
+        results.sort(key=lambda r: (r["cost"], -r["recall"]))
     meeting = [r for r in results if r["recall"] >= target_recall]
     if meeting:
         best = dict(meeting[0])

@@ -79,16 +79,30 @@ def sample_projections(seed, n_trees: int, depth: int, dim: int, pnz: float,
 # `data_source` drive them.  Distributions match the reference's mixtures.
 # ---------------------------------------------------------------------------
 
-def dense(key, n: int, dim: int, mu: float = 0.0, sigma: float = 1.0) -> jax.Array:
-    """Dense Gaussian vectors (reference ``dense``/``denseVG``, Gen.hs:156-175)."""
+def dense(key, n: int, dim: int, mu: float = 0.0, sigma: float = 1.0,
+          sampler: Callable = None) -> jax.Array:
+    """Dense random vectors (reference ``dense``/``denseVG``,
+    Gen.hs:156-175).  Components are N(mu, sigma) by default; a
+    ``sampler(key, shape) -> array`` callable overrides the component
+    distribution entirely (the reference's caller-supplied sampler
+    argument -- ``dense dim stdUniform`` etc.), ignoring mu/sigma."""
+    if sampler is not None:
+        return sampler(key, (n, dim))
     return mu + sigma * jax.random.normal(key, (n, dim))
 
 
-def sparse(key, n: int, dim: int, pnz: float, mu: float = 0.0, sigma: float = 1.0) -> jax.Array:
-    """Sparse Gaussian vectors with Bernoulli(pnz) support, materialized
-    dense (reference ``sparse``/``sparseVG``, Gen.hs:148-195)."""
+def sparse(key, n: int, dim: int, pnz: float, mu: float = 0.0,
+           sigma: float = 1.0, sampler: Callable = None) -> jax.Array:
+    """Sparse random vectors with Bernoulli(pnz) support, materialized
+    dense (reference ``sparse``/``sparseVG``, Gen.hs:148-195).  As with
+    :func:`dense`, ``sampler(key, shape)`` substitutes any component
+    distribution for the default N(mu, sigma) -- the reference's
+    ``sparse pnz dim <sampler>`` extension point."""
     kv, km = jax.random.split(key)
-    vals = mu + sigma * jax.random.normal(kv, (n, dim))
+    if sampler is not None:
+        vals = sampler(kv, (n, dim))
+    else:
+        vals = mu + sigma * jax.random.normal(kv, (n, dim))
     mask = jax.random.bernoulli(km, pnz, (n, dim))
     return jnp.where(mask, vals, 0.0)
 

@@ -21,10 +21,18 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compile cache: the suite's wall clock is dominated by XLA
 # compiles (hundreds of distinct shapes); caching them across runs cuts
-# repeat runs severalfold.  Safe to share: entries are keyed by HLO hash.
+# repeat runs severalfold.  Keyed per user: a crashed/contended run can
+# corrupt a shared cache (symptom: every later run dies with
+# INVALID_ARGUMENT at dispatch -- recover with `rm -rf` of the dir below).
 try:
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/rptree_tpu_test_jax_cache")
+    import getpass
+    import tempfile
+
+    _cache_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rptree_tpu_test_jax_cache_{getpass.getuser()}",
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_enable_xla_caches",
                       "all")

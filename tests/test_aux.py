@@ -74,15 +74,23 @@ def test_tune_meets_target():
     f = rt.forest_batch(4, 6, 16, 8, 1.0, x).pack_leaves()
     q = np.asarray(rgen.data_batch(5, 24, rgen.circle2d2), np.float32)
     best = rt.tune(f, q, k=5, target_recall=0.8,
-                   budgets=(2, 8), probes_per_tree=(1.0, 2.0))
+                   budgets=(2, 8), probes_per_tree=(1.0, 2.0), reps=1)
     assert best["met"] and best["recall"] >= 0.8
     # 2x2 tree-config grid + the exact-scan candidate (recall 1.0, cost n)
     assert len(best["frontier"]) == 5
     scan = [r for r in best["frontier"] if r.get("scan")]
     assert len(scan) == 1 and scan[0]["cost"] == 3000
-    # frontier sorted by cost; chosen config is the cheapest meeting one
-    costs = [r["cost"] for r in best["frontier"] if r["recall"] >= 0.8]
-    assert best["cost"] == min(costs)
+    # every frontier point carries a measured throughput; the winner is
+    # the fastest measured config among those meeting the target
+    assert all(r["qps"] > 0 for r in best["frontier"])
+    qpss = [r["qps"] for r in best["frontier"] if r["recall"] >= 0.8]
+    assert best["qps"] == max(qpss)
+    # static-cost mode still picks the cheapest meeting config
+    best_c = rt.tune(f, q, k=5, target_recall=0.8,
+                     budgets=(2, 8), probes_per_tree=(1.0, 2.0),
+                     measure=False)
+    costs = [r["cost"] for r in best_c["frontier"] if r["recall"] >= 0.8]
+    assert best_c["cost"] == min(costs) and "qps" not in best_c["frontier"][0]
 
 
 def test_device_time_nonnegative():
@@ -107,3 +115,22 @@ def test_example_pipeline_runs(capsys, monkeypatch):
         sys.argv = argv
     out = capsys.readouterr().out
     assert "recall@10=" in out and "served" in out
+
+
+def test_gen_custom_component_sampler():
+    """dense/sparse accept a caller-supplied component sampler (the
+    reference's `sparse pnz dim <sampler>` extension point, Gen.hs:148-175)."""
+    import jax
+    import numpy as np
+
+    from rptree_tpu.utils import gen as rgen
+
+    key = rgen.key_from_seed(7)
+    u = np.asarray(rgen.dense(key, 64, 8, sampler=jax.random.uniform))
+    assert ((u >= 0.0) & (u < 1.0)).all()
+    s = np.asarray(rgen.sparse(key, 256, 16, 0.5,
+                               sampler=jax.random.uniform))
+    nz = s[s != 0.0]
+    assert ((nz > 0.0) & (nz < 1.0)).all()
+    frac = (s != 0.0).mean()
+    assert 0.3 < frac < 0.7

@@ -60,3 +60,14 @@ def test_scan_topk_dot_padding_mask():
                      metric="dot", block_q=8, block_n=128, interpret=True)
     i = np.asarray(i)
     assert ((i >= 0) & (i < 130)).all(), i
+
+
+def test_scan_topk_rejects_unknown_metric():
+    """cosine (no factored partial form here) and typos must raise, not
+    silently return l2-family distances."""
+    x = jnp.zeros((8, 4))
+    sq = jnp.zeros((8,))
+    q = jnp.zeros((2, 4))
+    for bad in ("cosine", "l3"):
+        with pytest.raises(ValueError, match="scan_topk supports"):
+            scan_topk(x, sq, q, 2, metric=bad, interpret=True)
