@@ -68,7 +68,9 @@ from .utils.profiling import device_time
 from .utils.io import (
     deserialise_rp_forest,
     load_forest,
+    load_forest_sharded,
     save_forest,
+    save_forest_sharded,
     serialise_rp_forest,
 )
 from .ops.sparse import (
@@ -133,6 +135,12 @@ def knn_h(forest_, q, k, **kw):
 def knn_pq(forest_, q, k, **kw):
     """Deduplicating kNN (reference ``knnPQ``, RPTree.hs:178-194)."""
     return forest_.knn_pq(q, k, **kw)
+
+
+def knn_h_buckets(forest_, q, k, **kw):
+    """Raw (unsorted, untruncated) knnH bucket contents -- the reference
+    ``knnH``'s return contract (RPTree.hs:196-217)."""
+    return forest_.knn_h_buckets(q, k, **kw)
 
 
 def candidates(forest_, q, **kw):

@@ -147,7 +147,7 @@ def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
 
 
 def _select_probes(plan, arrays, q, budget, probes, k=None,
-                   bucket_stop=False):
+                   bucket_stop=False, block_len=None):
     """Traverse and compact the forest's candidate buckets to the
     ``probes`` lowest-margin-priority leaves per query.
 
@@ -178,11 +178,17 @@ def _select_probes(plan, arrays, q, budget, probes, k=None,
         # keeping the first; buckets beyond the stop are masked out.
         # (probes bounds the window; exact whenever the stop fires within
         # it, which min_leaf-sized buckets guarantee for probes >= k.)
-        sizes = jnp.where(
-            lsel >= 0,
-            jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(lsel, 0, None)),
-            0,
-        )
+        # ``block_len`` (dynamic occupancy after fold()) supersedes the
+        # static plan sizes so folded rows count toward the cutoff.
+        if block_len is not None:
+            sizes = jnp.where(lsel >= 0, jnp.take(block_len, gsel), 0)
+        else:
+            sizes = jnp.where(
+                lsel >= 0,
+                jnp.take(jnp.asarray(plan.leaf_len),
+                         jnp.clip(lsel, 0, None)),
+                0,
+            )
         csum = jnp.cumsum(sizes, axis=-1)
         keep = (csum <= k) | (jnp.arange(probes)[None, :] == 0)
         lsel = jnp.where(keep, lsel, -1)
@@ -192,7 +198,7 @@ def _select_probes(plan, arrays, q, budget, probes, k=None,
 
 def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
                   kk, metric, dedup, precision, min_votes=1,
-                  block_scale=None, block_len=None):
+                  block_scale=None, block_len=None, block_center=None):
     """Fetch and exactly score the selected leaf blocks.
 
     ``rows_sel int32[B, P]``: row index into the (possibly shard-local)
@@ -237,20 +243,45 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
             d = metric(rows.astype(jnp.float32), q[:, None, None, :])
         else:
             if rows.dtype == jnp.int8:
-                # quantized blocks: per-leaf scales stored alongside; the
-                # query is symmetrically quantized per row, dots
-                # accumulate in int32 on the MXU, and the stored squared
-                # norms stay EXACT f32 -- only the cross term of
-                # |x|^2 - 2 x.q + |q|^2 carries quantization error
-                qmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-                qscale = jnp.maximum(qmax, 1e-30) / 127.0
-                q_i8 = jnp.clip(jnp.round(q / qscale), -127, 127
-                                ).astype(jnp.int8)
-                dots_i = jnp.einsum("bpld,bd->bpl", rows, q_i8,
-                                    preferred_element_type=jnp.int32)
                 bscale = jnp.take(block_scale, rows_sel, axis=0)  # [B, P]
-                dots = (dots_i.astype(jnp.float32)
-                        * bscale[..., None] * qscale[:, None])
+                if block_center is not None:
+                    # CENTERED quantization: blocks store int8 RESIDUALS
+                    # around the block mean (f32), so the quantization
+                    # step shrinks by the center-to-spread ratio -- on
+                    # clustered data (near-equidistant in-cluster
+                    # neighbours) plain int8 scrambles the ranking while
+                    # centered int8 matches f32 recall at int8 bandwidth.
+                    # dot(q, x^) = q.mu + (q - mu).r^ + mu.r^ with the
+                    # last term precomputed per slot at pack time.
+                    mu, mudr = block_center
+                    mu_g = jnp.take(mu, rows_sel, axis=0)     # [B, P, D]
+                    md_g = jnp.take(mudr, rows_sel, axis=0)   # [B, P, L]
+                    qc = q[:, None, :] - mu_g
+                    qmax = jnp.max(jnp.abs(qc), axis=-1, keepdims=True)
+                    qscale = jnp.maximum(qmax, 1e-30) / 127.0
+                    qc_i8 = jnp.clip(jnp.round(qc / qscale), -127, 127
+                                     ).astype(jnp.int8)
+                    dots_i = jnp.einsum("bpld,bpd->bpl", rows, qc_i8,
+                                        preferred_element_type=jnp.int32)
+                    q_mu = jnp.einsum("bpd,bd->bp", mu_g, q,
+                                      preferred_element_type=jnp.float32)
+                    dots = (q_mu[..., None] + md_g
+                            + dots_i.astype(jnp.float32)
+                            * bscale[..., None] * qscale)
+                else:
+                    # quantized blocks: per-leaf scales stored alongside;
+                    # the query is symmetrically quantized per row, dots
+                    # accumulate in int32 on the MXU, and the stored
+                    # squared norms stay EXACT f32 -- only the cross term
+                    # of |x|^2 - 2 x.q + |q|^2 carries quantization error
+                    qmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+                    qscale = jnp.maximum(qmax, 1e-30) / 127.0
+                    q_i8 = jnp.clip(jnp.round(q / qscale), -127, 127
+                                    ).astype(jnp.int8)
+                    dots_i = jnp.einsum("bpld,bd->bpl", rows, q_i8,
+                                        preferred_element_type=jnp.int32)
+                    dots = (dots_i.astype(jnp.float32)
+                            * bscale[..., None] * qscale[:, None])
             else:
                 dots = jnp.einsum("bpld,bd->bpl", rows,
                                   q.astype(rows.dtype),
@@ -292,7 +323,7 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
 def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                 probes, metric, dedup, precision="highest",
                 bucket_stop=False, min_votes=1, block_scale=None,
-                block_len=None):
+                block_len=None, block_center=None):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -304,11 +335,13 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     """
     t = arrays.perm.shape[0]
     gsel, lsel = _select_probes(plan, arrays, q, budget, probes, k=k,
-                                bucket_stop=bucket_stop)
+                                bucket_stop=bucket_stop,
+                                block_len=block_len)
     kk = k * t if dedup else k
     return _score_blocks(plan, x_leaf, sq_leaf, id_leaf, gsel, lsel, q, k,
                          kk, metric, dedup, precision, min_votes=min_votes,
-                         block_scale=block_scale, block_len=block_len)
+                         block_scale=block_scale, block_len=block_len,
+                         block_center=block_center)
 
 
 def _knn_h_ids(plan, arrays, q, k, budget):
@@ -361,7 +394,8 @@ def _knn_h_ids(plan, arrays, q, k, budget):
 )
 def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                      probes, metric, dedup, precision, bucket_stop,
-                     min_votes, block_scale, block_len, chunk):
+                     min_votes, block_scale, block_len, chunk,
+                     block_center=None):
     """One-dispatch chunked batch query: ``lax.map`` over query chunks of
     the packed kNN pipeline.  Peak memory stays per-chunk (the rerank
     buffers are reused across iterations) while the host pays ONE
@@ -375,7 +409,8 @@ def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
         return _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, qi, k,
                            budget, probes, metric, dedup, precision,
                            bucket_stop=bucket_stop, min_votes=min_votes,
-                           block_scale=block_scale, block_len=block_len)
+                           block_scale=block_scale, block_len=block_len,
+                           block_center=block_center)
 
     d, ids = lax.map(one, qc)
     return d.reshape(b, -1), ids.reshape(b, -1)
@@ -426,6 +461,47 @@ def _descend(plan, arrays, xnew):
     return leaf
 
 
+@functools.partial(jax.jit, static_argnames=("dtype_str", "centered"))
+def _pack_dense_blocks(perm, x, pos, in_leaf, dtype_str, centered):
+    """Leaf-blocked packing, one ``lax.map`` step per tree so the f32
+    gather/quantization intermediates are a single tree's blocks (~1/T of
+    the index), not the whole forest's -- an eager per-op pack of int8
+    blocks at 1M points materializes three full-forest f32 copies and
+    OOMs a 16 GB chip.  ``pos``/``in_leaf`` are passed as ARGUMENTS (big
+    constants can exceed the remote compiler's request limit)."""
+
+    def per_tree(perm_t):
+        ids = jnp.take(perm_t, pos)  # [n_leaves, lmax]
+        rows = jnp.take(x, ids, axis=0)
+        rows = jnp.where(in_leaf[..., None], rows, 0.0)
+        ids = jnp.where(in_leaf, ids, -1)
+        sq = jnp.sum(rows * rows, axis=-1)  # f32, before any downcast
+        if dtype_str == "int8" and centered:
+            occ = jnp.maximum(
+                jnp.sum(in_leaf, axis=-1).astype(jnp.float32), 1.0)
+            mu = jnp.sum(rows, axis=-2) / occ[:, None]  # [nl, D]
+            res = jnp.where(in_leaf[..., None], rows - mu[:, None, :],
+                            0.0)
+            amax = jnp.max(jnp.abs(res), axis=(-2, -1), keepdims=True)
+            scale = jnp.maximum(amax, 1e-30) / 127.0
+            q = jnp.clip(jnp.round(res / scale), -127, 127
+                         ).astype(jnp.int8)
+            mudr = jnp.einsum("nld,nd->nl",
+                              q.astype(jnp.float32) * scale, mu)
+            return q, sq, ids, scale.reshape(-1), mu, mudr
+        if dtype_str == "int8":
+            amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
+            scale = jnp.maximum(amax, 1e-30) / 127.0  # per leaf block
+            q = jnp.clip(jnp.round(rows / scale), -127, 127
+                         ).astype(jnp.int8)
+            return q, sq, ids, scale.reshape(-1)
+        if dtype_str == "bf16":
+            return rows.astype(jnp.bfloat16), sq, ids
+        return rows, sq, ids
+
+    return lax.map(per_tree, perm)
+
+
 @jax.jit
 def _scatter_fold(x_leaf, sq_leaf, id_leaf, g, s, rows, sq, ids):
     """Write folded rows into block slack slots: ``g/s int32[T*M]`` block
@@ -434,6 +510,19 @@ def _scatter_fold(x_leaf, sq_leaf, id_leaf, g, s, rows, sq, ids):
     sq_leaf = sq_leaf.at[g, s].set(sq)
     id_leaf = id_leaf.at[g, s].set(ids)
     return x_leaf, sq_leaf, id_leaf
+
+
+@jax.jit
+def _scatter_fold_ell(cols, vals, sq_leaf, id_leaf, g, s, rcols, rvals,
+                      sq, ids):
+    """ELL-blocks form of :func:`_scatter_fold`: folded rows arrive as
+    padded (cols, vals) slot lists (``[T*M, K]``); padding slots keep the
+    col=0/val=0 convention so scoring ignores them."""
+    cols = cols.at[g, s].set(rcols)
+    vals = vals.at[g, s].set(rvals.astype(vals.dtype))
+    sq_leaf = sq_leaf.at[g, s].set(sq)
+    id_leaf = id_leaf.at[g, s].set(ids)
+    return cols, vals, sq_leaf, id_leaf
 
 
 @functools.partial(
@@ -602,6 +691,34 @@ def _recall(plan, arrays, x, sq_norms, q, k, budget, metric):
     return jnp.mean(jnp.sum(found, axis=-1).astype(jnp.float32) / k, axis=0)  # [B]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "budget", "k", "n_base"))
+def _recall_folded(plan, arrays, q, k, budget, exact_ids,
+                   folded_leaf, n_base):
+    """:func:`_recall` over a folded forest: the ground truth
+    (``exact_ids``, computed by the folded-aware brute force) includes
+    fold-appended rows (ids >= ``n_base``), whose per-tree candidacy is
+    decided by leaf membership -- a folded row (living only in the packed
+    blocks) is a tree's candidate iff its assigned leaf
+    (``folded_leaf int32[T, M]``, recorded at fold time) is among the
+    traversal's selected leaves, exactly when the packed query path would
+    rerank it."""
+    cand = _candidate_ids(plan, arrays, q, budget)  # [T, B, C]
+    hit = (exact_ids[None, :, :, None] == cand[:, :, None, :]) & (
+        cand[:, :, None, :] >= 0
+    )
+    found = jnp.any(hit, axis=-1)  # [T, B, k]
+    leaf_sel, _ = _traverse_forest(plan, arrays, q, budget)  # [T, B, F]
+    m = folded_leaf.shape[1]
+    fidx = jnp.clip(exact_ids - n_base, 0, max(m - 1, 0))  # [B, k]
+    fleaf = jnp.take(folded_leaf, fidx, axis=1)  # [T, B, k]
+    found_f = jnp.any(
+        leaf_sel[:, :, None, :] == fleaf[:, :, :, None], axis=-1
+    )  # [T, B, k]
+    found = jnp.where((exact_ids >= n_base)[None], found_f, found)
+    return jnp.mean(jnp.sum(found, axis=-1).astype(jnp.float32) / k, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # the index handle
 # ---------------------------------------------------------------------------
@@ -629,6 +746,7 @@ class RPForest:
         self.payloads = payloads
         self.seed = seed
         self._packed = None  # leaf-blocked arrays (pack_leaves) or None
+        self._block_center = None  # (mu, mu.r) of centered int8 blocks
         self._pending = []   # freshness buffer chunks (add/rebuild)
         self._pending_payloads = []
         self._deleted = None  # bool[n] tombstones (remove/rebuild) or None
@@ -636,7 +754,9 @@ class RPForest:
         self._block_len = None      # int32[G] dynamic occupancy (fold)
         self._block_len_dev = None  # device copy of the above
         self._folded_x = []         # folded-in rows (for rebuild/payloads)
+        self._folded_leaf = []      # per-tree leaf of each folded row
         self._folded_payloads = []
+        self._folded_cat = None     # cached (n_folded, x, sq) concatenation
         self._pack_slack = 0
 
     # -- basic accessors (reference Internal.hs:198-208, RPTree.hs:351-367) --
@@ -693,11 +813,54 @@ class RPForest:
             for s, m in zip(self.plan.leaf_start, self.plan.leaf_len)
         ]
 
-    def points(self) -> np.ndarray:
-        """The indexed dataset, densified (reference ``points``)."""
+    def _points_raw(self) -> np.ndarray:
+        """The originally indexed rows only (no fold-appended rows)."""
         if isinstance(self.x, EllMatrix):
             return np.asarray(ell_to_dense(self.x))
         return np.asarray(self.x)
+
+    def points(self) -> np.ndarray:
+        """The indexed dataset, densified (reference ``points``), including
+        rows appended online by :meth:`fold` (their ids continue after the
+        original rows, so ``points()[i]`` matches returned id ``i``)."""
+        raw = self._points_raw()
+        if self.n_folded:
+            return np.concatenate([raw] + list(self._folded_x), axis=0)
+        return raw
+
+    def _merge_folded(self, qb, d, ids, k, metric, precision):
+        """Merge an exact scan of the fold-appended rows (small dense
+        host-side copies) into a (dists, ids) result -- for datasets whose
+        sparse or sharded storage cannot be concatenated with the dense
+        folded rows.  Folded ids continue after the indexed points."""
+        xf = jnp.concatenate(
+            [jnp.asarray(c) for c in self._folded_x], axis=0)
+        sqf = jnp.sum(xf * xf, axis=-1)
+        kf = min(int(k), int(xf.shape[0]))
+        df, idf = _brute_force(xf, sqf, qb, kf, metric, precision)
+        idf = jnp.where(idf >= 0, idf + self.plan.n, -1)
+        return merge_top_k(jnp.concatenate([d, df], axis=-1),
+                           jnp.concatenate([ids, idf], axis=-1), k,
+                           dedup=False)
+
+    def _with_folded(self):
+        """Dataset + squared norms including fold-appended rows -- what the
+        exact scan / recall ground truth must cover so the oracle agrees
+        with the index contents after :meth:`fold` (folded ids continue
+        after the indexed points, matching the packed blocks' ids).
+        Dense datasets only; sparse/sharded callers use
+        :meth:`_merge_folded` instead."""
+        if not self.n_folded:
+            return self.x, self.sq_norms
+        nf = self.n_folded
+        cache = getattr(self, "_folded_cat", None)
+        if cache is not None and cache[0] == nf:
+            return cache[1], cache[2]
+        xf = jnp.concatenate(
+            [self.x] + [jnp.asarray(c) for c in self._folded_x], axis=0)
+        sqf = jnp.sum(xf * xf, axis=-1)
+        self._folded_cat = (nf, xf, sqf)
+        return xf, sqf
 
     # -- queries -------------------------------------------------------------
 
@@ -713,7 +876,8 @@ class RPForest:
             raise ValueError(f"k must be >= 1, got {k}")
         return k
 
-    def pack_leaves(self, dtype=None, slack: int = 0) -> "RPForest":
+    def pack_leaves(self, dtype=None, slack: int = 0,
+                    centered: bool = False) -> "RPForest":
         """Precompute leaf-blocked copies of the dataset: ``x_leaf
         [T * n_leaves, lmax * D]`` holds each leaf's points contiguously
         (zero-padded to the max leaf size), ``id_leaf [T * n_leaves * lmax]``
@@ -731,10 +895,22 @@ class RPForest:
         ``slack > 0`` reserves that many EMPTY slots per leaf block for
         :meth:`fold` (amortized online inserts without rebuild).
 
+        ``centered=True`` (int8 only) quantizes RESIDUALS around each
+        block's mean row instead of raw coordinates: the block mean stays
+        f32 (plus a precomputed per-slot ``mean . residual`` term), so the
+        quantization step shrinks by the block's center-to-spread ratio.
+        On clustered data -- where in-cluster neighbours are
+        near-equidistant and plain int8's cross-term error scrambles the
+        ranking -- centered int8 restores f32-level recall at int8 fetch
+        bandwidth (measured in BASELINE.md).
+
         ELL-sparse datasets pack into :class:`EllBlocks` (leaf-blocked
         padded cols/vals) and serve through the same probe-compacted
         block path.
         """
+        if centered and isinstance(self.x, EllMatrix):
+            raise ValueError("centered quantization applies to dense "
+                             "blocks only")
         if self._packed is None and isinstance(self.x, EllMatrix):
             plan = self.plan
             self._pack_slack = int(slack)
@@ -772,32 +948,41 @@ class RPForest:
             plan = self.plan
             self._pack_slack = int(slack)
             lmax = max(plan.max_leaf_len, 1) + int(slack)
-            starts = jnp.asarray(plan.leaf_start)
-            lens = jnp.asarray(plan.leaf_len)
-            offs = jnp.arange(lmax, dtype=jnp.int32)
+            starts = np.asarray(plan.leaf_start)
+            lens = np.asarray(plan.leaf_len)
+            offs = np.arange(lmax, dtype=np.int32)
             pos = starts[:, None] + offs  # [n_leaves, lmax]
             in_leaf = offs < lens[:, None]
-            pos = jnp.where(in_leaf, pos, 0)
-
-            def per_tree(perm):
-                ids = jnp.take(perm, pos)  # [n_leaves, lmax]
-                rows = jnp.take(self.x, ids, axis=0)
-                rows = jnp.where(in_leaf[..., None], rows, 0.0)
-                ids = jnp.where(in_leaf, ids, -1)
-                return rows, ids
-
-            rows, ids = jax.vmap(per_tree)(self.arrays.perm)
+            pos = np.where(in_leaf, pos, 0).astype(np.int32)
             nl, d = plan.n_leaves, self.dim
-            sq = jnp.sum(rows * rows, axis=-1)  # f32, before any downcast
+            if centered and (dtype is None
+                             or jnp.dtype(dtype) != jnp.int8):
+                raise ValueError("centered=True applies to int8 blocks "
+                                 "(pass dtype=jnp.int8)")
+            if dtype is None:
+                dtype_str = "f32"
+            elif jnp.dtype(dtype) == jnp.int8:
+                dtype_str = "int8"
+            elif jnp.dtype(dtype) == jnp.bfloat16:
+                dtype_str = "bf16"
+            else:
+                dtype_str = "f32"
+            out = _pack_dense_blocks(self.arrays.perm, self.x,
+                                     jnp.asarray(pos),
+                                     jnp.asarray(in_leaf), dtype_str,
+                                     centered)
             scale = None
-            if dtype is not None and jnp.dtype(dtype) == jnp.int8:
-                amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
-                scale = jnp.maximum(amax, 1e-30) / 127.0  # per leaf block
-                rows = jnp.clip(jnp.round(rows / scale), -127, 127
-                                ).astype(jnp.int8)
-                scale = scale.reshape(self.n_trees * nl)
-            elif dtype is not None:
-                rows = rows.astype(dtype)
+            center = None
+            g = self.n_trees * nl
+            if dtype_str == "int8" and centered:
+                rows, sq, ids, scale, mu, mudr = out
+                center = (mu.reshape(g, d), mudr.reshape(g, lmax))
+                scale = scale.reshape(g)
+            elif dtype_str == "int8":
+                rows, sq, ids, scale = out
+                scale = scale.reshape(g)
+            else:
+                rows, sq, ids = out
             rows = rows.reshape(self.n_trees * nl, lmax, d)
             sq = sq.reshape(self.n_trees * nl, lmax)
             ids = ids.reshape(self.n_trees * nl, lmax)
@@ -819,6 +1004,7 @@ class RPForest:
                 pass
             self._packed = (rows, sq, ids)
             self._block_scale = scale
+            self._block_center = center
         return self
 
     # -- incremental updates (freshness layer) -------------------------------
@@ -911,6 +1097,41 @@ class RPForest:
         return sum(int(c.shape[0])
                    for c in getattr(self, "_folded_x", None) or [])
 
+    _index_axis = None  # sharded subclasses set their mesh axis name
+
+    def _fold_row_of(self, g: np.ndarray) -> np.ndarray:
+        """Storage row of global block id ``g`` in the packed arrays:
+        identity for the single-device and tree-sharded layouts; the
+        leaf-sharded round-robin layout stores block g on shard ``g % S``
+        at local row ``g // S`` (global row ``(g % S) * G/S + g // S``)."""
+        if (getattr(self, "mesh", None) is None
+                or getattr(self, "_packed_mode", None) != "leaf"):
+            return g
+        s = int(self.mesh.shape[self._index_axis])
+        g_rows = int(self._packed[0].shape[0])  # padded block count
+        return (g % s) * (g_rows // s) + g // s
+
+    def _store_block_len(self, bl: np.ndarray) -> None:
+        """Record the dynamic per-block occupancy (global block order) and
+        refresh the device copies the query kernels read: sharded layouts
+        keep BOTH a replicated global-order copy (bucket-stop sizes read
+        it by global block id) and a storage-row-order sharded copy
+        (scoring reads it by local row)."""
+        self._block_len = bl
+        if getattr(self, "mesh", None) is None:
+            self._block_len_dev = jnp.asarray(bl)
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._block_len_dev = jax.device_put(
+            jnp.asarray(bl), NamedSharding(self.mesh, P()))
+        rows_n = int(self._packed[0].shape[0])
+        bl_rows = np.zeros(rows_n, np.int32)
+        bl_rows[self._fold_row_of(np.arange(bl.shape[0]))] = bl
+        self._block_len_rows_dev = jax.device_put(
+            jnp.asarray(bl_rows),
+            NamedSharding(self.mesh, P(self._index_axis)))
+
     def fold(self) -> "RPForest":
         """Fold the pending buffer into the packed leaf blocks' slack
         slots: each point descends every tree by the stored thresholds
@@ -920,19 +1141,24 @@ class RPForest:
         rebuild.  Points whose target leaf is full in ANY tree stay in the
         exact pending merge; :meth:`rebuild` folds everything for real.
         Requires :meth:`pack_leaves` (use ``slack=...`` to reserve room);
-        like rebuild, folding renumbers the buffered points' ids."""
-        if getattr(self, "mesh", None) is not None:
-            raise NotImplementedError(
-                "fold() is single-device: sharded packed layouts reorder "
-                "the block rows and their query kernels read the static "
-                "plan occupancy -- use rebuild() on sharded forests"
-            )
+        like rebuild, folding renumbers the buffered points' ids.
+
+        Works on every packed layout: single-device dense/int8/ELL blocks,
+        tree-sharded and leaf-sharded dense blocks (the scatter addresses
+        each block's storage row through the layout's round-robin map, and
+        the dynamic per-block occupancy is threaded into the sharded query
+        kernels); sharded sparse (ELL) blocks are the one unsupported
+        combination."""
         if self._packed is None:
             raise ValueError("pack_leaves(slack=...) first: fold inserts "
                              "into the packed blocks' slack slots")
-        if isinstance(self._packed[0], EllBlocks):
-            raise NotImplementedError("fold into sparse (ELL) blocks is "
-                                      "unsupported")
+        sharded = getattr(self, "mesh", None) is not None
+        is_ell = isinstance(self._packed[0], EllBlocks)
+        if sharded and is_ell:
+            raise NotImplementedError(
+                "fold into SHARDED sparse (ELL) blocks is unsupported; "
+                "use rebuild()"
+            )
         if not getattr(self, "_pending", None):
             return self
         xp = jnp.concatenate(self._pending, axis=0)
@@ -950,7 +1176,20 @@ class RPForest:
             return self
 
         t, nl = self.n_trees, self.plan.n_leaves
-        lmax_eff = self._packed[0].shape[-2]
+        if is_ell:
+            blocks = self._packed[0]
+            lmax_eff = blocks.cols.shape[-2]
+            kz = blocks.cols.shape[-1]
+            # densified pending rows -> padded ELL slot lists; rows with
+            # more nonzeros than the blocks' K slots cannot be stored
+            # losslessly and stay in the exact pending merge
+            xp_np = np.asarray(xp)
+            nz = xp_np != 0.0
+            nnz = nz.sum(axis=1)
+            convertible = nnz <= kz
+        else:
+            lmax_eff = self._packed[0].shape[-2]
+            convertible = None
         if self._block_len is None:
             self._block_len = np.tile(
                 np.asarray(self.plan.leaf_len, np.int32), t
@@ -973,7 +1212,7 @@ class RPForest:
         # pass 1: acceptance with conservative ranks over ALL candidates
         # (a point is folded only if it fits in EVERY tree; rejecting a
         # point can only free slots, so pass-2 ranks never exceed these)
-        fits = np.ones(m, bool)
+        fits = np.ones(m, bool) if convertible is None else convertible.copy()
         for tt in range(t):
             fits &= bl[g[tt]] + _ranks(g[tt], m) < lmax_eff
         sel = np.where(fits)[0]
@@ -987,32 +1226,92 @@ class RPForest:
             ids_new = base + np.arange(msel, dtype=np.int32)
             rows = xp[jnp.asarray(sel)]
             sq = jnp.sum(rows * rows, axis=-1)  # exact norms, as at pack
-            scale = getattr(self, "_block_scale", None)
-            if scale is None:
-                flat_rows = jnp.tile(rows, (t, 1))
+            # sharded layouts store block g at a round-robin row; the
+            # scatter addresses storage rows through the layout's map
+            rsel = self._fold_row_of(gsel)
+            if is_ell:
+                # pack each accepted dense row into K (col, val) slots
+                rows_np = xp_np[sel]
+                rc = np.zeros((msel, kz), np.int32)
+                rv = np.zeros((msel, kz), np.float32)
+                for j in range(msel):
+                    idxs = np.flatnonzero(rows_np[j])
+                    rc[j, :idxs.size] = idxs
+                    rv[j, :idxs.size] = rows_np[j][idxs]
+                blocks = self._packed[0]
+                cols2, vals2, sq2, ids2 = _scatter_fold_ell(
+                    blocks.cols, blocks.vals, self._packed[1],
+                    self._packed[2],
+                    jnp.asarray(rsel.reshape(-1)),
+                    jnp.asarray(slots.reshape(-1)),
+                    jnp.asarray(np.tile(rc, (t, 1))),
+                    jnp.asarray(np.tile(rv, (t, 1))),
+                    jnp.tile(sq, t),
+                    jnp.tile(jnp.asarray(ids_new), t),
+                )
+                self._packed = (EllBlocks(blocks.dim, cols2, vals2),
+                                sq2, ids2)
             else:
-                # int8 blocks: quantize each folded row with its TARGET
-                # block's existing scale (rows larger than the block's
-                # original amplitude clip; stored norms stay exact)
-                sc = np.asarray(scale)[gsel]  # [T, msel]
-                rq = np.clip(
-                    np.round(np.asarray(rows)[None] / sc[..., None]),
-                    -127, 127,
-                ).astype(np.int8)
-                flat_rows = jnp.asarray(rq.reshape(t * msel, -1))
-            x_leaf, sq_leaf, id_leaf = self._packed
-            self._packed = _scatter_fold(
-                x_leaf, sq_leaf, id_leaf,
-                jnp.asarray(gsel.reshape(-1)),
-                jnp.asarray(slots.reshape(-1)),
-                flat_rows,
-                jnp.tile(sq, t),
-                jnp.tile(jnp.asarray(ids_new), t),
-            )
+                scale = getattr(self, "_block_scale", None)
+                center = getattr(self, "_block_center", None)
+                mudr_new = None
+                if scale is None:
+                    flat_rows = jnp.tile(rows, (t, 1))
+                else:
+                    # int8 blocks: quantize each folded row with its TARGET
+                    # block's existing scale (rows larger than the block's
+                    # original amplitude clip; stored norms stay exact);
+                    # scales are stored in storage-row order
+                    sc = np.asarray(scale)[rsel]  # [T, msel]
+                    rows_d = np.asarray(rows)
+                    if center is not None:
+                        # centered blocks store residuals around the block
+                        # mean; the per-slot mean.residual term is updated
+                        # alongside the scatter below
+                        mu_sel = np.asarray(center[0])[rsel]  # [T, m, D]
+                        res = rows_d[None] - mu_sel
+                        rq = np.clip(np.round(res / sc[..., None]),
+                                     -127, 127).astype(np.int8)
+                        mudr_new = np.einsum(
+                            "tmd,tmd->tm",
+                            rq.astype(np.float32) * sc[..., None], mu_sel)
+                    else:
+                        rq = np.clip(
+                            np.round(rows_d[None] / sc[..., None]),
+                            -127, 127,
+                        ).astype(np.int8)
+                    flat_rows = jnp.asarray(rq.reshape(t * msel, -1))
+                x_leaf, sq_leaf, id_leaf = self._packed
+                new_packed = _scatter_fold(
+                    x_leaf, sq_leaf, id_leaf,
+                    jnp.asarray(rsel.reshape(-1)),
+                    jnp.asarray(slots.reshape(-1)),
+                    flat_rows,
+                    jnp.tile(sq, t),
+                    jnp.tile(jnp.asarray(ids_new), t),
+                )
+                if sharded:
+                    # re-pin the scattered outputs to the original block
+                    # shardings (GSPMD may have chosen different ones)
+                    new_packed = tuple(
+                        jax.device_put(a, ref.sharding)
+                        for a, ref in zip(new_packed,
+                                          (x_leaf, sq_leaf, id_leaf))
+                    )
+                self._packed = new_packed
+                if mudr_new is not None:
+                    mu_arr, mudr_arr = self._block_center
+                    mudr_arr = mudr_arr.at[
+                        jnp.asarray(rsel.reshape(-1)),
+                        jnp.asarray(slots.reshape(-1)),
+                    ].set(jnp.asarray(mudr_new.reshape(-1)))
+                    self._block_center = (mu_arr, mudr_arr)
             for tt in range(t):
                 np.add.at(bl, gsel[tt], 1)
-            self._block_len_dev = jnp.asarray(bl)
+            self._store_block_len(bl)
             self._folded_x.append(np.asarray(rows))
+            self._folded_leaf.append(leaf[:, sel])
+            self._folded_cat = None
             self._folded_payloads.extend(
                 pays[j] for j in sel.tolist())
             if self._deleted is not None:
@@ -1028,18 +1327,11 @@ class RPForest:
             self._pending, self._pending_payloads = [], []
         return self
 
-    def rebuild(self) -> "RPForest":
-        """Fold pending points into (and purge deletions from) a fresh
-        index (same seed and construction parameters; the plan adapts to
-        the new size).  NOTE: ids are row indices of the current index, so
-        a rebuild that purges deletions renumbers them; payloads follow
-        the points."""
-        if (not getattr(self, "_pending", None) and self.n_deleted == 0
-                and self.n_folded == 0):
-            return self
-        from .forest import forest_batch  # self-import safe at runtime
-
-        x_old = jnp.asarray(self.points())
+    def _rebuild_rows(self):
+        """Collect the full post-update dataset for a rebuild: original
+        rows + fold-appended rows + pending rows, with tombstoned entries
+        purged.  Returns ``(x_all, payloads_or_None)``."""
+        x_old = jnp.asarray(self._points_raw())
         old_payloads = (list(self.payloads) if self.payloads is not None
                         else [None] * self.plan.n)
         # fold-appended rows re-enter the exact build as ordinary points
@@ -1063,12 +1355,25 @@ class RPForest:
             pend_payloads = [p for p, kp in zip(pend_payloads, keep_p) if kp]
         x_all = jnp.concatenate([x_old] + pend_rows, axis=0)
         new_payloads = old_payloads + pend_payloads
+        return x_all, (None if all(p is None for p in new_payloads)
+                       else new_payloads)
+
+    def rebuild(self) -> "RPForest":
+        """Fold pending points into (and purge deletions from) a fresh
+        index (same seed and construction parameters; the plan adapts to
+        the new size).  NOTE: ids are row indices of the current index, so
+        a rebuild that purges deletions renumbers them; payloads follow
+        the points."""
+        if (not getattr(self, "_pending", None) and self.n_deleted == 0
+                and self.n_folded == 0):
+            return self
+        from .forest import forest_batch  # self-import safe at runtime
+
+        x_all, new_payloads = self._rebuild_rows()
         cfg = self.config
         fresh = forest_batch(self.seed, cfg.max_depth, cfg.min_leaf,
                              cfg.n_trees, cfg.proj_nz_density, x_all,
-                             payloads=(None if all(p is None
-                                                   for p in new_payloads)
-                                       else new_payloads))
+                             payloads=new_payloads)
         self.plan = fresh.plan
         self.arrays = fresh.arrays
         self.x = fresh.x
@@ -1079,7 +1384,9 @@ class RPForest:
         self._deleted = None
         self._pending_deleted = None
         self._folded_x = []
+        self._folded_leaf = []
         self._folded_payloads = []
+        self._folded_cat = None
         self._block_len = None
         self._block_len_dev = None
         if self._packed is not None:
@@ -1162,7 +1469,8 @@ class RPForest:
                               metric, dedup, precision,
                               min_votes=int(min_votes),
                               block_scale=getattr(self, "_block_scale", None),
-                              block_len=self._block_len_dev)
+                              block_len=self._block_len_dev,
+                              block_center=self._block_center)
             return self._apply_update_hooks(qb, out[0], out[1], int(k),
                                             metric, precision)
         if self.x is None:
@@ -1198,6 +1506,7 @@ class RPForest:
             budget, int(probes), metric, dedup, precision, False,
             int(min_votes), getattr(self, "_block_scale", None),
             self._block_len_dev, chunk,
+            block_center=self._block_center,
         )
         out = (out[0][:b], out[1][:b])
         return self._apply_update_hooks(qb[:b], out[0], out[1], int(k),
@@ -1227,12 +1536,26 @@ class RPForest:
                               id_leaf, qb, int(k), budget, int(probes),
                               metric, dedup, precision, bucket_stop=True,
                               block_scale=getattr(self, "_block_scale", None),
-                              block_len=self._block_len_dev)
+                              block_len=self._block_len_dev,
+                              block_center=self._block_center)
         else:
             out = _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb,
                          int(k), budget, metric, dedup, precision)
         return self._apply_update_hooks(qb, out[0], out[1], int(k), metric,
                                         precision)
+
+    def knn_h_buckets(self, q, k: int, budget: Optional[int] = None):
+        """Raw candidate point ids selected by the knnH bucket-stop rule,
+        UNSORTED and UNTRUNCATED -- the reference ``knnH``'s actual return
+        contract (RPTree.hs:196-217 returns the selected buckets'
+        contents, not a reranked top-k; :meth:`knn_h` reranks and
+        truncates them to k).  Returns ``int32[B, M]`` ids, -1 padded.
+        Reads the structure arrays (fold-appended rows, which live only in
+        the packed blocks, do not appear)."""
+        k = self._check_k(k)
+        qb = _as_dense_queries(q, self.dim)
+        return _knn_h_ids(self.plan, self.arrays, qb, int(k),
+                          self._budget(budget))
 
     def candidates(self, q, budget: Optional[int] = None, tree: Optional[int] = None):
         """Candidate point ids per tree (reference ``candidates``,
@@ -1250,6 +1573,12 @@ class RPForest:
             raise ValueError("dataset dropped (drop_dataset); recall "
                              "needs the raw rows")
         qb = _as_dense_queries(q, self.dim)
+        if self.n_folded:
+            _, exact_ids = self.brute_force_knn(qb, int(k), metric=metric)
+            fl = jnp.asarray(np.concatenate(self._folded_leaf, axis=1))
+            return _recall_folded(self.plan, self.arrays, qb,
+                                  int(k), self._budget(budget),
+                                  exact_ids, fl, self.plan.n)
         return _recall(self.plan, self.arrays, self.x, self.sq_norms, qb,
                        int(k), self._budget(budget), metric)
 
@@ -1263,12 +1592,20 @@ class RPForest:
             raise ValueError("dataset dropped (drop_dataset); brute "
                              "force needs the raw rows")
         qb = _as_dense_queries(q, self.dim)
-        if query_chunk and not isinstance(self.x, EllMatrix):
+        if self.n_folded and isinstance(self.x, EllMatrix):
+            # sparse rows cannot concatenate with the dense folded rows:
+            # scan them separately and merge
+            d, ids = _brute_force(self.x, self.sq_norms, qb, int(k),
+                                  metric, precision)
+            return self._merge_folded(qb, d, ids, int(k), metric,
+                                      precision)
+        x, sq = self._with_folded()  # ground truth covers folded rows too
+        if query_chunk and not isinstance(x, EllMatrix):
             qb, b, ch = _pad_to_chunk(qb, query_chunk)
-            d, ids = _brute_force_many(self.x, self.sq_norms, qb, int(k),
+            d, ids = _brute_force_many(x, sq, qb, int(k),
                                        metric, precision, ch)
             return d[:b], ids[:b]
-        return _brute_force(self.x, self.sq_norms, qb, int(k), metric,
+        return _brute_force(x, sq, qb, int(k), metric,
                             precision)
 
     def payload_of(self, ids) -> list:

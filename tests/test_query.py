@@ -502,3 +502,118 @@ def test_brute_force_query_chunk_matches():
     d2, i2 = map(np.asarray, f.brute_force_knn(q, 6, query_chunk=8))
     np.testing.assert_allclose(d1, d2, atol=1e-6)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_fold_oracle_includes_folded_rows():
+    """After fold(), brute_force_knn / recall_with / points() cover the
+    fold-appended rows, so the ground-truth oracle agrees with the index
+    contents: a returned folded neighbour counts as a hit, and points()
+    round-trips the index (ADVICE r2: the oracle previously scanned only
+    self.x and disagreed with the packed blocks)."""
+    rng = np.random.default_rng(55)
+    x = rng.normal(size=(600, 8)).astype(np.float32)
+    f = forest_batch(8, 4, 16, 3, 1.0, x)
+    f.pack_leaves(slack=16)
+    new = rng.normal(size=(10, 8)).astype(np.float32)
+    f.add(new)
+    f.fold()
+    assert f.n_folded == 10
+    pts = f.points()
+    assert pts.shape == (610, 8)
+    np.testing.assert_allclose(pts[600:], new, rtol=1e-6)
+    q = new + 1e-4
+    # exact scan names the folded rows as the true nearest neighbours
+    _, bf = map(np.asarray, f.brute_force_knn(q, 1))
+    assert (bf[:, 0] >= 600).all()
+    _, bf2 = map(np.asarray, f.brute_force_knn(q, 1, query_chunk=4))
+    assert (bf2 == bf).all()
+    # recall counts the folded neighbour as found when its leaf is probed
+    # (fold places points on the primary descent side, the same side the
+    # query traversal follows at the query's own location)
+    r = np.asarray(f.recall_with(q, 1, budget=f.plan.n_leaves))
+    assert float(r.mean()) >= 0.8
+    # knn agrees with the folded-aware oracle end to end
+    _, ids = map(np.asarray, f.knn(q, 1, budget=f.plan.n_leaves))
+    assert (ids == bf).all()
+    # knn_h's bucket-stop sizes now count the dynamic occupancy
+    _, ih = map(np.asarray, f.knn_h(q, 1, budget=f.plan.n_leaves))
+    assert (ih[:, 0] >= 600).all()
+
+
+def test_knn_h_buckets_reference_contract():
+    """knn_h_buckets returns the SELECTED BUCKETS' contents, unsorted and
+    untruncated (the reference knnH's return type, RPTree.hs:196-217) --
+    a superset of knn_h's reranked top-k."""
+    rng = np.random.default_rng(56)
+    x = rng.normal(size=(500, 6)).astype(np.float32)
+    f = forest_batch(9, 4, 16, 3, 1.0, x)
+    k = 5
+    raw = np.asarray(f.knn_h_buckets(x[:8], k))
+    assert raw.ndim == 2 and raw.shape[0] == 8
+    # untruncated: the bucket union is larger than k (min_leaf=16 > k)
+    live_counts = (raw >= 0).sum(axis=1)
+    assert (live_counts >= k).all()
+    # contains every id knn_h returns (knn_h = rerank(raw buckets))
+    _, ids = map(np.asarray, f.knn_h(x[:8], k, dedup=True))
+    for b in range(8):
+        got = set(i for i in ids[b].tolist() if i >= 0)
+        assert got <= set(raw[b].tolist())
+
+
+def test_centered_int8_blocks_beat_plain_int8_on_clustered():
+    """Centered (residual) int8 blocks: the block mean stays f32 and only
+    residuals quantize, shrinking the cross-term error by the
+    center-to-spread ratio.  On clustered data (large shared centers,
+    near-equidistant in-cluster neighbours) plain int8 scrambles the
+    ranking; centered int8 must track the f32 ranking."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(60)
+    c, dim, n = 24, 32, 2400
+    centers = 10.0 * rng.normal(size=(c, dim))
+    assign = rng.integers(0, c, size=n)
+    x = (centers[assign]
+         + 0.1 * rng.normal(size=(n, dim))).astype(np.float32)
+    q = x[:32] + 0.02 * rng.normal(size=(32, dim)).astype(np.float32)
+
+    def overlap(dtype, centered=False):
+        # deep trees -> leaves are pure fragments of one cluster, the
+        # regime where a block mean is a good center (and the regime the
+        # serving configs live in: min_leaf below the cluster size)
+        f = forest_batch(21, 8, 16, 4, 1.0, x)
+        f.pack_leaves(dtype=dtype, centered=centered)
+        _, exact = map(np.asarray, f.brute_force_knn(q, 10))
+        _, ids = map(np.asarray,
+                     f.knn(q, 10, budget=8, precision="default"))
+        return float(np.mean([
+            len(set(ids[b].tolist()) & set(exact[b].tolist())) / 10
+            for b in range(32)
+        ]))
+
+    ov_f32 = overlap(None)
+    ov_plain = overlap(jnp.int8)
+    ov_centered = overlap(jnp.int8, centered=True)
+    # centering must close at least half the int8 -> f32 ranking gap
+    # (the remainder comes from leaves that straddle clusters, where a
+    # single block mean is a weak center -- median cuts do not aim to
+    # separate clusters, so some straddling is inherent)
+    assert ov_plain < ov_f32 - 0.05  # the regime where centering matters
+    assert ov_centered >= ov_plain + 0.5 * (ov_f32 - ov_plain), (
+        ov_f32, ov_plain, ov_centered)
+
+
+def test_centered_int8_fold():
+    """fold() into centered int8 blocks quantizes the residual with the
+    target block's scale and updates the per-slot mean.residual term."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(61)
+    x = (5.0 + rng.normal(size=(500, 8))).astype(np.float32)
+    f = forest_batch(13, 4, 16, 2, 1.0, x)
+    f.pack_leaves(dtype=jnp.int8, centered=True, slack=8)
+    new = (5.0 + rng.normal(size=(5, 8))).astype(np.float32)
+    f.add(new)
+    f.fold()
+    assert f.n_folded == 5 and f.n_pending == 0
+    _, ids = map(np.asarray, f.knn(new + 1e-4, 1, budget=f.plan.n_leaves))
+    assert (ids[:, 0] >= 500).all()
