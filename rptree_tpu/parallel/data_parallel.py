@@ -44,8 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import ForestConfig
 from ..models.forest import RPForest, _candidate_ids
 from ..models.plan import TreePlan, make_plan
-from ..ops.build import TreeArrays
-from ..ops.sparse import EllMatrix
+from ..ops.build import TreeArrays, project_dataset
+from ..ops.sparse import EllBlocks, EllMatrix
 from ..utils import gen as rgen
 
 __all__ = ["DataParallelForest", "forest_batch_data_parallel",
@@ -152,8 +152,10 @@ def _dp_build_tree(mesh, plan: TreePlan, x, r):
         n_local = x_l.shape[0]
         my_shard = lax.axis_index(DATA_AXIS)
         n_shards = lax.psum(1, DATA_AXIS)
-        proj = jnp.matmul(x_l, r_l[:nl].T,
-                          precision=lax.Precision.HIGHEST)  # [n_local, L]
+        # dense rows -> one GEMM; ELL rows -> gather+contract (both are
+        # row-local, so sharded projections are bit-identical to the
+        # single-device build's)
+        proj = project_dataset(x_l, r_l[:nl]).astype(jnp.float32)
         # frontier code of each local point: split-seg index at level l
         code = jnp.zeros(n_local, jnp.int32)
         # final leaf id of each local point (-1 while still descending)
@@ -253,6 +255,8 @@ def _leaf_perm(leaf):
 
 @jax.jit
 def _sq_norms_sharded(x):
+    if isinstance(x, EllMatrix):
+        return jnp.sum(x.vals * x.vals, axis=-1)
     return jnp.sum(x * x, axis=-1)
 
 
@@ -276,14 +280,29 @@ def forest_batch_data_parallel(
         mesh = data_mesh()
     n_shards = mesh.shape[DATA_AXIS]
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    if isinstance(data, jax.Array) and data.sharding.is_equivalent_to(
-            sharding, data.ndim):
-        xs = data  # already sharded on this mesh: zero movement
+    if isinstance(data, EllMatrix):
+        # sparse (padded-ELL) rows shard over the point axis exactly like
+        # dense rows: cols/vals are both [N, K] row tables (the sharded
+        # ``SVector`` dataset, Internal.hs:92-119)
+        def put(a, dtype):
+            a = jnp.asarray(a, dtype=dtype)
+            if (isinstance(a, jax.Array)
+                    and a.sharding.is_equivalent_to(sharding, a.ndim)):
+                return a
+            return jax.device_put(np.asarray(a), sharding)
+
+        xs = EllMatrix(data.dim, put(data.cols, jnp.int32),
+                       put(data.vals, jnp.float32))
+        n, dim = xs.n, xs.dim
     else:
-        # device_put from host shards directly; never materialize the
-        # full array on one device
-        xs = jax.device_put(np.asarray(data, dtype=np.float32), sharding)
-    n, dim = xs.shape
+        if isinstance(data, jax.Array) and data.sharding.is_equivalent_to(
+                sharding, data.ndim):
+            xs = data  # already sharded on this mesh: zero movement
+        else:
+            # device_put from host shards directly; never materialize the
+            # full array on one device
+            xs = jax.device_put(np.asarray(data, dtype=np.float32), sharding)
+        n, dim = xs.shape
     if n % n_shards:
         raise ValueError(f"N={n} not divisible by {n_shards} data shards")
     plan = make_plan(n, max_depth, min_leaf)
@@ -419,7 +438,7 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr):
     per-source partial blocks, looped over destinations so per-device peak
     memory stays O(index / S); total ICI traffic is one dataset copy.  No
     device ever holds more than its 1/S of the rows or of the blocks."""
-    lmax = max(plan.max_leaf_len, 1)
+    lmax = pos_arr.shape[1]  # may exceed max_leaf_len: slack slots
     nl = plan.n_leaves
     n_sh = mesh.shape[DATA_AXIS]
     g_total = n_trees * nl
@@ -490,6 +509,75 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr):
     )(perm, x, pos_arr, in_leaf_arr)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "plan", "n_trees", "dtype_str"))
+def _dp_pack_ell(mesh, plan, n_trees, perm, cols, vals, dtype_str,
+                 pos_arr, in_leaf_arr):
+    """ELL (sparse) counterpart of :func:`_dp_pack`: assemble leaf-sharded
+    :class:`EllBlocks` (cols/vals blocks) from the row-sharded ELL tables
+    by the same per-destination psum loop.  Padding slots stay col=0/val=0
+    so they contribute nothing at score time; per-device peak memory is
+    O(index / S)."""
+    lmax = pos_arr.shape[1]  # may exceed max_leaf_len: slack slots
+    nl = plan.n_leaves
+    n_sh = mesh.shape[DATA_AXIS]
+    g_total = n_trees * nl
+    g_per = -(-g_total // n_sh)
+
+    def block(perm_r, cols_l, vals_l, pos_r, in_r):
+        me = lax.axis_index(DATA_AXIS)
+        n_l = cols_l.shape[0]
+        base = me * n_l
+        kz = cols_l.shape[1]
+        acc_c = jnp.zeros((g_per, lmax, kz), jnp.int32)
+        acc_v = jnp.zeros((g_per, lmax, kz), jnp.float32)
+        for s in range(n_sh):
+            g = s + n_sh * np.arange(g_per)
+            g_ok = g < g_total
+            g = np.minimum(g, g_total - 1)
+            t_of = (g // nl).astype(np.int32)
+            leaf_of = jnp.asarray((g % nl).astype(np.int32))
+            pos = jnp.take(pos_r, leaf_of, axis=0)
+            ids = perm_r[jnp.asarray(t_of)[:, None], pos]
+            valid = (jnp.take(in_r, leaf_of, axis=0)
+                     & jnp.asarray(g_ok)[:, None])
+            local = ids - base
+            mine = valid & (local >= 0) & (local < n_l)
+            safe = jnp.clip(local, 0, n_l - 1)
+            c_p = jnp.where(mine[..., None],
+                            jnp.take(cols_l, safe, axis=0), 0)
+            v_p = jnp.where(mine[..., None],
+                            jnp.take(vals_l, safe, axis=0), 0.0)
+            c_full = lax.psum(c_p, DATA_AXIS)
+            v_full = lax.psum(v_p, DATA_AXIS)
+            acc_c = jnp.where(me == s, c_full, acc_c)
+            acc_v = jnp.where(me == s, v_full, acc_v)
+        j = jnp.arange(g_per, dtype=jnp.int32)
+        g_own = me + n_sh * j
+        own_ok = g_own < g_total
+        g_own = jnp.minimum(g_own, g_total - 1)
+        t_own = g_own // nl
+        leaf_own = g_own % nl
+        pos_own = jnp.take(pos_r, leaf_own, axis=0)
+        in_own = jnp.take(in_r, leaf_own, axis=0) & own_ok[:, None]
+        ids_own = perm_r[t_own[:, None], pos_own]
+        ids_own = jnp.where(in_own, ids_own, -1)
+        cols_b = jnp.where(in_own[..., None], acc_c, 0)
+        vals_b = jnp.where(in_own[..., None], acc_v, 0.0)
+        sq = jnp.sum(vals_b * vals_b, axis=-1)
+        if dtype_str == "bf16":
+            vals_b = vals_b.astype(jnp.bfloat16)
+        return cols_b, vals_b, sq, ids_own
+
+    d_ax = P(DATA_AXIS)
+    return jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), d_ax, d_ax, P(), P()),
+        out_specs=(d_ax, d_ax, d_ax, d_ax),
+        check_vma=False,
+    )(perm, cols, vals, pos_arr, in_leaf_arr)
+
+
 class DataParallelForest(RPForest):
     """An :class:`RPForest` whose DATASET is sharded over points on a
     1-D device mesh -- for datasets beyond one chip's HBM.
@@ -500,6 +588,8 @@ class DataParallelForest(RPForest):
     margins, permutation) are replicated: traversal is cheap and data
     movement is what kills.
     """
+
+    _index_axis = DATA_AXIS  # blocks shard over the data axis
 
     def __init__(self, plan, arrays, x, sq_norms, config, mesh: Mesh,
                  payloads: Optional[Sequence] = None, seed=None):
@@ -530,6 +620,8 @@ class DataParallelForest(RPForest):
                 min_votes=int(min_votes),
                 block_scale=getattr(self, "_block_scale", None),
                 axis=DATA_AXIS,
+                block_len=getattr(self, "_block_len_rows_dev", None),
+                block_len_global=self._block_len_dev,
             )
         else:
             if self.x is None:
@@ -540,6 +632,45 @@ class DataParallelForest(RPForest):
                           precision, min_votes=int(min_votes))
         return self._apply_update_hooks(qb, out[0], out[1], int(k), metric,
                                         precision)
+
+    def knn_batched(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None, dedup: bool = True,
+                    precision: str = "highest",
+                    probes: Optional[int] = None, min_votes: int = 1,
+                    chunk: int = 4096):
+        """One-dispatch batched kNN over the leaf-sharded packed blocks: a
+        ``lax.map`` over query chunks inside the sharded pipeline (the
+        data-parallel form of :meth:`RPForest.knn_batched`).  Requires
+        :meth:`pack_leaves`; results are identical to chunked
+        :meth:`knn` calls."""
+        if getattr(self, "_packed_mode", None) != "leaf":
+            raise ValueError("pack_leaves() first: knn_batched serves the "
+                             "leaf-sharded packed blocks")
+        from .distributed import _dist_knn_leaf_sharded
+
+        k = self._check_k(k)
+        qb = self._q_repl(q)
+        b = qb.shape[0]
+        chunk = max(1, min(int(chunk), b))
+        pad = (-b) % chunk
+        if pad:
+            qb = jnp.concatenate(
+                [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+            qb = jax.device_put(qb, NamedSharding(self.mesh, P()))
+        budget = self._budget(budget)
+        if probes is None:
+            probes = self.n_trees * budget
+        d, i = _dist_knn_leaf_sharded(
+            self.mesh, self.plan, self._small, self._packed, qb, int(k),
+            budget, int(probes), int(probes), metric, dedup, precision,
+            min_votes=int(min_votes),
+            block_scale=getattr(self, "_block_scale", None),
+            axis=DATA_AXIS, chunk=chunk,
+            block_len=getattr(self, "_block_len_rows_dev", None),
+            block_len_global=self._block_len_dev,
+        )
+        return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
+                                        metric, precision)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,
@@ -557,6 +688,8 @@ class DataParallelForest(RPForest):
                 bucket_stop=True,
                 block_scale=getattr(self, "_block_scale", None),
                 axis=DATA_AXIS,
+                block_len=getattr(self, "_block_len_rows_dev", None),
+                block_len_global=self._block_len_dev,
             )
             return self._apply_update_hooks(qb, out[0], out[1], int(k),
                                             metric, precision)
@@ -573,13 +706,22 @@ class DataParallelForest(RPForest):
         if self.x is None:
             raise ValueError("dataset dropped; brute force needs raw rows")
         qb = self._q_repl(q)
-        return _bf_sharded(self.mesh, self.x, self.sq_norms, qb, int(k),
+        d, i = _bf_sharded(self.mesh, self.x, self.sq_norms, qb, int(k),
                            metric)
+        if self.n_folded:
+            # fold-appended rows live only in the packed blocks (small
+            # dense host copies): scan them separately and merge so the
+            # ground truth agrees with the index contents
+            d, i = self._merge_folded(qb, d, i, int(k), metric, precision)
+        return d, i
 
     def recall_with(self, q, k: int, metric: str = "l2",
                     budget: Optional[int] = None):
         if self.x is None:
             raise ValueError("dataset dropped; recall needs raw rows")
+        if self.n_folded:
+            raise ValueError("recall on a folded sharded forest is "
+                             "unsupported; rebuild() first")
         qb = self._q_repl(q)
         return _dp_recall(self.mesh, self.plan, self.arrays, self.x,
                           self.sq_norms, qb, int(k), self._budget(budget),
@@ -591,54 +733,51 @@ class DataParallelForest(RPForest):
         single-device forest under this class's sharded query paths).
         Rebuild is a heavyweight op: rows are staged through the host.
         The new size must still divide the shard count."""
-        if not getattr(self, "_pending", None) and self.n_deleted == 0:
+        if (not getattr(self, "_pending", None) and self.n_deleted == 0
+                and self.n_folded == 0):
             return self
+        if isinstance(self.x, EllMatrix):
+            raise NotImplementedError(
+                "rebuild() on a data-parallel ELL dataset is unsupported; "
+                "rebuild from the source rows with "
+                "forest_batch_data_parallel"
+            )
         n_sh = self.mesh.shape[DATA_AXIS]
-        x_old = np.asarray(self.x)
-        payloads = (list(self.payloads) if self.payloads is not None
-                    else [None] * self.plan.n)
-        if self._deleted is not None and self._deleted.any():
-            keep = ~self._deleted
-            x_old = x_old[keep]
-            payloads = [p for p, kp in zip(payloads, keep) if kp]
-        pend = [np.asarray(c) for c in self._pending]
-        pp = sum(self._pending_payloads, [])
-        dead = getattr(self, "_pending_deleted", None) or set()
-        if dead and pend:
-            xp = np.concatenate(pend)
-            keepp = np.ones(xp.shape[0], bool)
-            keepp[list(dead)] = False
-            pend = [xp[keepp]]
-            pp = [p for p, kp in zip(pp, keepp) if kp]
-        x_all = np.concatenate([x_old] + pend) if pend else x_old
+        x_all, new_payloads = self._rebuild_rows()
         if x_all.shape[0] % n_sh:
             raise ValueError(
                 f"rebuilt size {x_all.shape[0]} does not divide the "
                 f"{n_sh} data shards; add/remove to a divisible size"
             )
-        new_payloads = payloads + pp
         cfg = self.config
         fresh = forest_batch_data_parallel(
             self.seed, cfg.max_depth, cfg.min_leaf, cfg.n_trees,
-            cfg.proj_nz_density, x_all, mesh=self.mesh,
-            payloads=(None if all(p is None for p in new_payloads)
-                      else new_payloads),
+            cfg.proj_nz_density, np.asarray(x_all), mesh=self.mesh,
+            payloads=new_payloads,
         )
         self.plan, self.arrays = fresh.plan, fresh.arrays
         self.x, self.sq_norms = fresh.x, fresh.sq_norms
         self.payloads = fresh.payloads
         self._pending, self._pending_payloads = [], []
         self._deleted = None
+        self._deleted_dev = None
         self._pending_deleted = None
+        self._folded_x, self._folded_leaf = [], []
+        self._folded_payloads = []
+        self._folded_cat = None
+        self._block_len = None
+        self._block_len_dev = None
+        self._block_len_rows_dev = None
         if self._packed is not None:
             self._packed = None
             self._small = None
             self._packed_mode = None
-            self.pack_leaves()
+            self.pack_leaves(slack=self._pack_slack)
         return self
 
     def pack_leaves(self, dtype=None, shard_by: str = "leaf",
-                    slack: int = 0) -> "DataParallelForest":
+                    slack: int = 0,
+                    centered: bool = False) -> "DataParallelForest":
         """Pack leaf blocks directly from the SHARDED dataset into
         leaf-sharded blocks (1/S of the index per chip).  Only
         ``shard_by="leaf"`` exists here: any other layout would
@@ -646,12 +785,43 @@ class DataParallelForest(RPForest):
         if shard_by != "leaf":
             raise ValueError("DataParallelForest packs shard_by='leaf' "
                              "only (the memory-complete layout)")
-        if slack:
-            raise ValueError("slack slots are single-device (fold() is "
-                             "unsupported on sharded forests)")
+        if centered:
+            raise NotImplementedError(
+                "centered int8 blocks are single-device for now (the "
+                "sharded scorers do not thread the mean operands yet)"
+            )
         if self._packed is not None:
             return self
+        self._pack_slack = int(slack)
+        lmax_ = max(self.plan.max_leaf_len, 1) + int(slack)
+        starts_ = np.asarray(self.plan.leaf_start)
+        lens_ = np.asarray(self.plan.leaf_len)
+        pos_a = starts_[:, None] + np.arange(lmax_)[None, :]
+        in_leaf_a = np.arange(lmax_)[None, :] < lens_[:, None]
+        pos_a = np.where(in_leaf_a, pos_a, 0).astype(np.int32)
+        repl0 = NamedSharding(self.mesh, P())
         if isinstance(self.x, EllMatrix):
+            # sparse rows -> leaf-sharded EllBlocks (1/S of the sparse
+            # index per chip), assembled straight from the sharded tables
+            if dtype is not None and jnp.dtype(dtype) == jnp.int8:
+                raise ValueError("int8 quantization applies to dense "
+                                 "blocks; ELL blocks pack f32/bf16 values")
+            dstr = ("bf16" if dtype is not None
+                    and jnp.dtype(dtype) == jnp.bfloat16 else "f32")
+            cols_b, vals_b, sq, ids = _dp_pack_ell(
+                self.mesh, self.plan, self.n_trees, self.arrays.perm,
+                self.x.cols, self.x.vals, dstr,
+                jax.device_put(jnp.asarray(pos_a), repl0),
+                jax.device_put(jnp.asarray(in_leaf_a), repl0),
+            )
+            self._packed = (EllBlocks(self.dim, cols_b, vals_b), sq, ids)
+            self._block_scale = None
+            self._packed_mode = "leaf"
+            self._small = tuple(
+                jax.device_put(a, repl0)
+                for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,
+                          self.arrays.mgh)
+            )
             return self
         if dtype is None:
             dtype_str = "f32"
@@ -661,25 +831,17 @@ class DataParallelForest(RPForest):
             dtype_str = "bf16"
         else:
             dtype_str = "f32"
-        lmax = max(self.plan.max_leaf_len, 1)
-        starts = np.asarray(self.plan.leaf_start)
-        lens = np.asarray(self.plan.leaf_len)
-        pos_all = starts[:, None] + np.arange(lmax)[None, :]
-        in_leaf_all = np.arange(lmax)[None, :] < lens[:, None]
-        pos_all = np.where(in_leaf_all, pos_all, 0).astype(np.int32)
-        repl = NamedSharding(self.mesh, P())
         rows, sq, ids, scale = _dp_pack(
             self.mesh, self.plan, self.n_trees, self.arrays.perm, self.x,
             dtype_str,
-            jax.device_put(jnp.asarray(pos_all), repl),
-            jax.device_put(jnp.asarray(in_leaf_all), repl),
+            jax.device_put(jnp.asarray(pos_a), repl0),
+            jax.device_put(jnp.asarray(in_leaf_a), repl0),
         )
         self._packed = (rows, sq, ids)
         self._block_scale = scale if dtype_str == "int8" else None
         self._packed_mode = "leaf"
-        repl = NamedSharding(self.mesh, P())
         self._small = tuple(
-            jax.device_put(a, repl)
+            jax.device_put(a, repl0)
             for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,
                       self.arrays.mgh)
         )
@@ -721,11 +883,23 @@ def brute_force_knn_sharded(data, q, k: int, metric: str = "l2",
     if mesh is None:
         mesh = data_mesh()
     n_sh = mesh.shape[DATA_AXIS]
-    x = jnp.asarray(data, dtype=jnp.float32)
-    if x.shape[0] % n_sh:
-        raise ValueError(f"N={x.shape[0]} not divisible by {n_sh} shards")
-    xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
-    sq = jnp.sum(xs * xs, axis=-1)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if isinstance(data, EllMatrix):
+        if data.n % n_sh:
+            raise ValueError(f"N={data.n} not divisible by {n_sh} shards")
+        xs = EllMatrix(
+            data.dim,
+            jax.device_put(jnp.asarray(data.cols, jnp.int32), sharding),
+            jax.device_put(jnp.asarray(data.vals, jnp.float32), sharding),
+        )
+        sq = jnp.sum(xs.vals * xs.vals, axis=-1)
+    else:
+        x = jnp.asarray(data, dtype=jnp.float32)
+        if x.shape[0] % n_sh:
+            raise ValueError(
+                f"N={x.shape[0]} not divisible by {n_sh} shards")
+        xs = jax.device_put(x, sharding)
+        sq = jnp.sum(xs * xs, axis=-1)
     qb = jnp.asarray(q, dtype=jnp.float32)
     if qb.ndim == 1:
         qb = qb[None]

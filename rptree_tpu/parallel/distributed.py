@@ -88,11 +88,12 @@ def _pad_k(dists: jax.Array, ids: jax.Array, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "plan", "k", "budget", "probes", "metric",
-                     "dedup", "variant", "precision", "min_votes"),
+                     "dedup", "variant", "precision", "min_votes", "chunk"),
 )
 def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
               dedup, variant, precision="highest", packed=None,
-              min_votes=1):
+              min_votes=1, chunk=None, block_len=None,
+              block_len_global=None):
     """Tree+query-sharded kNN: local rerank to k, all_gather(k per shard)
     over the tree axis, dedup-merge, re-top-k.  With ``packed`` (leaf-
     blocked ``(x_leaf, id_leaf)``, sharded over the tree axis) each shard
@@ -108,23 +109,37 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
     same global union the single-device path sorts; the extra ICI traffic
     (budget * max_leaf_len candidates/shard/query) is the price of exact
     vote parity.
+
+    ``chunk`` (static): ``lax.map`` over per-shard query chunks inside the
+    shard_map block -- one dispatch for the whole batch, per-chunk peak
+    memory (the sharded ``knn_batched``).  Per-shard batch must divide it.
     """
-    def bucket_keep_global(leaf_l, prio_l, tl, fw, b):
+    def bucket_keep_global(leaf_l, prio_l, tl, fw, b, bl_g=None):
         """Reference knnH's GLOBAL stop rule (RPTree.hs:208-217): every
         shard sees all shards' bucket priorities and sizes (an all_gather
         of a few floats per query), applies the same cumulative-size
-        cutoff, and returns the keep-mask for its OWN buckets."""
+        cutoff, and returns the keep-mask for its OWN buckets.  ``bl_g``
+        (replicated ``int32[T * n_leaves]`` dynamic occupancy) supersedes
+        the static plan sizes after :meth:`RPForest.fold`."""
         prio_all = lax.all_gather(prio_l, TREE_AXIS)  # [S, B, Tl*F]
         leaf_all = lax.all_gather(leaf_l, TREE_AXIS)
         n_sh = prio_all.shape[0]
         m = n_sh * tl * fw
         prio_g = jnp.moveaxis(prio_all, 0, 1).reshape(b, m)
         leaf_g = jnp.moveaxis(leaf_all, 0, 1).reshape(b, m)
-        sizes_g = jnp.where(
-            leaf_g >= 0,
-            jnp.take(jnp.asarray(plan.leaf_len), jnp.clip(leaf_g, 0, None)),
-            0,
-        )
+        if bl_g is not None:
+            # global tree of column j: trees shard in contiguous groups,
+            # and the gathered layout is [S, Tl, F] flattened
+            tree_of = (jnp.arange(m, dtype=jnp.int32) // fw)[None, :]
+            gblock = tree_of * plan.n_leaves + jnp.clip(leaf_g, 0, None)
+            sizes_g = jnp.where(leaf_g >= 0, jnp.take(bl_g, gblock), 0)
+        else:
+            sizes_g = jnp.where(
+                leaf_g >= 0,
+                jnp.take(jnp.asarray(plan.leaf_len),
+                         jnp.clip(leaf_g, 0, None)),
+                0,
+            )
         order = jnp.argsort(prio_g, axis=-1)  # same result on every shard
         csum = jnp.cumsum(jnp.take_along_axis(sizes_g, order, axis=-1),
                           axis=-1)
@@ -134,7 +149,7 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
         my = lax.axis_index(TREE_AXIS)
         return lax.dynamic_slice_in_dim(keep, my * tl * fw, tl * fw, axis=1)
 
-    def block(arrays_l, x_l, sq_l, q_l, packed_l):
+    def chunk_body(arrays_l, x_l, sq_l, q_l, packed_l, bl_l, bl_g):
         tl = arrays_l.perm.shape[0]
         lmax = max(plan.max_leaf_len, 1)
         if min_votes > 1:
@@ -148,7 +163,8 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
             tl_, b, fw = leaf_ids.shape
             leaf_l = jnp.moveaxis(leaf_ids, 0, 1).reshape(b, tl_ * fw)
             prio_l = jnp.moveaxis(prio, 0, 1).reshape(b, tl_ * fw)
-            keep_mine = bucket_keep_global(leaf_l, prio_l, tl_, fw, b)
+            keep_mine = bucket_keep_global(leaf_l, prio_l, tl_, fw, b,
+                                           bl_g=bl_g)
             leaf_kept = jnp.where(keep_mine, leaf_l, -1)
             if variant == "h":
                 leaf_k3 = jnp.moveaxis(leaf_kept.reshape(b, tl_, fw), 1, 0)
@@ -173,14 +189,14 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                 d_l, i_l = _score_blocks(
                     plan, x_leaf_l, sq_leaf_l, id_leaf_l, rows, leaf_kept,
                     q_l, k_eff, kk, metric, dedup_eff, precision,
-                    block_scale=scale_l,
+                    block_scale=scale_l, block_len=bl_l,
                 )
         elif packed_l is not None:
             x_leaf_l, sq_leaf_l, id_leaf_l, scale_l = packed_l
             d_l, i_l = _knn_packed(plan, arrays_l, x_leaf_l, sq_leaf_l,
                                    id_leaf_l, q_l, k_eff, budget, probes,
                                    metric, dedup_eff, precision,
-                                   block_scale=scale_l)
+                                   block_scale=scale_l, block_len=bl_l)
         else:
             d_l, i_l = _knn(plan, arrays_l, x_l, sq_l, q_l, k_eff, budget,
                             metric, dedup_eff, precision)
@@ -195,30 +211,46 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                            dedup=(dedup or min_votes > 1),
                            min_votes=min_votes)
 
+    def block(arrays_l, x_l, sq_l, q_l, packed_l, bl_l, bl_g):
+        b = q_l.shape[0]
+        if chunk is None or chunk >= b:
+            return chunk_body(arrays_l, x_l, sq_l, q_l, packed_l, bl_l,
+                              bl_g)
+        qc = q_l.reshape(b // chunk, chunk, q_l.shape[-1])
+        d, i = lax.map(
+            lambda qi: chunk_body(arrays_l, x_l, sq_l, qi, packed_l, bl_l,
+                                  bl_g),
+            qc,
+        )
+        return d.reshape(b, -1), i.reshape(b, -1)
+
     t_ax = P(TREE_AXIS)
     packed_spec = (None if packed is None
                    else (t_ax, t_ax, t_ax,
                          None if packed[3] is None else t_ax))
+    bl_spec = None if block_len is None else t_ax
+    blg_spec = None if block_len_global is None else P()
     return jax.shard_map(
         block,
         mesh=mesh,
         in_specs=(_arrays_pspec(plan.n_levels), P(), P(), P(QUERY_AXIS),
-                  packed_spec),
+                  packed_spec, bl_spec, blg_spec),
         out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
         check_vma=False,
-    )(arrays, x, sq_norms, q, packed)
+    )(arrays, x, sq_norms, q, packed, block_len, block_len_global)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "plan", "k", "budget", "probes",
                      "probes_per_shard", "metric", "dedup", "precision",
-                     "min_votes", "bucket_stop", "axis"),
+                     "min_votes", "bucket_stop", "axis", "chunk"),
 )
 def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            probes_per_shard, metric, dedup, precision,
                            min_votes=1, bucket_stop=False,
-                           block_scale=None, axis=TREE_AXIS):
+                           block_scale=None, axis=TREE_AXIS, chunk=None,
+                           block_len=None, block_len_global=None):
     """kNN with the leaf blocks sharded round-robin across the tree axis
     (per-chip index memory = 1/S of the total).  Every shard traverses the
     whole (small, replicated) forest structure for its queries, keeps the
@@ -229,10 +261,15 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     ``probes_per_shard == probes`` no probe can be dropped (exact); the
     default ~probes/S + slack trades a rare drop under ownership skew for
     an S-fold reduction in per-shard scoring work.
+
+    ``chunk`` (static) runs the pipeline as a ``lax.map`` over per-shard
+    query chunks INSIDE the shard_map block: one host dispatch for the
+    whole batch with per-chunk peak memory (the sharded form of
+    ``RPForest.knn_batched``).  The per-shard batch must divide ``chunk``.
     """
 
-    def block(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l, scale_l,
-              q_l):
+    def chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l,
+                   scale_l, bl_l, bl_g, q_l):
         n_sh = lax.psum(1, axis)
         me = lax.axis_index(axis)
         t = r.shape[0]
@@ -247,7 +284,8 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         # knnH bucket-stop mask is computed identically on every shard --
         # no collective needed before the ownership filter
         gsel, lsel = _select_probes(plan, arrays_small, q_l, budget, probes,
-                                    k=k, bucket_stop=bucket_stop)
+                                    k=k, bucket_stop=bucket_stop,
+                                    block_len=bl_g)
         mine = (lsel >= 0) & (gsel % n_sh == me)
         # keep my highest-priority owned probes (probe slots arrive in
         # priority order from _select_probes), compacted to the front by a
@@ -264,7 +302,7 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         d_l, i_l = _score_blocks(plan, x_leaf_l, sq_leaf_l, id_leaf_l,
                                  rows, l_s, q_l, k_eff, kk, metric,
                                  dedup_eff, precision,
-                                 block_scale=scale_l)
+                                 block_scale=scale_l, block_len=bl_l)
         d_l, i_l = _pad_k(d_l, i_l, k_eff)
         d_all = lax.all_gather(d_l, axis)
         i_all = lax.all_gather(i_l, axis)
@@ -275,17 +313,34 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            dedup=(dedup or min_votes > 1),
                            min_votes=min_votes)
 
+    def block(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l, scale_l,
+              bl_l, bl_g, q_l):
+        b = q_l.shape[0]
+        if chunk is None or chunk >= b:
+            return chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l,
+                              id_leaf_l, scale_l, bl_l, bl_g, q_l)
+        qc = q_l.reshape(b // chunk, chunk, q_l.shape[-1])
+        d, i = lax.map(
+            lambda qi: chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l,
+                                  id_leaf_l, scale_l, bl_l, bl_g, qi),
+            qc,
+        )
+        return d.reshape(b, -1), i.reshape(b, -1)
+
     r, thr, mgl, mgh = small
     scale_spec = None if block_scale is None else P(axis)
+    bl_spec = None if block_len is None else P(axis)
+    blg_spec = None if block_len_global is None else P()
     q_spec = P(QUERY_AXIS) if QUERY_AXIS in mesh.shape else P()
     return jax.shard_map(
         block,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis), P(axis),
-                  P(axis), scale_spec, q_spec),
+                  P(axis), scale_spec, bl_spec, blg_spec, q_spec),
         out_specs=(q_spec, q_spec),
         check_vma=False,
-    )(r, thr, mgl, mgh, *packed, block_scale, q)
+    )(r, thr, mgl, mgh, *packed, block_scale, block_len,
+      block_len_global, q)
 
 
 @functools.partial(
@@ -318,12 +373,14 @@ def _dist_recall(mesh, plan, arrays, x, sq_norms, q, k, budget, metric):
     )(arrays, x, sq_norms, q)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "plan", "dtype_str"))
-def _dist_pack(mesh, plan, perm, x, dtype_str):
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "plan", "dtype_str", "slack"))
+def _dist_pack(mesh, plan, perm, x, dtype_str, slack=0):
     """Tree-sharded leaf-block packing: each shard packs its own trees'
     blocks from the replicated dataset, so per-device peak memory is
-    T_local x dataset instead of the whole forest's blocks on one chip."""
-    lmax = max(plan.max_leaf_len, 1)
+    T_local x dataset instead of the whole forest's blocks on one chip.
+    ``slack`` reserves empty per-block slots for :meth:`RPForest.fold`."""
+    lmax = max(plan.max_leaf_len, 1) + int(slack)
     nl = plan.n_leaves
     starts = jnp.asarray(plan.leaf_start)
     lens = jnp.asarray(plan.leaf_len)
@@ -392,6 +449,8 @@ class DistributedForest(RPForest):
     because the sharded arrays are still ordinary jax arrays.
     """
 
+    _index_axis = TREE_AXIS  # blocks shard over the tree axis
+
     def __init__(self, plan, arrays, x, sq_norms, config, mesh: Mesh,
                  payloads: Optional[Sequence] = None, seed=None):
         super().__init__(plan, arrays, x, sq_norms, config,
@@ -416,20 +475,23 @@ class DistributedForest(RPForest):
         return qb, b
 
     def pack_leaves(self, dtype=None, shard_by: str = "tree",
-                    slack: int = 0) -> "DistributedForest":
+                    slack: int = 0,
+                    centered: bool = False) -> "DistributedForest":
         """Leaf-blocked packing, sharded over the tree axis.
 
-        ``slack`` must be 0 (``fold()`` is single-device; sharded
-        layouts reorder block rows).  ``shard_by="tree"``: each shard
+        ``slack`` reserves empty per-block slots for :meth:`fold`
+        (sharded online inserts).  ``shard_by="tree"``: each shard
         holds its tree group's blocks
         (per-chip memory ~ T_local x dataset).  ``shard_by="leaf"``: blocks
         are distributed round-robin by global block id (block g on shard
         g % S at row g // S) -- per-chip memory is 1/S of the TOTAL index,
         below one dataset copy, and every shard serves the probes it owns.
         """
-        if slack:
-            raise ValueError("slack slots are single-device (fold() is "
-                             "unsupported on sharded forests)")
+        if centered:
+            raise NotImplementedError(
+                "centered int8 blocks are single-device for now (the "
+                "sharded scorers do not thread the mean operands yet)"
+            )
         if self._packed is None:
             if isinstance(self.x, EllMatrix):
                 # sparse (EllBlocks) packing, sharded over the tree axis:
@@ -437,7 +499,7 @@ class DistributedForest(RPForest):
                 # (cols/vals/sq/ids all lead with the [T * n_leaves] axis)
                 if shard_by != "tree":
                     raise ValueError("sparse blocks shard by tree only")
-                super().pack_leaves(dtype=dtype)
+                super().pack_leaves(dtype=dtype, slack=slack)
                 if self._packed is None:
                     return self
                 sh = NamedSharding(self.mesh, P(TREE_AXIS))
@@ -457,13 +519,14 @@ class DistributedForest(RPForest):
                     dtype_str = "f32"
                 rows, sq, ids, scale = _dist_pack(
                     self.mesh, self.plan, self.arrays.perm, self.x,
-                    dtype_str,
+                    dtype_str, slack=int(slack),
                 )
+                self._pack_slack = int(slack)
                 self._packed = (rows, sq, ids)
                 self._block_scale = scale if dtype_str == "int8" else None
                 self._packed_mode = "tree"
                 return self
-            super().pack_leaves(dtype=dtype)
+            super().pack_leaves(dtype=dtype, slack=slack)
             if self._packed is None:
                 return self
             scale = getattr(self, "_block_scale", None)
@@ -518,6 +581,8 @@ class DistributedForest(RPForest):
                 budget, int(probes), int(probes_per_shard), metric, dedup,
                 precision, min_votes=int(min_votes),
                 block_scale=getattr(self, "_block_scale", None),
+                block_len=getattr(self, "_block_len_rows_dev", None),
+                block_len_global=self._block_len_dev,
             )
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
@@ -537,7 +602,69 @@ class DistributedForest(RPForest):
         d, i = _dist_knn(self.mesh, self.plan, self.arrays, x,
                          sq, qb, int(k), budget, int(probes),
                          metric, dedup, "flat", precision, packed4,
-                         min_votes=int(min_votes))
+                         min_votes=int(min_votes),
+                         block_len=getattr(self, "_block_len_rows_dev",
+                                           None),
+                         block_len_global=self._block_len_dev)
+        return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
+                                        metric, precision)
+
+    def knn_batched(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None, dedup: bool = True,
+                    precision: str = "highest",
+                    probes: Optional[int] = None,
+                    probes_per_shard: Optional[int] = None,
+                    min_votes: int = 1, chunk: int = 4096):
+        """Sharded one-dispatch batched kNN: a ``lax.map`` over per-shard
+        query chunks INSIDE the sharded pipeline, so the whole batch costs
+        one host dispatch while peak rerank memory stays per-chunk (the
+        multi-chip form of :meth:`RPForest.knn_batched`; results are
+        identical to chunked :meth:`knn` calls).  Requires
+        :meth:`pack_leaves`."""
+        if self._packed is None:
+            raise ValueError("pack_leaves() first: knn_batched runs the "
+                             "leaf-blocked pipeline")
+        from ..models.forest import _as_dense_queries
+
+        k = self._check_k(k)
+        qb = _as_dense_queries(q, self.dim)
+        b = qb.shape[0]
+        s_q = self.mesh.shape[QUERY_AXIS]
+        chunk = max(1, min(int(chunk), -(-b // s_q)))
+        unit = s_q * chunk
+        pad = (-b) % unit
+        if pad:
+            qb = jnp.concatenate(
+                [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+        budget = self._budget(budget)
+        if getattr(self, "_packed_mode", None) == "leaf":
+            if probes is None:
+                probes = self.n_trees * budget
+            if probes_per_shard is None:
+                probes_per_shard = int(probes)
+            d, i = _dist_knn_leaf_sharded(
+                self.mesh, self.plan, self._small, self._packed, qb, int(k),
+                budget, int(probes), int(probes_per_shard), metric, dedup,
+                precision, min_votes=int(min_votes),
+                block_scale=getattr(self, "_block_scale", None),
+                chunk=chunk,
+                block_len=getattr(self, "_block_len_rows_dev", None),
+                block_len_global=self._block_len_dev,
+            )
+        else:
+            n_sh = self.mesh.shape[TREE_AXIS]
+            if probes is None:
+                probes = (self.n_trees // n_sh) * budget
+            packed4 = self._packed + (getattr(self, "_block_scale", None),)
+            x = jnp.zeros((1, 1), jnp.float32)
+            sq = jnp.zeros((1,), jnp.float32)
+            d, i = _dist_knn(self.mesh, self.plan, self.arrays, x, sq, qb,
+                             int(k), budget, int(probes), metric, dedup,
+                             "flat", precision, packed4,
+                             min_votes=int(min_votes), chunk=chunk,
+                             block_len=getattr(self, "_block_len_rows_dev",
+                                               None),
+                             block_len_global=self._block_len_dev)
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
 
@@ -566,6 +693,8 @@ class DistributedForest(RPForest):
                 budget, int(probes), int(probes), metric, dedup, precision,
                 bucket_stop=True,
                 block_scale=getattr(self, "_block_scale", None),
+                block_len=getattr(self, "_block_len_rows_dev", None),
+                block_len_global=self._block_len_dev,
             )
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
@@ -575,7 +704,10 @@ class DistributedForest(RPForest):
             sq = jnp.zeros((1,), jnp.float32)
             d, i = _dist_knn(self.mesh, self.plan, self.arrays, x, sq, qb,
                              int(k), budget, 1, metric, dedup, "h_packed",
-                             precision, packed4)
+                             precision, packed4,
+                             block_len=getattr(self, "_block_len_rows_dev",
+                                               None),
+                             block_len_global=self._block_len_dev)
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
         if self.x is None:
@@ -586,12 +718,53 @@ class DistributedForest(RPForest):
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
 
+    def rebuild(self) -> "DistributedForest":
+        """Fold pending/folded rows and purge tombstones by re-running the
+        TREE-PARALLEL build (the base rebuild would silently produce an
+        unsharded forest under this class's sharded query paths)."""
+        if (not getattr(self, "_pending", None) and self.n_deleted == 0
+                and self.n_folded == 0):
+            return self
+        if self.x is None:
+            raise ValueError("dataset dropped; rebuild needs the raw rows")
+        x_all, new_payloads = self._rebuild_rows()
+        cfg = self.config
+        fresh = forest_batch_distributed(
+            self.seed, cfg.max_depth, cfg.min_leaf, cfg.n_trees,
+            cfg.proj_nz_density, x_all, mesh=self.mesh,
+            payloads=new_payloads,
+        )
+        self.plan, self.arrays = fresh.plan, fresh.arrays
+        self.x, self.sq_norms = fresh.x, fresh.sq_norms
+        self.payloads = fresh.payloads
+        self._pending, self._pending_payloads = [], []
+        self._deleted = None
+        self._deleted_dev = None
+        self._pending_deleted = None
+        self._folded_x, self._folded_leaf = [], []
+        self._folded_payloads = []
+        self._folded_cat = None
+        self._block_len = None
+        self._block_len_dev = None
+        self._block_len_rows_dev = None
+        if self._packed is not None:
+            mode = getattr(self, "_packed_mode", "tree")
+            self._packed = None
+            self._small = None
+            self._packed_mode = None
+            self.pack_leaves(shard_by=mode or "tree",
+                             slack=self._pack_slack)
+        return self
+
     def recall_with(self, q, k: int, metric: str = "l2",
                     budget: Optional[int] = None):
         from ..models.forest import _as_dense_queries
 
         if self.x is None:
             raise ValueError("dataset dropped; recall needs the raw rows")
+        if self.n_folded:
+            raise ValueError("recall on a folded sharded forest is "
+                             "unsupported; rebuild() first")
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
         r = _dist_recall(self.mesh, self.plan, self.arrays, self.x,
                          self.sq_norms, qb, int(k), self._budget(budget),

@@ -61,9 +61,6 @@ class ForestBuilder:
         # build() is still the exact batch build over everything seen.
         self.anytime_slack = int(anytime_slack)
         self._anytime: Optional[RPForest] = None
-        if self.anytime_slack and self.data_parallel:
-            raise ValueError("anytime_slack is a single-device feature "
-                             "(the sharded finalize is exact-only)")
         self.seed = seed
         self.max_depth = int(max_depth)
         self.min_leaf = int(min_leaf)
@@ -133,13 +130,39 @@ class ForestBuilder:
         if self.anytime_slack:
             if self._anytime is None:
                 # seed the partial index from the first chunk; slack slots
-                # absorb later chunks without rebuild
-                self._anytime = forest_batch(
-                    self.seed, self.max_depth, self.min_leaf, self.n_trees,
-                    self.pnz, np.asarray(c),
-                    payloads=(list(payloads) if payloads is not None
-                              else None),
-                )
+                # absorb later chunks without rebuild.  In data-parallel
+                # mode the partial index is itself a DataParallelForest
+                # with leaf-sharded slack blocks, so the anytime view
+                # keeps the O(N/S)-per-device property and later chunks
+                # fold through the sharded scatter.
+                if self.data_parallel:
+                    from .parallel.data_parallel import (
+                        data_mesh,
+                        forest_batch_data_parallel,
+                    )
+
+                    mesh = (self.mesh if self.mesh is not None
+                            else data_mesh())
+                    s = len(list(mesh.devices.flatten()))
+                    if c.shape[0] % s:
+                        raise ValueError(
+                            f"anytime_slack with data_parallel needs the "
+                            f"first chunk ({c.shape[0]} rows) to divide "
+                            f"the {s} data shards"
+                        )
+                    self._anytime = forest_batch_data_parallel(
+                        self.seed, self.max_depth, self.min_leaf,
+                        self.n_trees, self.pnz, np.asarray(c), mesh=mesh,
+                        payloads=(list(payloads) if payloads is not None
+                                  else None),
+                    )
+                else:
+                    self._anytime = forest_batch(
+                        self.seed, self.max_depth, self.min_leaf,
+                        self.n_trees, self.pnz, np.asarray(c),
+                        payloads=(list(payloads) if payloads is not None
+                                  else None),
+                    )
                 self._anytime.pack_leaves(slack=self.anytime_slack)
             else:
                 self._anytime.add(np.asarray(c), payloads=payloads)

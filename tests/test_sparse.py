@@ -145,3 +145,40 @@ def test_sparse_packed_knn_h():
     f2 = rp.forest_batch(7, 5, 16, 2, 1.0, m).pack_leaves()
     d2, _ = map(np.asarray, f2.knn_h(q, 5, budget=8))
     np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+
+def test_fold_into_ell_blocks():
+    """fold() into single-device sparse (ELL) blocks: dense pending rows
+    pack into K (col, val) slots; rows with more nonzeros than K stay in
+    the exact pending merge."""
+    import numpy as np
+
+    import rptree_tpu as rt
+    from rptree_tpu.ops.sparse import EllMatrix
+
+    rng = np.random.default_rng(91)
+    n, dim, kz = 600, 32, 6
+    cols = rng.integers(1, dim, size=(n, kz)).astype(np.int32)
+    vals = rng.normal(size=(n, kz)).astype(np.float32)
+    ell = EllMatrix(dim, cols, vals)
+    f = rt.forest_batch(17, 4, 16, 2, 1.0, ell)
+    f.pack_leaves(slack=8)
+    # convertible rows: <= kz nonzeros
+    new = np.zeros((5, dim), np.float32)
+    for j in range(5):
+        idx = rng.choice(np.arange(1, dim), size=kz - 1, replace=False)
+        new[j, idx] = rng.normal(size=kz - 1)
+    # one dense row with too many nonzeros for the blocks' K slots
+    fat = rng.normal(size=(1, dim)).astype(np.float32)
+    f.add(np.concatenate([new, fat]))
+    f.fold()
+    assert f.n_folded == 5 and f.n_pending == 1
+    q = new + 1e-5
+    _, ids = map(np.asarray, f.knn(q, 1, budget=f.plan.n_leaves))
+    assert (ids[:, 0] >= n).all()
+    # the overflow row is still found through the exact pending merge
+    _, idf = map(np.asarray, f.knn(fat + 1e-5, 1, budget=4))
+    assert idf[0, 0] == n + 5
+    # folded-aware oracle on the sparse dataset (merged scan)
+    _, bf = map(np.asarray, f.brute_force_knn(q, 1))
+    assert (bf[:, 0] >= n).all()
