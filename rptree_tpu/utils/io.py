@@ -34,7 +34,8 @@ from ..ops.build import TreeArrays
 from ..ops.sparse import EllMatrix, ell_sq_norms
 
 __all__ = ["save_forest", "load_forest", "serialise_rp_forest",
-           "deserialise_rp_forest"]
+           "deserialise_rp_forest", "save_forest_sharded",
+           "load_forest_sharded"]
 
 _FORMAT_VERSION = 1
 
@@ -199,3 +200,167 @@ def deserialise_rp_forest(blobs: Sequence[bytes]) -> RPForest:
     cfg["n_trees"] = len(parts)
     h0["config"] = cfg
     return _unpack(h0, merged)
+
+
+# ---------------------------------------------------------------------------
+# sharded checkpoints (per-shard blobs; no full-dataset host buffer)
+# ---------------------------------------------------------------------------
+
+def save_forest_sharded(dirpath: str, forest) -> None:
+    """Checkpoint a sharded forest as one npz PER DATA SHARD plus a small
+    common file -- the host only ever buffers one shard's rows at a time
+    (``save_forest`` would ``np.asarray`` the full dataset, defeating the
+    point of building data-parallel because it exceeds one device).
+
+    Layout: ``<dirpath>/common.npz`` (header + replicated structure
+    arrays) and ``<dirpath>/shard_<i>.npz`` (that shard's dataset rows and
+    their global row offset).  Restore with :func:`load_forest_sharded`.
+    Reference analogue: per-tree standalone blobs,
+    ``serialiseRPForest`` (Internal.hs:185-196) -- here the unit of
+    independence is the data shard instead of the tree.
+
+    Supported: :class:`~rptree_tpu.parallel.data_parallel.DataParallelForest`
+    (dense or ELL rows).  Tree-sharded :class:`DistributedForest` restores
+    via ``distribute(load_forest(...))`` instead (its dataset is
+    replicated, so the one-file form is already per-device-sized).
+    """
+    import os
+
+    from ..parallel.data_parallel import DATA_AXIS, DataParallelForest
+
+    if not isinstance(forest, DataParallelForest):
+        raise ValueError(
+            "save_forest_sharded checkpoints DataParallelForest; use "
+            "save_forest (+ distribute() on restore) for other forests"
+        )
+    _check_clean(forest)
+    if forest.x is None:
+        raise ValueError("dataset dropped (drop_dataset); sharded "
+                         "checkpoints store the sharded rows")
+    os.makedirs(dirpath, exist_ok=True)
+    header = _header(forest)
+    header["kind"] = "data_parallel"
+    header["n_shards"] = int(forest.mesh.shape[DATA_AXIS])
+    common = {
+        "r": np.asarray(forest.arrays.r),
+        "perm": np.asarray(forest.arrays.perm),
+        "thr": np.asarray(forest.arrays.thr),
+        "mgl": np.asarray(forest.arrays.mgl),
+        "mgh": np.asarray(forest.arrays.mgh),
+        "header": np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+    }
+    if forest.payloads is not None:
+        common["payloads"] = np.frombuffer(
+            pickle.dumps(list(forest.payloads)), dtype=np.uint8
+        )
+    with open(os.path.join(dirpath, "common.npz"), "wb") as fh:
+        np.savez_compressed(fh, **common)
+
+    sparse = isinstance(forest.x, EllMatrix)
+    shards = (forest.x.cols if sparse else forest.x).addressable_shards
+    by_dev = {}
+    for s in shards:
+        start = s.index[0].start or 0
+        by_dev[start] = s
+    for i, start in enumerate(sorted(by_dev)):
+        s = by_dev[start]
+        arrs = {"row_start": np.asarray([start], np.int64)}
+        if sparse:
+            arrs["x_cols"] = np.asarray(s.data)
+            # find the matching vals shard by row range
+            for sv in forest.x.vals.addressable_shards:
+                if (sv.index[0].start or 0) == start:
+                    arrs["x_vals"] = np.asarray(sv.data)
+                    break
+        else:
+            arrs["x"] = np.asarray(s.data)
+        with open(os.path.join(dirpath, f"shard_{i}.npz"), "wb") as fh:
+            np.savez_compressed(fh, **arrs)
+
+
+def load_forest_sharded(dirpath: str, mesh=None):
+    """Restore a :func:`save_forest_sharded` checkpoint directly into a
+    :class:`DataParallelForest`: each shard file is uploaded straight to
+    its device (resharding to the target mesh's shard count if it
+    differs), so no host or device buffer ever holds the full dataset.
+    """
+    import os
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import ForestConfig
+    from ..parallel.data_parallel import (
+        DATA_AXIS,
+        DataParallelForest,
+        _sq_norms_sharded,
+        data_mesh,
+    )
+
+    with np.load(os.path.join(dirpath, "common.npz"),
+                 allow_pickle=False) as z:
+        header = json.loads(z["header"].tobytes().decode())
+        common = {k: z[k] for k in z.files}
+    if header.get("kind") != "data_parallel":
+        raise ValueError("not a sharded checkpoint (kind != data_parallel)")
+    if mesh is None:
+        mesh = data_mesh()
+    devs = list(mesh.devices.flatten())
+    n_sh_files = header["n_shards"]
+    n = header["n"]
+    if n % len(devs):
+        raise ValueError(f"checkpoint rows ({n}) do not divide the "
+                         f"target mesh ({len(devs)} shards)")
+    per = n // len(devs)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def assemble(key2, dtype, width):
+        """Stream shard files into per-device blocks: rows are re-chunked
+        to the target mesh's contiguous N/S blocks device by device."""
+        blocks = [[] for _ in devs]
+        for i in range(n_sh_files):
+            with np.load(os.path.join(dirpath, f"shard_{i}.npz"),
+                         allow_pickle=False) as z:
+                start = int(z["row_start"][0])
+                rows = z[key2]
+            a = start
+            while a < start + rows.shape[0]:
+                d = min(a // per, len(devs) - 1)
+                e = min(start + rows.shape[0], (d + 1) * per)
+                blocks[d].append(
+                    jax.device_put(
+                        np.ascontiguousarray(rows[a - start:e - start]),
+                        devs[d])
+                )
+                a = e
+        parts = [
+            bl[0] if len(bl) == 1 else jnp.concatenate(bl, axis=0)
+            for bl in blocks
+        ]
+        return jax.make_array_from_single_device_arrays(
+            (n, width), sharding, parts
+        )
+
+    plan = make_plan(n, header["max_depth"], header["min_leaf"])
+    arrays = TreeArrays(
+        r=jnp.asarray(common["r"]),
+        thr=jnp.asarray(common["thr"]),
+        mgl=jnp.asarray(common["mgl"]),
+        mgh=jnp.asarray(common["mgh"]),
+        perm=jnp.asarray(common["perm"]),
+    )
+    if header["sparse"]:
+        with np.load(os.path.join(dirpath, "shard_0.npz"),
+                     allow_pickle=False) as z0:
+            kz = z0["x_cols"].shape[1]
+        x = EllMatrix(header["dim"], assemble("x_cols", np.int32, kz),
+                      assemble("x_vals", np.float32, kz))
+    else:
+        x = assemble("x", np.float32, header["dim"])
+    sq = _sq_norms_sharded(x)
+    payloads = None
+    if "payloads" in common:
+        payloads = pickle.loads(common["payloads"].tobytes())
+    cfg = ForestConfig(**header["config"])
+    return DataParallelForest(plan, arrays, x, sq, cfg, mesh,
+                              payloads=payloads, seed=header.get("seed"))

@@ -82,3 +82,72 @@ def test_deserialise_error_surface():
         rp.deserialise_rp_forest([b"not a checkpoint"])
     with pytest.raises(ValueError):
         rp.deserialise_rp_forest([])
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """VERDICT r2 item 7: per-shard checkpoints -- save never materializes
+    the full dataset in one buffer (one npz per shard), restore uploads
+    each shard straight to its device and yields a working
+    DataParallelForest with per-device rows still N/S."""
+    import numpy as np
+
+    import rptree_tpu as rt
+    from rptree_tpu.parallel import data_mesh, forest_batch_data_parallel
+
+    rng = np.random.default_rng(77)
+    n, dim, t = 800, 16, 2
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    mesh = data_mesh(8)
+    f = forest_batch_data_parallel(5, 5, 10, t, 1.0, x, mesh=mesh)
+    d = tmp_path / "ckpt"
+    rt.save_forest_sharded(str(d), f)
+    import os
+
+    files = sorted(os.listdir(d))
+    assert "common.npz" in files
+    shard_files = [p for p in files if p.startswith("shard_")]
+    assert len(shard_files) == 8
+    g = rt.load_forest_sharded(str(d), mesh=mesh)
+    assert max(s.data.shape[0] for s in g.x.addressable_shards) == n // 8
+    np.testing.assert_array_equal(np.asarray(f.arrays.perm),
+                                  np.asarray(g.arrays.perm))
+    q = x[:7] + 0.01
+    d1, i1 = map(np.asarray, f.knn(q, 5, budget=8))
+    d2, i2 = map(np.asarray, g.knn(q, 5, budget=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    np.testing.assert_array_equal(i1, i2)
+    # packed serving after restore
+    g.pack_leaves()
+    d3, i3 = map(np.asarray, g.knn(q, 5, budget=8))
+    np.testing.assert_allclose(d1, d3, atol=1e-4)
+    # resharding restore: same rows on a smaller mesh
+    g4 = rt.load_forest_sharded(str(d), mesh=data_mesh(4))
+    assert max(s.data.shape[0] for s in g4.x.addressable_shards) == n // 4
+    d4, i4 = map(np.asarray, g4.knn(q, 5, budget=8))
+    np.testing.assert_array_equal(i1, i4)
+
+
+def test_sharded_checkpoint_ell_roundtrip(tmp_path):
+    import numpy as np
+
+    import rptree_tpu as rt
+    from rptree_tpu.ops.sparse import EllMatrix
+    from rptree_tpu.parallel import data_mesh, forest_batch_data_parallel
+
+    rng = np.random.default_rng(78)
+    n, dim, nnz = 800, 48, 6
+    cols = rng.integers(1, dim, size=(n, nnz)).astype(np.int32)
+    vals = rng.normal(size=(n, nnz)).astype(np.float32)
+    ell = EllMatrix(dim, cols, vals)
+    mesh = data_mesh(8)
+    f = forest_batch_data_parallel(6, 5, 10, 2, 1.0, ell, mesh=mesh)
+    d = tmp_path / "ckpt_ell"
+    rt.save_forest_sharded(str(d), f)
+    g = rt.load_forest_sharded(str(d), mesh=mesh)
+    assert max(s.data.shape[0] for s in g.x.cols.addressable_shards) \
+        == n // 8
+    q = np.asarray(rt.ell_to_dense(ell))[:5] + 0.01
+    d1, i1 = map(np.asarray, f.knn(q, 5, budget=8))
+    d2, i2 = map(np.asarray, g.knn(q, 5, budget=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    np.testing.assert_array_equal(i1, i2)
