@@ -202,6 +202,80 @@ def main():
         np.argpartition(d2, K)[:K]
     ref_qps_target = nq_bf / (time.process_time() - t0)
 
+    # ---- clustered-data tree-served >= 0.9 point (1M) --------------------
+    # Gaussian mixtures are the reference's own bench data family
+    # (src/Data/RPTree/Internal/Testing.hs:38-50) and the regime real
+    # embedding workloads live in.  Here the TREE path is the winning
+    # >= 0.9-recall config -- the index beats the engine's own exact MXU
+    # scan (which at 1M measures ~0.90 recall at precision="fastest").
+    # Config from examples/clustered_1m.py sweep: min_leaf ~ cluster
+    # size so the per-tree leaf covers most of the query's cluster,
+    # f32 blocks (int8's cross-term error scrambles near-equidistant
+    # in-cluster rankings; BASELINE.md round-3), budget=1.
+    # sweep (examples/clustered_1m.py, v5e): ml=128 b=1 p=8 -> 74.8k QPS
+    # @ 0.929 (vs scan 40.2k @ 0.899); ml=256 -> 52.1k @ 0.975
+    NC, CC, SIGC = 1_000_000, 4_000, 0.15
+    MLC, TC, BC, PC = 128, 8, 1, 8
+
+    @jax.jit
+    def _gen_clustered(key):
+        kc, ka, kn, kq, kp = jax.random.split(key, 5)
+        centers = jax.random.normal(kc, (CC, DIM), jnp.float32)
+        assign = jax.random.randint(ka, (NC,), 0, CC)
+        xc = (jnp.take(centers, assign, axis=0)
+              + SIGC * jax.random.normal(kn, (NC, DIM), jnp.float32))
+        qi = jax.random.randint(kq, (4096,), 0, NC)
+        qc = (jnp.take(xc, qi, axis=0)
+              + 0.5 * SIGC * jax.random.normal(kp, (4096, DIM),
+                                               jnp.float32))
+        return xc, qc
+
+    xc, qc = _gen_clustered(jax.random.PRNGKey(SEED))
+    float(jnp.sum(qc))  # force generation on device
+    sqc = jnp.sum(xc * xc, axis=-1)
+    from rptree_tpu.models.forest import _brute_force_many
+
+    gt_c = np.asarray(_brute_force_many(xc, sqc, qc[:1024], K, "l2",
+                                        "highest", 256)[1])
+    cfg_c = rt.rp_tree_cfg(MLC, NC, DIM)
+    fc = rt.forest_batch(SEED, cfg_c.max_depth, MLC, TC,
+                         cfg_c.proj_nz_density, xc)
+    fc.pack_leaves()
+
+    def sweep_c():
+        _, ids = fc.knn_batched(qc, K, budget=BC, probes=PC,
+                                precision="default", chunk=512)
+        return int(jnp.sum(jnp.clip(ids, 0, None)))
+
+    sweep_c()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        sweep_c()
+    tree_qps_c = 4096 / ((time.perf_counter() - t0) / 2)
+    ids_c = np.asarray(fc.knn_batched(qc[:1024], K, budget=BC, probes=PC,
+                                      precision="default", chunk=512)[1])
+    tree_recall_c = float(np.mean([
+        len(set(ids_c[b].tolist()) & set(gt_c[b].tolist())) / K
+        for b in range(1024)
+    ]))
+
+    def sweep_scan_c():
+        _, ids = _brute_force_many(xc, sqc, qc, K, "l2", "fastest", 1024)
+        return int(jnp.sum(jnp.clip(ids, 0, None)))
+
+    sweep_scan_c()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        sweep_scan_c()
+    scan_qps_c = 4096 / ((time.perf_counter() - t0) / 2)
+    ids_sc = np.asarray(_brute_force_many(xc, sqc, qc[:1024], K, "l2",
+                                          "fastest", 256)[1])
+    scan_recall_c = float(np.mean([
+        len(set(ids_sc[b].tolist()) & set(gt_c[b].tolist())) / K
+        for b in range(1024)
+    ]))
+    del fc, xc, sqc, qc
+
     # ---- 1M-point high-recall point --------------------------------------
     N1 = 1_000_000
     x1 = rng.normal(size=(N1, DIM)).astype(np.float32)
@@ -255,6 +329,17 @@ def main():
         "qps_at_target_1m": round(qps_scan_1m, 1),
         "recall_at_target_1m": round(recall_1m, 4),
         "vs_baseline_at_target_1m": round(qps_scan_1m / ref_qps_1m, 1),
+        # clustered 1M (reference's own bench data family): the TREE path
+        # is the winning >=0.9 config, beating the engine's own exact scan
+        "tree_qps_at_target": round(tree_qps_c, 1),
+        "tree_recall_at_target": round(tree_recall_c, 4),
+        "clustered_scan_qps": round(scan_qps_c, 1),
+        "clustered_scan_recall": round(scan_recall_c, 4),
+        "tree_vs_scan_clustered": round(tree_qps_c / scan_qps_c, 2),
+        "vs_baseline_tree_at_target": round(tree_qps_c / ref_qps_1m, 1),
+        "clustered_config": {"n": NC, "centers": CC, "sigma": SIGC,
+                             "trees": TC, "min_leaf": MLC, "budget": BC,
+                             "probes": PC, "blocks": "f32"},
         "config": {"n": N, "dim": DIM, "trees": T, "k": K,
                    "max_depth": cfg.max_depth, "min_leaf": MIN_LEAF,
                    "budget": BUDGET, "probes": PROBES, "batch": B,
