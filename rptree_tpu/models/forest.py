@@ -318,12 +318,12 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
-                     "precision", "bucket_stop", "min_votes"),
+                     "precision", "bucket_stop", "min_votes", "sub"),
 )
 def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                 probes, metric, dedup, precision="highest",
                 bucket_stop=False, min_votes=1, block_scale=None,
-                block_len=None, block_center=None):
+                block_len=None, block_center=None, sub=1):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -334,9 +334,17 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     :func:`_score_blocks`.
     """
     t = arrays.perm.shape[0]
+    # probe selection is at LEAF granularity (bucket-stop sizes read the
+    # static leaf occupancy; sub-blocked layouts never fold, so the
+    # dynamic block_len only applies at leaf granularity when sub == 1)
     gsel, lsel = _select_probes(plan, arrays, q, budget, probes, k=k,
                                 bucket_stop=bucket_stop,
-                                block_len=block_len)
+                                block_len=None if sub > 1 else block_len)
+    if sub > 1:
+        b, p = gsel.shape
+        gsel = (gsel[..., None] * sub
+                + jnp.arange(sub, dtype=jnp.int32)).reshape(b, p * sub)
+        lsel = jnp.repeat(lsel, sub, axis=-1)
     kk = k * t if dedup else k
     return _score_blocks(plan, x_leaf, sq_leaf, id_leaf, gsel, lsel, q, k,
                          kk, metric, dedup, precision, min_votes=min_votes,
@@ -390,12 +398,13 @@ def _knn_h_ids(plan, arrays, q, k, budget):
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
-                     "precision", "bucket_stop", "min_votes", "chunk"),
+                     "precision", "bucket_stop", "min_votes", "chunk",
+                     "sub"),
 )
 def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                      probes, metric, dedup, precision, bucket_stop,
                      min_votes, block_scale, block_len, chunk,
-                     block_center=None):
+                     block_center=None, sub=1):
     """One-dispatch chunked batch query: ``lax.map`` over query chunks of
     the packed kNN pipeline.  Peak memory stays per-chunk (the rerank
     buffers are reused across iterations) while the host pays ONE
@@ -410,7 +419,7 @@ def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                            budget, probes, metric, dedup, precision,
                            bucket_stop=bucket_stop, min_votes=min_votes,
                            block_scale=block_scale, block_len=block_len,
-                           block_center=block_center)
+                           block_center=block_center, sub=sub)
 
     d, ids = lax.map(one, qc)
     return d.reshape(b, -1), ids.reshape(b, -1)
@@ -461,26 +470,53 @@ def _descend(plan, arrays, xnew):
     return leaf
 
 
-@functools.partial(jax.jit, static_argnames=("dtype_str", "centered"))
-def _pack_dense_blocks(perm, x, pos, in_leaf, dtype_str, centered):
+@functools.partial(jax.jit,
+                   static_argnames=("dtype_str", "centered", "sub"))
+def _pack_dense_blocks(perm, x, pos, in_leaf, dtype_str, centered,
+                       sub=1, r_sub=None, in_sub=None):
     """Leaf-blocked packing, one ``lax.map`` step per tree so the f32
     gather/quantization intermediates are a single tree's blocks (~1/T of
     the index), not the whole forest's -- an eager per-op pack of int8
     blocks at 1M points materializes three full-forest f32 copies and
     OOMs a 16 GB chip.  ``pos``/``in_leaf`` are passed as ARGUMENTS (big
-    constants can exceed the remote compiler's request limit)."""
+    constants can exceed the remote compiler's request limit).
+
+    ``sub > 1`` splits every leaf into ``sub`` SUB-BLOCKS of
+    ``lmax/sub`` slots, with the leaf's rows reordered by projection
+    onto ``r_sub`` first so each sub-block is a spatially coherent slice
+    -- quantization state (int8 scales, centered means) then lives at
+    sub-block granularity, which is what rescues centered int8 on leaves
+    that straddle clusters.  ``in_sub`` is the validity mask at sub
+    granularity ``[n_leaves*sub, lmax/sub]``."""
 
     def per_tree(perm_t):
         ids = jnp.take(perm_t, pos)  # [n_leaves, lmax]
         rows = jnp.take(x, ids, axis=0)
         rows = jnp.where(in_leaf[..., None], rows, 0.0)
         ids = jnp.where(in_leaf, ids, -1)
+        if sub > 1:
+            # spatial order within the leaf: 1-D projection sort (invalid
+            # slots key +inf -> they stay a contiguous tail, so sub-block
+            # occupancy remains a static prefix)
+            key = jnp.where(in_leaf, rows @ r_sub, jnp.inf)
+            order = jnp.argsort(key, axis=-1)
+            ids = jnp.take_along_axis(ids, order, axis=-1)
+            rows = jnp.take_along_axis(rows, order[..., None], axis=-2)
+            nl, lmax = in_leaf.shape
+            d = rows.shape[-1]
+            rows = rows.reshape(nl * sub, lmax // sub, d)
+            ids = ids.reshape(nl * sub, lmax // sub)
+            ids = jnp.where(in_sub, ids, -1)
+            rows = jnp.where(in_sub[..., None], rows, 0.0)
+            valid = in_sub
+        else:
+            valid = in_leaf
         sq = jnp.sum(rows * rows, axis=-1)  # f32, before any downcast
         if dtype_str == "int8" and centered:
             occ = jnp.maximum(
-                jnp.sum(in_leaf, axis=-1).astype(jnp.float32), 1.0)
-            mu = jnp.sum(rows, axis=-2) / occ[:, None]  # [nl, D]
-            res = jnp.where(in_leaf[..., None], rows - mu[:, None, :],
+                jnp.sum(valid, axis=-1).astype(jnp.float32), 1.0)
+            mu = jnp.sum(rows, axis=-2) / occ[:, None]  # [nb, D]
+            res = jnp.where(valid[..., None], rows - mu[:, None, :],
                             0.0)
             amax = jnp.max(jnp.abs(res), axis=(-2, -1), keepdims=True)
             scale = jnp.maximum(amax, 1e-30) / 127.0
@@ -491,7 +527,7 @@ def _pack_dense_blocks(perm, x, pos, in_leaf, dtype_str, centered):
             return q, sq, ids, scale.reshape(-1), mu, mudr
         if dtype_str == "int8":
             amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
-            scale = jnp.maximum(amax, 1e-30) / 127.0  # per leaf block
+            scale = jnp.maximum(amax, 1e-30) / 127.0  # per (sub-)block
             q = jnp.clip(jnp.round(rows / scale), -127, 127
                          ).astype(jnp.int8)
             return q, sq, ids, scale.reshape(-1)
@@ -747,6 +783,8 @@ class RPForest:
         self.seed = seed
         self._packed = None  # leaf-blocked arrays (pack_leaves) or None
         self._block_center = None  # (mu, mu.r) of centered int8 blocks
+        self._sub_block = 1        # sub-blocks per leaf (pack_leaves)
+        self._sub_len_dev = None   # int32[G*sub] sub-block occupancy
         self._pending = []   # freshness buffer chunks (add/rebuild)
         self._pending_payloads = []
         self._deleted = None  # bool[n] tombstones (remove/rebuild) or None
@@ -877,7 +915,8 @@ class RPForest:
         return k
 
     def pack_leaves(self, dtype=None, slack: int = 0,
-                    centered: bool = False) -> "RPForest":
+                    centered: bool = False,
+                    sub_block: int = 1) -> "RPForest":
         """Precompute leaf-blocked copies of the dataset: ``x_leaf
         [T * n_leaves, lmax * D]`` holds each leaf's points contiguously
         (zero-padded to the max leaf size), ``id_leaf [T * n_leaves * lmax]``
@@ -903,6 +942,16 @@ class RPForest:
         near-equidistant and plain int8's cross-term error scrambles the
         ranking -- centered int8 restores f32-level recall at int8 fetch
         bandwidth (measured in BASELINE.md).
+
+        ``sub_block=s > 1`` splits every leaf into ``s`` sub-blocks of
+        ``lmax/s`` slots, with the leaf's rows reordered by a 1-D random
+        projection first so each sub-block is a spatially coherent slice.
+        Queries fetch the same bytes (all of a probed leaf's sub-blocks),
+        but the quantization state -- int8 scales and centered means --
+        lives PER SUB-BLOCK, which repairs centered int8 on leaves that
+        straddle clusters (a straddling leaf's projection-sorted slices
+        are nearly pure, so each slice's mean is a tight center).  Dense
+        single-device packs only; incompatible with ``slack``/``fold``.
 
         ELL-sparse datasets pack into :class:`EllBlocks` (leaf-blocked
         padded cols/vals) and serve through the same probe-compacted
@@ -946,8 +995,15 @@ class RPForest:
             return self
         if self._packed is None and not isinstance(self.x, EllMatrix):
             plan = self.plan
+            s = int(sub_block) if sub_block else 1
+            if s > 1 and slack:
+                raise ValueError("sub_block and slack are mutually "
+                                 "exclusive (fold() addresses whole-leaf "
+                                 "blocks)")
             self._pack_slack = int(slack)
-            lmax = max(plan.max_leaf_len, 1) + int(slack)
+            lmax0 = max(plan.max_leaf_len, 1) + int(slack)
+            ls = -(-lmax0 // s) if s > 1 else lmax0
+            lmax = ls * s  # slot axis padded to a sub-block multiple
             starts = np.asarray(plan.leaf_start)
             lens = np.asarray(plan.leaf_len)
             offs = np.arange(lmax, dtype=np.int32)
@@ -967,25 +1023,43 @@ class RPForest:
                 dtype_str = "bf16"
             else:
                 dtype_str = "f32"
+            r_sub = in_sub = None
+            if s > 1:
+                # sub-block occupancy: after the within-leaf projection
+                # sort, valid rows are a contiguous prefix of the leaf,
+                # so sub-block j of leaf l holds clip(len_l - j*ls, 0, ls)
+                j = np.arange(s)
+                sub_len = np.clip(lens[:, None] - j[None, :] * ls,
+                                  0, ls).astype(np.int32).reshape(-1)
+                in_sub = jnp.asarray(
+                    np.arange(ls)[None, :] < sub_len[:, None])
+                seed0 = self.seed if isinstance(self.seed, int) else 0
+                r_sub = jax.random.normal(
+                    jax.random.fold_in(rgen.key_from_seed(seed0), 987),
+                    (d,), jnp.float32)
+                self._sub_len_dev = jnp.asarray(
+                    np.tile(sub_len, self.n_trees))
+            self._sub_block = s
             out = _pack_dense_blocks(self.arrays.perm, self.x,
                                      jnp.asarray(pos),
                                      jnp.asarray(in_leaf), dtype_str,
-                                     centered)
+                                     centered, sub=s, r_sub=r_sub,
+                                     in_sub=in_sub)
             scale = None
             center = None
-            g = self.n_trees * nl
+            g = self.n_trees * nl * s
             if dtype_str == "int8" and centered:
                 rows, sq, ids, scale, mu, mudr = out
-                center = (mu.reshape(g, d), mudr.reshape(g, lmax))
+                center = (mu.reshape(g, d), mudr.reshape(g, ls))
                 scale = scale.reshape(g)
             elif dtype_str == "int8":
                 rows, sq, ids, scale = out
                 scale = scale.reshape(g)
             else:
                 rows, sq, ids = out
-            rows = rows.reshape(self.n_trees * nl, lmax, d)
-            sq = sq.reshape(self.n_trees * nl, lmax)
-            ids = ids.reshape(self.n_trees * nl, lmax)
+            rows = rows.reshape(g, ls, d)
+            sq = sq.reshape(g, ls)
+            ids = ids.reshape(g, ls)
             # pin standard row-major layouts: the packing computation's
             # natural output layouts are lmax-major, and every query would
             # otherwise relayout-copy the block arrays on entry (measured
@@ -1152,6 +1226,9 @@ class RPForest:
         if self._packed is None:
             raise ValueError("pack_leaves(slack=...) first: fold inserts "
                              "into the packed blocks' slack slots")
+        if getattr(self, "_sub_block", 1) > 1:
+            raise ValueError("fold() needs whole-leaf blocks; pack "
+                             "without sub_block (or rebuild())")
         sharded = getattr(self, "mesh", None) is not None
         is_ell = isinstance(self._packed[0], EllBlocks)
         if sharded and is_ell:
@@ -1464,13 +1541,15 @@ class RPForest:
             x_leaf, sq_leaf, id_leaf = self._packed
             if probes is None:
                 probes = self.n_trees * budget
+            sub = getattr(self, "_sub_block", 1)
             out = _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
                               id_leaf, qb, int(k), budget, int(probes),
                               metric, dedup, precision,
                               min_votes=int(min_votes),
                               block_scale=getattr(self, "_block_scale", None),
-                              block_len=self._block_len_dev,
-                              block_center=self._block_center)
+                              block_len=(self._sub_len_dev if sub > 1
+                                         else self._block_len_dev),
+                              block_center=self._block_center, sub=sub)
             return self._apply_update_hooks(qb, out[0], out[1], int(k),
                                             metric, precision)
         if self.x is None:
@@ -1501,12 +1580,13 @@ class RPForest:
         x_leaf, sq_leaf, id_leaf = self._packed
         if probes is None:
             probes = self.n_trees * budget
+        sub = getattr(self, "_sub_block", 1)
         out = _knn_packed_many(
             self.plan, self.arrays, x_leaf, sq_leaf, id_leaf, qb, int(k),
             budget, int(probes), metric, dedup, precision, False,
             int(min_votes), getattr(self, "_block_scale", None),
-            self._block_len_dev, chunk,
-            block_center=self._block_center,
+            self._sub_len_dev if sub > 1 else self._block_len_dev, chunk,
+            block_center=self._block_center, sub=sub,
         )
         out = (out[0][:b], out[1][:b])
         return self._apply_update_hooks(qb[:b], out[0], out[1], int(k),
@@ -1532,12 +1612,14 @@ class RPForest:
             x_leaf, sq_leaf, id_leaf = self._packed
             if probes is None:
                 probes = self.n_trees * budget
+            sub = getattr(self, "_sub_block", 1)
             out = _knn_packed(self.plan, self.arrays, x_leaf, sq_leaf,
                               id_leaf, qb, int(k), budget, int(probes),
                               metric, dedup, precision, bucket_stop=True,
                               block_scale=getattr(self, "_block_scale", None),
-                              block_len=self._block_len_dev,
-                              block_center=self._block_center)
+                              block_len=(self._sub_len_dev if sub > 1
+                                         else self._block_len_dev),
+                              block_center=self._block_center, sub=sub)
         else:
             out = _knn_h(self.plan, self.arrays, self.x, self.sq_norms, qb,
                          int(k), budget, metric, dedup, precision)
