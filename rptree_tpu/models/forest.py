@@ -960,6 +960,8 @@ class RPForest:
         if centered and isinstance(self.x, EllMatrix):
             raise ValueError("centered quantization applies to dense "
                              "blocks only")
+        if int(sub_block) > 1 and isinstance(self.x, EllMatrix):
+            raise ValueError("sub_block applies to dense blocks only")
         if self._packed is None and isinstance(self.x, EllMatrix):
             plan = self.plan
             self._pack_slack = int(slack)
