@@ -309,6 +309,10 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
     kk = min(kk, probes * lmax)
     ids_blk = jnp.take(id_leaf, rows_sel, axis=0)  # [B, P, lmax]
     ids_flat = ids_blk.reshape(b, probes * lmax)
+    # (approx_max_k selection was MEASURED SLOWER here: 4.27 vs 3.59ms
+    # per 1024 queries at the 1M clustered flagship -- the id
+    # take_along_axis it needs costs more than the payload sort saves;
+    # BASELINE.md round-3)
     d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
     d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
     ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
@@ -1022,9 +1026,17 @@ class RPForest:
             # effective at the 1M clustered flagship shape).  The padded
             # slots are ordinary empty slots (maskable, usable as bonus
             # fold slack).
-            tile = {"f32": 8, "bf16": 16, "int8": 32}[dtype_str]
+            # 8-row alignment is the measured sweet spot for EVERY block
+            # dtype (v5e, headline int8 shape: lmax 49 unaligned 521k ->
+            # 56 8-aligned 656k -> 64 full-int8-tile 422k QPS/dev: the
+            # full 32-row tile's extra padding costs more than its
+            # alignment buys).  Use the dtype's full sublane tile only
+            # when it adds no padding beyond the 8-rounding.
             ls = -(-lmax0 // s) if s > 1 else lmax0
-            ls = -(-ls // tile) * tile
+            ls8 = -(-ls // 8) * 8
+            tile = {"f32": 8, "bf16": 16, "int8": 32}[dtype_str]
+            ls_t = -(-ls // tile) * tile
+            ls = ls_t if ls_t == ls8 else ls8
             lmax = ls * s if s > 1 else ls
             starts = np.asarray(plan.leaf_start)
             lens = np.asarray(plan.leaf_len)

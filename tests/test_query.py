@@ -678,3 +678,4 @@ def test_sub_block_pack_parity_and_centered_rescue():
     fcs.add(x[:2] + 0.5)
     with pytest.raises(ValueError, match="whole-leaf"):
         fcs.fold()
+
