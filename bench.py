@@ -216,8 +216,8 @@ def main():
     # @ 0.929 (vs scan 40.2k @ 0.899); ml=256 -> 52.1k @ 0.975
     NC, CC, SIGC = 1_000_000, 4_000, 0.15
     MLC, TC, BC, PC = 128, 8, 1, 8
-    BCQ = 16384  # amortizes the tunneled dispatch RTT (~25ms/call); the
-    #              device-side pipeline measures 282k QPS at this config
+    BCQ = 32768  # amortizes the tunneled dispatch RTT (~25ms/call); the
+    #              device-side pipeline measures ~334k QPS at this config
 
     @jax.jit
     def _gen_clustered(key):

@@ -58,6 +58,24 @@ DEFAULT_BUDGET = 32
 # the scan it behaves like "default".
 _PRECISIONS = ("highest", "default", "fastest")
 
+def _dtype_str(dtype) -> str:
+    """Validated block-dtype name for pack_leaves: f32 / bf16 / int8.
+    Anything else raises (silently substituting f32 would double the
+    expected index memory without any indication)."""
+    if dtype is None:
+        return "f32"
+    dt = jnp.dtype(dtype)
+    if dt == jnp.dtype(jnp.int8):
+        return "int8"
+    if dt == jnp.dtype(jnp.bfloat16):
+        return "bf16"
+    if dt == jnp.dtype(jnp.float32):
+        return "f32"
+    raise ValueError(
+        f"pack_leaves supports f32 / bfloat16 / int8 blocks; got {dtype}"
+    )
+
+
 
 def _prec(precision: str):
     if precision not in _PRECISIONS:
@@ -1011,14 +1029,7 @@ class RPForest:
                              or jnp.dtype(dtype) != jnp.int8):
                 raise ValueError("centered=True applies to int8 blocks "
                                  "(pass dtype=jnp.int8)")
-            if dtype is None:
-                dtype_str = "f32"
-            elif jnp.dtype(dtype) == jnp.int8:
-                dtype_str = "int8"
-            elif jnp.dtype(dtype) == jnp.bfloat16:
-                dtype_str = "bf16"
-            else:
-                dtype_str = "f32"
+            dtype_str = _dtype_str(dtype)
             lmax0 = max(plan.max_leaf_len, 1) + int(slack)
             # round the slot axis to the dtype's SUBLANE TILE: gathers of
             # tile-aligned blocks run at near HBM bandwidth, unaligned
@@ -1256,7 +1267,8 @@ class RPForest:
         if sharded and is_ell:
             raise NotImplementedError(
                 "fold into SHARDED sparse (ELL) blocks is unsupported; "
-                "use rebuild()"
+                "rebuild from the source rows with "
+                "forest_batch_data_parallel"
             )
         if not getattr(self, "_pending", None):
             return self

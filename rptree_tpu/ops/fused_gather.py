@@ -44,14 +44,18 @@ def fused_gather_available() -> bool:
 
 
 def gather_score_ok(x_leaf, probes: int) -> bool:
-    """Shape gate: can the fused kernel serve this packed layout?"""
-    return (
-        hasattr(x_leaf, "ndim") and getattr(x_leaf, "ndim", 0) == 3
-        and x_leaf.dtype in (jnp.float32, jnp.bfloat16)
-        and x_leaf.shape[1] % 8 == 0
-        and x_leaf.shape[2] % 128 == 0
-        and probes >= 1
-    )
+    """Shape gate: can the fused kernel serve this packed layout?  The
+    slot axis must be a multiple of the dtype's sublane tile (f32: 8,
+    bf16: 16 -- an 8-aligned bf16 layout passes pack_leaves but fails
+    the Mosaic (16, 128) tiling)."""
+    if not (hasattr(x_leaf, "ndim") and getattr(x_leaf, "ndim", 0) == 3
+            and probes >= 1 and x_leaf.shape[2] % 128 == 0):
+        return False
+    if x_leaf.dtype == jnp.float32:
+        return x_leaf.shape[1] % 8 == 0
+    if x_leaf.dtype == jnp.bfloat16:
+        return x_leaf.shape[1] % 16 == 0
+    return False
 
 
 @functools.partial(jax.jit, static_argnames=("probes", "interpret"))

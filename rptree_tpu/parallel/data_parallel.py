@@ -283,13 +283,16 @@ def forest_batch_data_parallel(
     if isinstance(data, EllMatrix):
         # sparse (padded-ELL) rows shard over the point axis exactly like
         # dense rows: cols/vals are both [N, K] row tables (the sharded
-        # ``SVector`` dataset, Internal.hs:92-119)
+        # ``SVector`` dataset, Internal.hs:92-119).  Host data converts
+        # ON HOST and uploads straight to the sharded layout -- a
+        # jnp.asarray here would materialize the full table on one
+        # device first, defeating the beyond-one-chip memory contract.
         def put(a, dtype):
-            a = jnp.asarray(a, dtype=dtype)
             if (isinstance(a, jax.Array)
-                    and a.sharding.is_equivalent_to(sharding, a.ndim)):
+                    and a.sharding.is_equivalent_to(sharding, a.ndim)
+                    and a.dtype == dtype):
                 return a
-            return jax.device_put(np.asarray(a), sharding)
+            return jax.device_put(np.asarray(a, dtype=dtype), sharding)
 
         xs = EllMatrix(data.dim, put(data.cols, jnp.int32),
                        put(data.vals, jnp.float32))
@@ -823,14 +826,9 @@ class DataParallelForest(RPForest):
                           self.arrays.mgh)
             )
             return self
-        if dtype is None:
-            dtype_str = "f32"
-        elif jnp.dtype(dtype) == jnp.int8:
-            dtype_str = "int8"
-        elif jnp.dtype(dtype) == jnp.bfloat16:
-            dtype_str = "bf16"
-        else:
-            dtype_str = "f32"
+        from ..models.forest import _dtype_str
+
+        dtype_str = _dtype_str(dtype)
         rows, sq, ids, scale = _dp_pack(
             self.mesh, self.plan, self.n_trees, self.arrays.perm, self.x,
             dtype_str,

@@ -151,7 +151,11 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
 
     def chunk_body(arrays_l, x_l, sq_l, q_l, packed_l, bl_l, bl_g):
         tl = arrays_l.perm.shape[0]
-        lmax = max(plan.max_leaf_len, 1)
+        # slot width from the PACKED arrays, not the static plan: slack
+        # packing / fold() grow blocks past max_leaf_len, and a truncated
+        # vote copy would break exact distributed min_votes parity
+        lmax = (packed_l[0].shape[-2] if packed_l is not None
+                else max(plan.max_leaf_len, 1))
         if min_votes > 1:
             # full local candidate width: vote copies must not truncate
             w = (probes if packed_l is not None else tl * budget) * lmax
@@ -275,7 +279,10 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         t = r.shape[0]
         if min_votes > 1:
             # full owned-probe width: vote copies must not truncate
-            k_eff, dedup_eff = probes_per_shard * max(plan.max_leaf_len, 1), False
+            # (slot width from the packed arrays -- slack/fold may have
+            # grown blocks past the plan's static max_leaf_len)
+            k_eff = probes_per_shard * x_leaf_l.shape[-2]
+            dedup_eff = False
         else:
             k_eff, dedup_eff = k, dedup
         arrays_small = TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh,
@@ -509,14 +516,9 @@ class DistributedForest(RPForest):
                 self._packed_mode = "tree"
                 return self
             if shard_by == "tree":
-                if dtype is None:
-                    dtype_str = "f32"
-                elif jnp.dtype(dtype) == jnp.int8:
-                    dtype_str = "int8"
-                elif jnp.dtype(dtype) == jnp.bfloat16:
-                    dtype_str = "bf16"
-                else:
-                    dtype_str = "f32"
+                from ..models.forest import _dtype_str
+
+                dtype_str = _dtype_str(dtype)
                 rows, sq, ids, scale = _dist_pack(
                     self.mesh, self.plan, self.arrays.perm, self.x,
                     dtype_str, slack=int(slack),

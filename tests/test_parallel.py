@@ -385,3 +385,16 @@ def test_sharded_fold_tree_and_leaf_modes(data):
         assert isinstance(f, DistributedForest)
         _, ir = map(np.asarray, f.knn(q, 1, budget=8))
         assert (ir >= 0).all()
+
+
+def test_tune_on_sharded_forest(data):
+    """tune() drives any forest through its public knn/brute_force
+    surface; on a DistributedForest every swept config (and the scan
+    candidate) runs the sharded pipelines."""
+    f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(8, 1)).pack_leaves()
+    q = data[:16] + 0.01
+    best = rt.tune(f, q, k=5, target_recall=0.5, budgets=(2, 4),
+                   probes_per_tree=(1.0,), reps=1)
+    assert best["met"] and best["qps"] > 0
+    assert len(best["frontier"]) == 3  # 2 tree configs + the scan
