@@ -963,7 +963,9 @@ class RPForest:
         On clustered data -- where in-cluster neighbours are
         near-equidistant and plain int8's cross-term error scrambles the
         ranking -- centered int8 restores f32-level recall at int8 fetch
-        bandwidth (measured in BASELINE.md).
+        bandwidth when leaves are pure cluster fragments (measured in
+        BASELINE.md).  Supported on the sharded layouts too (the mean
+        operands thread through the sharded scorers).
 
         ``sub_block=s > 1`` splits every leaf into ``s`` sub-blocks of
         ``lmax/s`` slots, with the leaf's rows reordered by a 1-D random
@@ -1412,11 +1414,13 @@ class RPForest:
                 self._packed = new_packed
                 if mudr_new is not None:
                     mu_arr, mudr_arr = self._block_center
-                    mudr_arr = mudr_arr.at[
+                    upd = mudr_arr.at[
                         jnp.asarray(rsel.reshape(-1)),
                         jnp.asarray(slots.reshape(-1)),
                     ].set(jnp.asarray(mudr_new.reshape(-1)))
-                    self._block_center = (mu_arr, mudr_arr)
+                    if sharded:
+                        upd = jax.device_put(upd, mudr_arr.sharding)
+                    self._block_center = (mu_arr, upd)
             for tt in range(t):
                 np.add.at(bl, gsel[tt], 1)
             self._store_block_len(bl)

@@ -432,8 +432,10 @@ def _dp_recall(mesh, plan, arrays, x, sq, q, k, budget, metric):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "plan", "n_trees", "dtype_str"))
-def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr):
+                   static_argnames=("mesh", "plan", "n_trees", "dtype_str",
+                                    "centered"))
+def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr,
+             centered=False):
     """Leaf-blocked packing FROM the sharded dataset, INTO leaf-sharded
     blocks (block g on shard g % S at local row g // S -- the layout
     :func:`rptree_tpu.parallel.distributed._dist_knn_leaf_sharded`
@@ -491,6 +493,18 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr):
         ids_own = jnp.where(in_own, ids_own, -1)
         rows = jnp.where(in_own[..., None], acc, 0.0)
         sq = jnp.sum(rows * rows, axis=-1)
+        if dtype_str == "int8" and centered:
+            occ = jnp.maximum(
+                jnp.sum(in_own, axis=-1).astype(jnp.float32), 1.0)
+            mu = jnp.sum(rows, axis=-2) / occ[:, None]  # [g_per, D]
+            res = jnp.where(in_own[..., None], rows - mu[:, None, :], 0.0)
+            amax = jnp.max(jnp.abs(res), axis=(-2, -1), keepdims=True)
+            scale = jnp.maximum(amax, 1e-30) / 127.0
+            rows = jnp.clip(jnp.round(res / scale), -127, 127
+                            ).astype(jnp.int8)
+            mudr = jnp.einsum("nld,nd->nl",
+                              rows.astype(jnp.float32) * scale, mu)
+            return rows, sq, ids_own, scale.reshape(g_per), mu, mudr
         if dtype_str == "int8":
             amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
             scale = jnp.maximum(amax, 1e-30) / 127.0
@@ -504,10 +518,11 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr):
         return rows, sq, ids_own, scale
 
     d_ax = P(DATA_AXIS)
+    n_out = 6 if (dtype_str == "int8" and centered) else 4
     return jax.shard_map(
         block, mesh=mesh,
         in_specs=(P(), d_ax, P(), P()),
-        out_specs=(d_ax, d_ax, d_ax, d_ax),
+        out_specs=tuple([d_ax] * n_out),
         check_vma=False,
     )(perm, x, pos_arr, in_leaf_arr)
 
@@ -625,6 +640,7 @@ class DataParallelForest(RPForest):
                 axis=DATA_AXIS,
                 block_len=getattr(self, "_block_len_rows_dev", None),
                 block_len_global=self._block_len_dev,
+                block_center=getattr(self, "_block_center", None),
             )
         else:
             if self.x is None:
@@ -671,6 +687,7 @@ class DataParallelForest(RPForest):
             axis=DATA_AXIS, chunk=chunk,
             block_len=getattr(self, "_block_len_rows_dev", None),
             block_len_global=self._block_len_dev,
+            block_center=getattr(self, "_block_center", None),
         )
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
@@ -693,6 +710,7 @@ class DataParallelForest(RPForest):
                 axis=DATA_AXIS,
                 block_len=getattr(self, "_block_len_rows_dev", None),
                 block_len_global=self._block_len_dev,
+                block_center=getattr(self, "_block_center", None),
             )
             return self._apply_update_hooks(qb, out[0], out[1], int(k),
                                             metric, precision)
@@ -788,15 +806,24 @@ class DataParallelForest(RPForest):
         if shard_by != "leaf":
             raise ValueError("DataParallelForest packs shard_by='leaf' "
                              "only (the memory-complete layout)")
-        if centered:
-            raise NotImplementedError(
-                "centered int8 blocks are single-device for now (the "
-                "sharded scorers do not thread the mean operands yet)"
-            )
         if self._packed is not None:
             return self
+        from ..models.forest import _dtype_str
+
         self._pack_slack = int(slack)
         lmax_ = max(self.plan.max_leaf_len, 1) + int(slack)
+        if not isinstance(self.x, EllMatrix):
+            # tile-align the slot axis (same measured policy as the
+            # single-device pack: 8-row alignment, full dtype tile only
+            # when it adds no extra padding)
+            dtype_str = _dtype_str(dtype)
+            if centered and dtype_str != "int8":
+                raise ValueError("centered=True applies to int8 blocks "
+                                 "(pass dtype=jnp.int8)")
+            l8 = -(-lmax_ // 8) * 8
+            tile = {"f32": 8, "bf16": 16, "int8": 32}[dtype_str]
+            lt = -(-lmax_ // tile) * tile
+            lmax_ = lt if lt == l8 else l8
         starts_ = np.asarray(self.plan.leaf_start)
         lens_ = np.asarray(self.plan.leaf_len)
         pos_a = starts_[:, None] + np.arange(lmax_)[None, :]
@@ -826,15 +853,19 @@ class DataParallelForest(RPForest):
                           self.arrays.mgh)
             )
             return self
-        from ..models.forest import _dtype_str
-
-        dtype_str = _dtype_str(dtype)
-        rows, sq, ids, scale = _dp_pack(
+        out = _dp_pack(
             self.mesh, self.plan, self.n_trees, self.arrays.perm, self.x,
             dtype_str,
             jax.device_put(jnp.asarray(pos_a), repl0),
             jax.device_put(jnp.asarray(in_leaf_a), repl0),
+            centered=centered,
         )
+        if centered:
+            rows, sq, ids, scale, mu, mudr = out
+            self._block_center = (mu, mudr)
+        else:
+            rows, sq, ids, scale = out
+            self._block_center = None
         self._packed = (rows, sq, ids)
         self._block_scale = scale if dtype_str == "int8" else None
         self._packed_mode = "leaf"

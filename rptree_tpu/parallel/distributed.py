@@ -93,7 +93,7 @@ def _pad_k(dists: jax.Array, ids: jax.Array, k: int):
 def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
               dedup, variant, precision="highest", packed=None,
               min_votes=1, chunk=None, block_len=None,
-              block_len_global=None):
+              block_len_global=None, block_center=None):
     """Tree+query-sharded kNN: local rerank to k, all_gather(k per shard)
     over the tree axis, dedup-merge, re-top-k.  With ``packed`` (leaf-
     blocked ``(x_leaf, id_leaf)``, sharded over the tree axis) each shard
@@ -149,7 +149,7 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
         my = lax.axis_index(TREE_AXIS)
         return lax.dynamic_slice_in_dim(keep, my * tl * fw, tl * fw, axis=1)
 
-    def chunk_body(arrays_l, x_l, sq_l, q_l, packed_l, bl_l, bl_g):
+    def chunk_body(arrays_l, x_l, sq_l, q_l, packed_l, bl_l, bl_g, bc_l):
         tl = arrays_l.perm.shape[0]
         # slot width from the PACKED arrays, not the static plan: slack
         # packing / fold() grow blocks past max_leaf_len, and a truncated
@@ -194,13 +194,15 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                     plan, x_leaf_l, sq_leaf_l, id_leaf_l, rows, leaf_kept,
                     q_l, k_eff, kk, metric, dedup_eff, precision,
                     block_scale=scale_l, block_len=bl_l,
+                    block_center=bc_l,
                 )
         elif packed_l is not None:
             x_leaf_l, sq_leaf_l, id_leaf_l, scale_l = packed_l
             d_l, i_l = _knn_packed(plan, arrays_l, x_leaf_l, sq_leaf_l,
                                    id_leaf_l, q_l, k_eff, budget, probes,
                                    metric, dedup_eff, precision,
-                                   block_scale=scale_l, block_len=bl_l)
+                                   block_scale=scale_l, block_len=bl_l,
+                                   block_center=bc_l)
         else:
             d_l, i_l = _knn(plan, arrays_l, x_l, sq_l, q_l, k_eff, budget,
                             metric, dedup_eff, precision)
@@ -215,15 +217,15 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                            dedup=(dedup or min_votes > 1),
                            min_votes=min_votes)
 
-    def block(arrays_l, x_l, sq_l, q_l, packed_l, bl_l, bl_g):
+    def block(arrays_l, x_l, sq_l, q_l, packed_l, bl_l, bl_g, bc_l):
         b = q_l.shape[0]
         if chunk is None or chunk >= b:
             return chunk_body(arrays_l, x_l, sq_l, q_l, packed_l, bl_l,
-                              bl_g)
+                              bl_g, bc_l)
         qc = q_l.reshape(b // chunk, chunk, q_l.shape[-1])
         d, i = lax.map(
             lambda qi: chunk_body(arrays_l, x_l, sq_l, qi, packed_l, bl_l,
-                                  bl_g),
+                                  bl_g, bc_l),
             qc,
         )
         return d.reshape(b, -1), i.reshape(b, -1)
@@ -234,14 +236,16 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                          None if packed[3] is None else t_ax))
     bl_spec = None if block_len is None else t_ax
     blg_spec = None if block_len_global is None else P()
+    bc_spec = None if block_center is None else (t_ax, t_ax)
     return jax.shard_map(
         block,
         mesh=mesh,
         in_specs=(_arrays_pspec(plan.n_levels), P(), P(), P(QUERY_AXIS),
-                  packed_spec, bl_spec, blg_spec),
+                  packed_spec, bl_spec, blg_spec, bc_spec),
         out_specs=(P(QUERY_AXIS), P(QUERY_AXIS)),
         check_vma=False,
-    )(arrays, x, sq_norms, q, packed, block_len, block_len_global)
+    )(arrays, x, sq_norms, q, packed, block_len, block_len_global,
+      block_center)
 
 
 @functools.partial(
@@ -254,7 +258,8 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            probes_per_shard, metric, dedup, precision,
                            min_votes=1, bucket_stop=False,
                            block_scale=None, axis=TREE_AXIS, chunk=None,
-                           block_len=None, block_len_global=None):
+                           block_len=None, block_len_global=None,
+                           block_center=None):
     """kNN with the leaf blocks sharded round-robin across the tree axis
     (per-chip index memory = 1/S of the total).  Every shard traverses the
     whole (small, replicated) forest structure for its queries, keeps the
@@ -273,7 +278,7 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     """
 
     def chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l,
-                   scale_l, bl_l, bl_g, q_l):
+                   scale_l, bl_l, bl_g, bc_l, q_l):
         n_sh = lax.psum(1, axis)
         me = lax.axis_index(axis)
         t = r.shape[0]
@@ -309,7 +314,8 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         d_l, i_l = _score_blocks(plan, x_leaf_l, sq_leaf_l, id_leaf_l,
                                  rows, l_s, q_l, k_eff, kk, metric,
                                  dedup_eff, precision,
-                                 block_scale=scale_l, block_len=bl_l)
+                                 block_scale=scale_l, block_len=bl_l,
+                                 block_center=bc_l)
         d_l, i_l = _pad_k(d_l, i_l, k_eff)
         d_all = lax.all_gather(d_l, axis)
         i_all = lax.all_gather(i_l, axis)
@@ -321,15 +327,16 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            min_votes=min_votes)
 
     def block(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l, scale_l,
-              bl_l, bl_g, q_l):
+              bl_l, bl_g, bc_l, q_l):
         b = q_l.shape[0]
         if chunk is None or chunk >= b:
             return chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l,
-                              id_leaf_l, scale_l, bl_l, bl_g, q_l)
+                              id_leaf_l, scale_l, bl_l, bl_g, bc_l, q_l)
         qc = q_l.reshape(b // chunk, chunk, q_l.shape[-1])
         d, i = lax.map(
             lambda qi: chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l,
-                                  id_leaf_l, scale_l, bl_l, bl_g, qi),
+                                  id_leaf_l, scale_l, bl_l, bl_g, bc_l,
+                                  qi),
             qc,
         )
         return d.reshape(b, -1), i.reshape(b, -1)
@@ -338,16 +345,18 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     scale_spec = None if block_scale is None else P(axis)
     bl_spec = None if block_len is None else P(axis)
     blg_spec = None if block_len_global is None else P()
+    bc_spec = None if block_center is None else (P(axis), P(axis))
     q_spec = P(QUERY_AXIS) if QUERY_AXIS in mesh.shape else P()
     return jax.shard_map(
         block,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis), P(axis),
-                  P(axis), scale_spec, bl_spec, blg_spec, q_spec),
+                  P(axis), scale_spec, bl_spec, blg_spec, bc_spec,
+                  q_spec),
         out_specs=(q_spec, q_spec),
         check_vma=False,
     )(r, thr, mgl, mgh, *packed, block_scale, block_len,
-      block_len_global, q)
+      block_len_global, block_center, q)
 
 
 @functools.partial(
@@ -381,13 +390,22 @@ def _dist_recall(mesh, plan, arrays, x, sq_norms, q, k, budget, metric):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "plan", "dtype_str", "slack"))
-def _dist_pack(mesh, plan, perm, x, dtype_str, slack=0):
+                   static_argnames=("mesh", "plan", "dtype_str", "slack",
+                                    "centered"))
+def _dist_pack(mesh, plan, perm, x, dtype_str, slack=0, centered=False):
     """Tree-sharded leaf-block packing: each shard packs its own trees'
     blocks from the replicated dataset, so per-device peak memory is
     T_local x dataset instead of the whole forest's blocks on one chip.
-    ``slack`` reserves empty per-block slots for :meth:`RPForest.fold`."""
-    lmax = max(plan.max_leaf_len, 1) + int(slack)
+    ``slack`` reserves empty per-block slots for :meth:`RPForest.fold`;
+    ``centered`` packs int8 RESIDUALS around per-block f32 means (the
+    centered quantization of ``RPForest.pack_leaves``).  The slot axis is
+    tile-aligned with the same measured policy as the single-device
+    pack."""
+    lmax0 = max(plan.max_leaf_len, 1) + int(slack)
+    l8 = -(-lmax0 // 8) * 8
+    tile = {"f32": 8, "bf16": 16, "int8": 32}[dtype_str]
+    lt = -(-lmax0 // tile) * tile
+    lmax = lt if lt == l8 else l8
     nl = plan.n_leaves
     starts = jnp.asarray(plan.leaf_start)
     lens = jnp.asarray(plan.leaf_len)
@@ -406,6 +424,24 @@ def _dist_pack(mesh, plan, perm, x, dtype_str, slack=0):
         rows, ids = jax.vmap(per_tree)(perm_l)
         tl, d = perm_l.shape[0], x_l.shape[1]
         sq = jnp.sum(rows * rows, axis=-1)
+        if dtype_str == "int8" and centered:
+            occ = jnp.maximum(
+                jnp.sum(in_leaf, axis=-1).astype(jnp.float32), 1.0)
+            mu = jnp.sum(rows, axis=-2) / occ[None, :, None]  # [tl,nl,D]
+            res = jnp.where(in_leaf[None, ..., None],
+                            rows - mu[:, :, None, :], 0.0)
+            amax = jnp.max(jnp.abs(res), axis=(-2, -1), keepdims=True)
+            scale = jnp.maximum(amax, 1e-30) / 127.0
+            rows = jnp.clip(jnp.round(res / scale), -127, 127
+                            ).astype(jnp.int8)
+            mudr = jnp.einsum("tnld,tnd->tnl",
+                              rows.astype(jnp.float32) * scale, mu)
+            return (rows.reshape(tl * nl, lmax, d),
+                    sq.reshape(tl * nl, lmax),
+                    ids.reshape(tl * nl, lmax),
+                    scale.reshape(tl * nl),
+                    mu.reshape(tl * nl, d),
+                    mudr.reshape(tl * nl, lmax))
         if dtype_str == "int8":
             amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
             scale = jnp.maximum(amax, 1e-30) / 127.0
@@ -422,10 +458,11 @@ def _dist_pack(mesh, plan, perm, x, dtype_str, slack=0):
                 scale)
 
     t_ax = P(TREE_AXIS)
+    n_out = 6 if (dtype_str == "int8" and centered) else 4
     return jax.shard_map(
         block, mesh=mesh,
         in_specs=(t_ax, P()),
-        out_specs=(t_ax, t_ax, t_ax, t_ax),
+        out_specs=tuple([t_ax] * n_out),
         check_vma=False,
     )(perm, x)
 
@@ -494,11 +531,6 @@ class DistributedForest(RPForest):
         g % S at row g // S) -- per-chip memory is 1/S of the TOTAL index,
         below one dataset copy, and every shard serves the probes it owns.
         """
-        if centered:
-            raise NotImplementedError(
-                "centered int8 blocks are single-device for now (the "
-                "sharded scorers do not thread the mean operands yet)"
-            )
         if self._packed is None:
             if isinstance(self.x, EllMatrix):
                 # sparse (EllBlocks) packing, sharded over the tree axis:
@@ -519,16 +551,25 @@ class DistributedForest(RPForest):
                 from ..models.forest import _dtype_str
 
                 dtype_str = _dtype_str(dtype)
-                rows, sq, ids, scale = _dist_pack(
+                if centered and dtype_str != "int8":
+                    raise ValueError("centered=True applies to int8 "
+                                     "blocks (pass dtype=jnp.int8)")
+                out = _dist_pack(
                     self.mesh, self.plan, self.arrays.perm, self.x,
-                    dtype_str, slack=int(slack),
+                    dtype_str, slack=int(slack), centered=centered,
                 )
+                if centered:
+                    rows, sq, ids, scale, mu, mudr = out
+                    self._block_center = (mu, mudr)
+                else:
+                    rows, sq, ids, scale = out
+                    self._block_center = None
                 self._pack_slack = int(slack)
                 self._packed = (rows, sq, ids)
                 self._block_scale = scale if dtype_str == "int8" else None
                 self._packed_mode = "tree"
                 return self
-            super().pack_leaves(dtype=dtype, slack=slack)
+            super().pack_leaves(dtype=dtype, slack=slack, centered=centered)
             if self._packed is None:
                 return self
             scale = getattr(self, "_block_scale", None)
@@ -552,6 +593,14 @@ class DistributedForest(RPForest):
                 # int8 per-block scales follow the same round-robin layout
                 self._block_scale = jax.device_put(
                     jnp.take(scale, jnp.asarray(rr), axis=0), sh
+                )
+            center = getattr(self, "_block_center", None)
+            if center is not None:
+                # centered means / mean.residual terms follow too
+                self._block_center = tuple(
+                    jax.device_put(jnp.take(a, jnp.asarray(rr), axis=0),
+                                   sh)
+                    for a in center
                 )
             self._packed = (x_rr, sq_rr, il_rr)
             repl = NamedSharding(self.mesh, P())
@@ -585,6 +634,7 @@ class DistributedForest(RPForest):
                 block_scale=getattr(self, "_block_scale", None),
                 block_len=getattr(self, "_block_len_rows_dev", None),
                 block_len_global=self._block_len_dev,
+                block_center=getattr(self, "_block_center", None),
             )
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
@@ -607,7 +657,9 @@ class DistributedForest(RPForest):
                          min_votes=int(min_votes),
                          block_len=getattr(self, "_block_len_rows_dev",
                                            None),
-                         block_len_global=self._block_len_dev)
+                         block_len_global=self._block_len_dev,
+                         block_center=getattr(self, "_block_center",
+                                              None))
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
 
@@ -652,6 +704,7 @@ class DistributedForest(RPForest):
                 chunk=chunk,
                 block_len=getattr(self, "_block_len_rows_dev", None),
                 block_len_global=self._block_len_dev,
+                block_center=getattr(self, "_block_center", None),
             )
         else:
             n_sh = self.mesh.shape[TREE_AXIS]
@@ -666,7 +719,9 @@ class DistributedForest(RPForest):
                              min_votes=int(min_votes), chunk=chunk,
                              block_len=getattr(self, "_block_len_rows_dev",
                                                None),
-                             block_len_global=self._block_len_dev)
+                             block_len_global=self._block_len_dev,
+                             block_center=getattr(self, "_block_center",
+                                                  None))
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
 
@@ -697,6 +752,7 @@ class DistributedForest(RPForest):
                 block_scale=getattr(self, "_block_scale", None),
                 block_len=getattr(self, "_block_len_rows_dev", None),
                 block_len_global=self._block_len_dev,
+                block_center=getattr(self, "_block_center", None),
             )
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
@@ -709,7 +765,9 @@ class DistributedForest(RPForest):
                              precision, packed4,
                              block_len=getattr(self, "_block_len_rows_dev",
                                                None),
-                             block_len_global=self._block_len_dev)
+                             block_len_global=self._block_len_dev,
+                             block_center=getattr(self, "_block_center",
+                                                  None))
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
         if self.x is None:

@@ -316,3 +316,24 @@ def test_dp_fold_leaf_sharded(single, data):
     f.add(rng.normal(size=(6, DIM)).astype(np.float32))  # 1600+16 % 8 == 0
     f.rebuild()
     assert f.tree_size() == N + 16 and f.n_folded == 0
+
+
+def test_dp_centered_int8(single, data):
+    """Centered int8 on the data-parallel leaf-sharded layout: means are
+    computed from the psum-assembled blocks and served sharded."""
+    import jax.numpy as jnp
+
+    s1 = rt.forest_batch(SEED, 6, 12, T, 1.0, data)
+    s1.pack_leaves(dtype=jnp.int8, centered=True)
+    q = data[:9] + 0.02
+    d0, i0 = map(np.asarray, s1.knn(q, 5, budget=16))
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data,
+                                   mesh=data_mesh(8))
+    f.pack_leaves(dtype=jnp.int8, centered=True)
+    assert f._block_center is not None
+    d1, i1 = map(np.asarray, f.knn(q, 5, budget=16))
+    overlap = np.mean([
+        len(set(i0[b].tolist()) & set(i1[b].tolist())) / 5
+        for b in range(9)
+    ])
+    assert overlap >= 0.9, overlap

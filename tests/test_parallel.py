@@ -398,3 +398,35 @@ def test_tune_on_sharded_forest(data):
                    probes_per_tree=(1.0,), reps=1)
     assert best["met"] and best["qps"] > 0
     assert len(best["frontier"]) == 3  # 2 tree configs + the scan
+
+
+def test_sharded_centered_int8(data, queries):
+    """Centered (residual) int8 blocks on BOTH sharded layouts: the mean
+    operands thread through the sharded scorers, matching the
+    single-device centered path."""
+    import jax.numpy as jnp
+
+    single = rt.forest_batch(SEED, MAXD, MINL, T, PNZ, data)
+    single.pack_leaves(dtype=jnp.int8, centered=True)
+    d0, i0 = map(np.asarray, single.knn(queries, 8, budget=16))
+    for shard_by, mesh in (("tree", forest_mesh(8, 1)),
+                           ("leaf", forest_mesh(4, 2))):
+        f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                     mesh=mesh)
+        f.pack_leaves(dtype=jnp.int8, centered=True, shard_by=shard_by)
+        d1, i1 = map(np.asarray, f.knn(queries, 8, budget=16))
+        overlap = np.mean([
+            len(set(i0[b].tolist()) & set(i1[b].tolist())) / 8
+            for b in range(queries.shape[0])
+        ])
+        assert overlap >= 0.9, (shard_by, overlap)
+    # fold into sharded centered blocks updates the mean.residual slots
+    g = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(8, 1))
+    g.pack_leaves(dtype=jnp.int8, centered=True, slack=8)
+    new = data[:4] + 3.0
+    g.add(new)
+    g.fold()
+    assert g.n_folded == 4
+    _, ifo = map(np.asarray, g.knn(new + 1e-4, 1, budget=g.plan.n_leaves))
+    assert (ifo[:, 0] >= N).all()
