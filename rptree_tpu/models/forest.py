@@ -76,6 +76,34 @@ def _dtype_str(dtype) -> str:
     )
 
 
+def _tile_align(n: int, dtype_str: str) -> int:
+    """Measured slot-axis alignment policy (v5e, BASELINE.md round-3):
+    8-row alignment for every block dtype; the dtype's full sublane tile
+    only when it adds no padding beyond the 8-rounding (the int8 32-row
+    tile's extra padding costs more than its alignment buys)."""
+    n8 = -(-n // 8) * 8
+    tile = {"f32": 8, "bf16": 16, "int8": 32}[dtype_str]
+    nt = -(-n // tile) * tile
+    return nt if nt == n8 else n8
+
+
+def _center_quantize(rows, valid):
+    """Centered (residual) int8 quantization, shared by every packer so
+    the layouts stay provably identical: ``rows [..., L, D]``,
+    ``valid [..., L]`` (broadcastable).  Returns ``(q int8, scale
+    [..., 1, 1], mu [..., D], mudr [..., L])`` where ``mudr`` is the
+    precomputed ``mean . dequantized-residual`` term."""
+    occ = jnp.maximum(jnp.sum(valid, axis=-1).astype(jnp.float32), 1.0)
+    mu = jnp.sum(rows, axis=-2) / occ[..., None]
+    res = jnp.where(valid[..., None], rows - mu[..., None, :], 0.0)
+    amax = jnp.max(jnp.abs(res), axis=(-2, -1), keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(res / scale), -127, 127).astype(jnp.int8)
+    mudr = jnp.einsum("...ld,...d->...l",
+                      q.astype(jnp.float32) * scale, mu)
+    return q, scale, mu, mudr
+
+
 
 def _prec(precision: str):
     if precision not in _PRECISIONS:
@@ -535,17 +563,7 @@ def _pack_dense_blocks(perm, x, pos, in_leaf, dtype_str, centered,
             valid = in_leaf
         sq = jnp.sum(rows * rows, axis=-1)  # f32, before any downcast
         if dtype_str == "int8" and centered:
-            occ = jnp.maximum(
-                jnp.sum(valid, axis=-1).astype(jnp.float32), 1.0)
-            mu = jnp.sum(rows, axis=-2) / occ[:, None]  # [nb, D]
-            res = jnp.where(valid[..., None], rows - mu[:, None, :],
-                            0.0)
-            amax = jnp.max(jnp.abs(res), axis=(-2, -1), keepdims=True)
-            scale = jnp.maximum(amax, 1e-30) / 127.0
-            q = jnp.clip(jnp.round(res / scale), -127, 127
-                         ).astype(jnp.int8)
-            mudr = jnp.einsum("nld,nd->nl",
-                              q.astype(jnp.float32) * scale, mu)
+            q, scale, mu, mudr = _center_quantize(rows, valid)
             return q, sq, ids, scale.reshape(-1), mu, mudr
         if dtype_str == "int8":
             amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
@@ -1033,23 +1051,15 @@ class RPForest:
                                  "(pass dtype=jnp.int8)")
             dtype_str = _dtype_str(dtype)
             lmax0 = max(plan.max_leaf_len, 1) + int(slack)
-            # round the slot axis to the dtype's SUBLANE TILE: gathers of
-            # tile-aligned blocks run at near HBM bandwidth, unaligned
-            # ones at ~1/3 of it (measured on v5e: 575 vs 198 GB/s
-            # effective at the 1M clustered flagship shape).  The padded
-            # slots are ordinary empty slots (maskable, usable as bonus
-            # fold slack).
-            # 8-row alignment is the measured sweet spot for EVERY block
-            # dtype (v5e, headline int8 shape: lmax 49 unaligned 521k ->
-            # 56 8-aligned 656k -> 64 full-int8-tile 422k QPS/dev: the
-            # full 32-row tile's extra padding costs more than its
-            # alignment buys).  Use the dtype's full sublane tile only
-            # when it adds no padding beyond the 8-rounding.
+            # tile-align the slot axis: gathers of aligned blocks run at
+            # near HBM bandwidth, unaligned ones at ~1/3 of it (575 vs
+            # 198 GB/s measured; policy in _tile_align).  Padded slots
+            # are ordinary empty slots (maskable, bonus fold slack).
+            # Sub-blocked packs round to 8 regardless of dtype (forcing
+            # int8's 32-row tile onto slices would coarsen the centers).
             ls = -(-lmax0 // s) if s > 1 else lmax0
-            ls8 = -(-ls // 8) * 8
-            tile = {"f32": 8, "bf16": 16, "int8": 32}[dtype_str]
-            ls_t = -(-ls // tile) * tile
-            ls = ls_t if ls_t == ls8 else ls8
+            ls = (_tile_align(ls, dtype_str) if s == 1
+                  else -(-ls // 8) * 8)
             lmax = ls * s if s > 1 else ls
             starts = np.asarray(plan.leaf_start)
             lens = np.asarray(plan.leaf_len)

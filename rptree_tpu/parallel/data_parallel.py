@@ -494,16 +494,9 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr,
         rows = jnp.where(in_own[..., None], acc, 0.0)
         sq = jnp.sum(rows * rows, axis=-1)
         if dtype_str == "int8" and centered:
-            occ = jnp.maximum(
-                jnp.sum(in_own, axis=-1).astype(jnp.float32), 1.0)
-            mu = jnp.sum(rows, axis=-2) / occ[:, None]  # [g_per, D]
-            res = jnp.where(in_own[..., None], rows - mu[:, None, :], 0.0)
-            amax = jnp.max(jnp.abs(res), axis=(-2, -1), keepdims=True)
-            scale = jnp.maximum(amax, 1e-30) / 127.0
-            rows = jnp.clip(jnp.round(res / scale), -127, 127
-                            ).astype(jnp.int8)
-            mudr = jnp.einsum("nld,nd->nl",
-                              rows.astype(jnp.float32) * scale, mu)
+            from ..models.forest import _center_quantize
+
+            rows, scale, mu, mudr = _center_quantize(rows, in_own)
             return rows, sq, ids_own, scale.reshape(g_per), mu, mudr
         if dtype_str == "int8":
             amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
@@ -812,18 +805,19 @@ class DataParallelForest(RPForest):
 
         self._pack_slack = int(slack)
         lmax_ = max(self.plan.max_leaf_len, 1) + int(slack)
+        if isinstance(self.x, EllMatrix) and centered:
+            raise ValueError("centered quantization applies to dense "
+                             "blocks only")
         if not isinstance(self.x, EllMatrix):
             # tile-align the slot axis (same measured policy as the
-            # single-device pack: 8-row alignment, full dtype tile only
-            # when it adds no extra padding)
+            # single-device pack; _tile_align)
+            from ..models.forest import _tile_align
+
             dtype_str = _dtype_str(dtype)
             if centered and dtype_str != "int8":
                 raise ValueError("centered=True applies to int8 blocks "
                                  "(pass dtype=jnp.int8)")
-            l8 = -(-lmax_ // 8) * 8
-            tile = {"f32": 8, "bf16": 16, "int8": 32}[dtype_str]
-            lt = -(-lmax_ // tile) * tile
-            lmax_ = lt if lt == l8 else l8
+            lmax_ = _tile_align(lmax_, dtype_str)
         starts_ = np.asarray(self.plan.leaf_start)
         lens_ = np.asarray(self.plan.leaf_len)
         pos_a = starts_[:, None] + np.arange(lmax_)[None, :]

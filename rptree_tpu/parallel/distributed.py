@@ -390,31 +390,22 @@ def _dist_recall(mesh, plan, arrays, x, sq_norms, q, k, budget, metric):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "plan", "dtype_str", "slack",
+                   static_argnames=("mesh", "plan", "dtype_str",
                                     "centered"))
-def _dist_pack(mesh, plan, perm, x, dtype_str, slack=0, centered=False):
+def _dist_pack(mesh, plan, perm, x, dtype_str, pos, in_leaf,
+               centered=False):
     """Tree-sharded leaf-block packing: each shard packs its own trees'
     blocks from the replicated dataset, so per-device peak memory is
     T_local x dataset instead of the whole forest's blocks on one chip.
-    ``slack`` reserves empty per-block slots for :meth:`RPForest.fold`;
     ``centered`` packs int8 RESIDUALS around per-block f32 means (the
-    centered quantization of ``RPForest.pack_leaves``).  The slot axis is
-    tile-aligned with the same measured policy as the single-device
-    pack."""
-    lmax0 = max(plan.max_leaf_len, 1) + int(slack)
-    l8 = -(-lmax0 // 8) * 8
-    tile = {"f32": 8, "bf16": 16, "int8": 32}[dtype_str]
-    lt = -(-lmax0 // tile) * tile
-    lmax = lt if lt == l8 else l8
+    centered quantization of ``RPForest.pack_leaves``).  ``pos`` /
+    ``in_leaf`` (slot tables at the caller's tile-aligned lmax) arrive
+    as ARGUMENTS: they are O(n)-sized, and baking them into the HLO can
+    exceed the remote compiler's request limit (CLAUDE.md)."""
     nl = plan.n_leaves
-    starts = jnp.asarray(plan.leaf_start)
-    lens = jnp.asarray(plan.leaf_len)
-    offs = jnp.arange(lmax, dtype=jnp.int32)
-    pos = starts[:, None] + offs
-    in_leaf = offs < lens[:, None]
-    pos = jnp.where(in_leaf, pos, 0)
+    lmax = pos.shape[1]
 
-    def block(perm_l, x_l):
+    def block(perm_l, x_l, pos, in_leaf):
         def per_tree(pm):
             ids = jnp.take(pm, pos)
             rows = jnp.take(x_l, ids, axis=0)
@@ -425,17 +416,9 @@ def _dist_pack(mesh, plan, perm, x, dtype_str, slack=0, centered=False):
         tl, d = perm_l.shape[0], x_l.shape[1]
         sq = jnp.sum(rows * rows, axis=-1)
         if dtype_str == "int8" and centered:
-            occ = jnp.maximum(
-                jnp.sum(in_leaf, axis=-1).astype(jnp.float32), 1.0)
-            mu = jnp.sum(rows, axis=-2) / occ[None, :, None]  # [tl,nl,D]
-            res = jnp.where(in_leaf[None, ..., None],
-                            rows - mu[:, :, None, :], 0.0)
-            amax = jnp.max(jnp.abs(res), axis=(-2, -1), keepdims=True)
-            scale = jnp.maximum(amax, 1e-30) / 127.0
-            rows = jnp.clip(jnp.round(res / scale), -127, 127
-                            ).astype(jnp.int8)
-            mudr = jnp.einsum("tnld,tnd->tnl",
-                              rows.astype(jnp.float32) * scale, mu)
+            from ..models.forest import _center_quantize
+
+            rows, scale, mu, mudr = _center_quantize(rows, in_leaf)
             return (rows.reshape(tl * nl, lmax, d),
                     sq.reshape(tl * nl, lmax),
                     ids.reshape(tl * nl, lmax),
@@ -461,10 +444,10 @@ def _dist_pack(mesh, plan, perm, x, dtype_str, slack=0, centered=False):
     n_out = 6 if (dtype_str == "int8" and centered) else 4
     return jax.shard_map(
         block, mesh=mesh,
-        in_specs=(t_ax, P()),
+        in_specs=(t_ax, P(), P(), P()),
         out_specs=tuple([t_ax] * n_out),
         check_vma=False,
-    )(perm, x)
+    )(perm, x, pos, in_leaf)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "plan"))
@@ -538,6 +521,9 @@ class DistributedForest(RPForest):
                 # (cols/vals/sq/ids all lead with the [T * n_leaves] axis)
                 if shard_by != "tree":
                     raise ValueError("sparse blocks shard by tree only")
+                if centered:
+                    raise ValueError("centered quantization applies to "
+                                     "dense blocks only")
                 super().pack_leaves(dtype=dtype, slack=slack)
                 if self._packed is None:
                     return self
@@ -554,9 +540,23 @@ class DistributedForest(RPForest):
                 if centered and dtype_str != "int8":
                     raise ValueError("centered=True applies to int8 "
                                      "blocks (pass dtype=jnp.int8)")
+                from ..models.forest import _tile_align
+
+                lmax = _tile_align(
+                    max(self.plan.max_leaf_len, 1) + int(slack),
+                    dtype_str)
+                starts = np.asarray(self.plan.leaf_start)
+                lens = np.asarray(self.plan.leaf_len)
+                pos = starts[:, None] + np.arange(lmax)[None, :]
+                in_leaf = np.arange(lmax)[None, :] < lens[:, None]
+                pos = np.where(in_leaf, pos, 0).astype(np.int32)
+                repl = NamedSharding(self.mesh, P())
                 out = _dist_pack(
                     self.mesh, self.plan, self.arrays.perm, self.x,
-                    dtype_str, slack=int(slack), centered=centered,
+                    dtype_str,
+                    jax.device_put(jnp.asarray(pos), repl),
+                    jax.device_put(jnp.asarray(in_leaf), repl),
+                    centered=centered,
                 )
                 if centered:
                     rows, sq, ids, scale, mu, mudr = out

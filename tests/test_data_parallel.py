@@ -337,3 +337,18 @@ def test_dp_centered_int8(single, data):
         for b in range(9)
     ])
     assert overlap >= 0.9, overlap
+    db, ib = map(np.asarray, f.knn_batched(q, 5, budget=16, chunk=4))
+    np.testing.assert_array_equal(i1, ib)
+    dh, ih = map(np.asarray, f.knn_h(q, 5, budget=16))
+    assert (ih[:, 0] >= 0).all()
+    # fold into DP centered blocks (slack slots + mean.residual update)
+    g = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data,
+                                   mesh=data_mesh(8))
+    g.pack_leaves(dtype=jnp.int8, centered=True, slack=8)
+    new_rows = data[:4] + 3.0
+    g.add(new_rows)
+    g.fold()
+    assert g.n_folded == 4
+    _, ifo = map(np.asarray, g.knn(new_rows + 1e-4, 1,
+                                   budget=g.plan.n_leaves))
+    assert (ifo[:, 0] >= N).all()

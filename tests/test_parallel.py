@@ -420,6 +420,13 @@ def test_sharded_centered_int8(data, queries):
             for b in range(queries.shape[0])
         ])
         assert overlap >= 0.9, (shard_by, overlap)
+        # the chunked (knn_batched) and bucket-stop (knn_h) paths thread
+        # the mean operands too
+        db, ib = map(np.asarray, f.knn_batched(queries, 8, budget=16,
+                                               chunk=4))
+        np.testing.assert_array_equal(i1, ib[:queries.shape[0]])
+        dh, ih = map(np.asarray, f.knn_h(queries, 8, budget=16))
+        assert (ih[:, 0] >= 0).all()
     # fold into sharded centered blocks updates the mean.residual slots
     g = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
                                  mesh=forest_mesh(8, 1))
