@@ -92,6 +92,17 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     qps = B / dt
 
+    # device-side QPS (marginal fori_loop; utils/profiling): the wall
+    # number above includes this environment's ~25ms tunneled dispatch
+    # RTT, which understates the chip -- record both
+    from rptree_tpu.utils.profiling import device_time
+
+    def dev_step(qx):
+        return f.knn_batched(qx, K, budget=BUDGET, probes=PROBES,
+                             precision="default", chunk=CHUNK)[0]
+
+    qps_device = B / max(device_time(dev_step, qd, reps=5), 1e-9)
+
     # quality: recall@10 of the returned neighbours vs exact top-k
     got = np.asarray(sweep()[1])
     exact = np.concatenate([
@@ -254,6 +265,13 @@ def main():
     for _ in range(2):
         sweep_c()
     tree_qps_c = BCQ / ((time.perf_counter() - t0) / 2)
+
+    def dev_step_c(qx):
+        return fc.knn_batched(qx, K, budget=BC, probes=PC,
+                              precision="default", chunk=2048)[0]
+
+    tree_qps_c_device = BCQ / max(device_time(dev_step_c, qc, reps=4),
+                                  1e-9)
     ids_c = np.asarray(fc.knn_batched(qc[:1024], K, budget=BC, probes=PC,
                                       precision="default", chunk=1024)[1])
     tree_recall_c = float(np.mean([
@@ -313,6 +331,7 @@ def main():
         "metric": "knn_qps",
         "value": round(qps, 1),
         "unit": "queries/s",
+        "qps_device": round(qps_device, 1),
         "vs_baseline": round(qps / ref_qps, 1),
         "recall_at_10": round(recall, 4),
         "baseline_recall_at_10": round(float(np.mean(ref_recalls)), 4),
@@ -334,6 +353,7 @@ def main():
         # clustered 1M (reference's own bench data family): the TREE path
         # is the winning >=0.9 config, beating the engine's own exact scan
         "tree_qps_at_target": round(tree_qps_c, 1),
+        "tree_qps_device": round(tree_qps_c_device, 1),
         "tree_recall_at_target": round(tree_recall_c, 4),
         "clustered_scan_qps": round(scan_qps_c, 1),
         "clustered_scan_recall": round(scan_recall_c, 4),

@@ -76,6 +76,11 @@ def _dtype_str(dtype) -> str:
     )
 
 
+# inverse of _dtype_str: replaying a remembered pack configuration
+# (rebuild) needs the jnp dtype back from the recorded name
+_DTYPE_OF = {"f32": None, "bf16": jnp.bfloat16, "int8": jnp.int8}
+
+
 def _tile_align(n: int, dtype_str: str) -> int:
     """Measured slot-axis alignment policy (v5e, BASELINE.md round-3):
     8-row alignment for every block dtype; the dtype's full sublane tile
@@ -473,6 +478,30 @@ def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
 
     d, ids = lax.map(one, qc)
     return d.reshape(b, -1), ids.reshape(b, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "budget", "k"))
+def _knn_h_ids_packed(plan, arrays, id_leaf, q, k, budget, block_len,
+                      row_of=None):
+    """:func:`_knn_h_ids` over the PACKED id blocks with dynamic
+    occupancies -- the folded-aware form: fold-appended rows live only in
+    the packed blocks' slack slots, so the knnH bucket contract after
+    :meth:`RPForest.fold` must read ``id_leaf`` (which holds them) and
+    ``block_len`` (which counts them toward the cumulative stop rule).
+    ``row_of int32[G]`` maps global block id to storage row for layouts
+    that reorder blocks (the leaf-sharded round-robin pack)."""
+    t = arrays.perm.shape[0]
+    b = q.shape[0]
+    gsel, lsel = _select_probes(plan, arrays, q, budget, t * budget, k=k,
+                                bucket_stop=True, block_len=block_len)
+    rows_sel = gsel if row_of is None else jnp.take(row_of, gsel)
+    ids_blk = jnp.take(id_leaf, rows_sel, axis=0)  # [B, P, lmax]
+    lens = jnp.take(block_len, gsel)
+    lmax = id_leaf.shape[-1]
+    valid = (lsel >= 0)[..., None] & (
+        jnp.arange(lmax, dtype=jnp.int32) < lens[..., None]
+    )
+    return jnp.where(valid, ids_blk, -1).reshape(b, -1)
 
 
 @functools.partial(
@@ -1036,6 +1065,9 @@ class RPForest:
             self._packed = (blocks, sq.reshape(g, lmax),
                             ids.reshape(g, lmax))
             self._block_scale = None
+            self._pack_cfg = {
+                "dtype": (jnp.bfloat16 if dtype is not None
+                          and jnp.dtype(dtype) == jnp.bfloat16 else None)}
             return self
         if self._packed is None and not isinstance(self.x, EllMatrix):
             plan = self.plan
@@ -1078,7 +1110,12 @@ class RPForest:
                                   0, ls).astype(np.int32).reshape(-1)
                 in_sub = jnp.asarray(
                     np.arange(ls)[None, :] < sub_len[:, None])
-                seed0 = self.seed if isinstance(self.seed, int) else 0
+                # numbers.Integral (not isinstance int): numpy integer
+                # seeds must not silently fall back to 0
+                import numbers
+
+                seed0 = (int(self.seed)
+                         if isinstance(self.seed, numbers.Integral) else 0)
                 r_sub = jax.random.normal(
                     jax.random.fold_in(rgen.key_from_seed(seed0), 987),
                     (d,), jnp.float32)
@@ -1124,6 +1161,11 @@ class RPForest:
             self._packed = (rows, sq, ids)
             self._block_scale = scale
             self._block_center = center
+            # remember the pack configuration so rebuild() re-packs the
+            # SAME layout (an int8/centered pack silently becoming f32
+            # would grow index memory 4x with no indication)
+            self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
+                              "centered": centered, "sub_block": s}
         return self
 
     # -- incremental updates (freshness layer) -------------------------------
@@ -1515,8 +1557,16 @@ class RPForest:
         self._block_len = None
         self._block_len_dev = None
         if self._packed is not None:
+            # replay the remembered pack configuration (dtype / centered /
+            # sub_block), not just the slack -- rebuild must not silently
+            # de-quantize the serving layout
+            cfg_p = dict(getattr(self, "_pack_cfg", None) or {})
             self._packed = None
-            self.pack_leaves(slack=self._pack_slack)
+            self._block_scale = None
+            self._block_center = None
+            self._sub_block = 1
+            self._sub_len_dev = None
+            self.pack_leaves(slack=self._pack_slack, **cfg_p)
         return self
 
     def _merge_pending(self, qb, d, ids, k, metric, precision):
@@ -1680,10 +1730,27 @@ class RPForest:
         contract (RPTree.hs:196-217 returns the selected buckets'
         contents, not a reranked top-k; :meth:`knn_h` reranks and
         truncates them to k).  Returns ``int32[B, M]`` ids, -1 padded.
-        Reads the structure arrays (fold-appended rows, which live only in
-        the packed blocks, do not appear)."""
+
+        After :meth:`fold` the buckets are read from the PACKED id blocks
+        with the dynamic occupancies, so fold-appended rows appear in (and
+        count toward the stop rule of) their assigned buckets -- the
+        contract tracks the index contents, not just the build-time
+        permutation."""
         k = self._check_k(k)
         qb = _as_dense_queries(q, self.dim)
+        if self.n_folded:
+            # folded rows exist only with packed blocks (fold() requires
+            # pack_leaves); read the honest, occupancy-aware form
+            id_leaf = self._packed[2]
+            row_of = None
+            if (getattr(self, "mesh", None) is not None
+                    and getattr(self, "_packed_mode", None) == "leaf"):
+                g = int(self._block_len_dev.shape[0])
+                row_of = jnp.asarray(
+                    self._fold_row_of(np.arange(g)).astype(np.int32))
+            return _knn_h_ids_packed(self.plan, self.arrays, id_leaf, qb,
+                                     int(k), self._budget(budget),
+                                     self._block_len_dev, row_of=row_of)
         return _knn_h_ids(self.plan, self.arrays, qb, int(k),
                           self._budget(budget))
 

@@ -783,10 +783,15 @@ class DataParallelForest(RPForest):
         self._block_len_dev = None
         self._block_len_rows_dev = None
         if self._packed is not None:
+            # replay the remembered pack configuration (dtype/centered)
+            cfg_p = dict(getattr(self, "_pack_cfg", None) or {})
+            cfg_p.pop("sub_block", None)
             self._packed = None
             self._small = None
             self._packed_mode = None
-            self.pack_leaves(slack=self._pack_slack)
+            self._block_scale = None
+            self._block_center = None
+            self.pack_leaves(slack=self._pack_slack, **cfg_p)
         return self
 
     def pack_leaves(self, dtype=None, shard_by: str = "leaf",
@@ -841,6 +846,8 @@ class DataParallelForest(RPForest):
             self._packed = (EllBlocks(self.dim, cols_b, vals_b), sq, ids)
             self._block_scale = None
             self._packed_mode = "leaf"
+            self._pack_cfg = {
+                "dtype": jnp.bfloat16 if dstr == "bf16" else None}
             self._small = tuple(
                 jax.device_put(a, repl0)
                 for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,
@@ -863,6 +870,10 @@ class DataParallelForest(RPForest):
         self._packed = (rows, sq, ids)
         self._block_scale = scale if dtype_str == "int8" else None
         self._packed_mode = "leaf"
+        from ..models.forest import _DTYPE_OF
+
+        self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
+                          "centered": centered}
         self._small = tuple(
             jax.device_put(a, repl0)
             for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,

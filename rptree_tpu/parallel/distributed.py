@@ -568,6 +568,10 @@ class DistributedForest(RPForest):
                 self._packed = (rows, sq, ids)
                 self._block_scale = scale if dtype_str == "int8" else None
                 self._packed_mode = "tree"
+                from ..models.forest import _DTYPE_OF
+
+                self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
+                                  "centered": centered}
                 return self
             super().pack_leaves(dtype=dtype, slack=slack, centered=centered)
             if self._packed is None:
@@ -809,11 +813,17 @@ class DistributedForest(RPForest):
         self._block_len_rows_dev = None
         if self._packed is not None:
             mode = getattr(self, "_packed_mode", "tree")
+            # replay the remembered pack configuration (dtype/centered):
+            # rebuild must not silently de-quantize the serving layout
+            cfg_p = dict(getattr(self, "_pack_cfg", None) or {})
+            cfg_p.pop("sub_block", None)  # sharded packs are whole-leaf
             self._packed = None
             self._small = None
             self._packed_mode = None
+            self._block_scale = None
+            self._block_center = None
             self.pack_leaves(shard_by=mode or "tree",
-                             slack=self._pack_slack)
+                             slack=self._pack_slack, **cfg_p)
         return self
 
     def recall_with(self, q, k: int, metric: str = "l2",

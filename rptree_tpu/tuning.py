@@ -22,7 +22,8 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
          budgets: Sequence[int] = (1, 2, 4, 8, 16, 32),
          probes_per_tree: Sequence[float] = (1.0, 1.5, 2.0, 3.0, 4.0),
          metric: str = "l2", precision: str = "highest",
-         measure: bool = True, reps: int = 2) -> dict:
+         measure: bool = True, reps: int = 2,
+         time_rows: int = 8192) -> dict:
     """Pick the best (budget, probes) meeting ``target_recall``.
 
     With ``measure=True`` (default) every swept configuration -- and the
@@ -32,6 +33,13 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
     clearing the target.  ``measure=False`` falls back to the static
     proxy cost ``budget + probes * max_leaf_len`` (reranked candidate
     slots plus traversal frontier width) and picks the cheapest.
+
+    Through dispatch-bound backends (the tunneled TPU's ~25ms host round
+    trip), timing a small validation batch would measure call overhead
+    rather than per-query device cost and mis-rank configurations for
+    large-batch serving.  The timed batch is therefore the validation
+    queries TILED up to at least ``time_rows`` rows (recall still uses
+    the original batch); set ``time_rows=0`` to time the raw batch.
 
     Returns ``{"budget", "probes", "recall", "cost", "qps", "frontier"}``
     where ``frontier`` lists every measured point (for plotting
@@ -55,7 +63,19 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
     exact = np.asarray(exact)
     nq = qb.shape[0]
 
-    def timed_qps(fn):
+    # timing batch: tile the validation queries up to >= time_rows rows so
+    # dispatch overhead amortizes (see docstring).  The tiled batch only
+    # flows through memory-bounded paths: knn_batched (per-chunk peak) on
+    # packed forests, the streaming brute-force scan -- the unpacked knn
+    # path gathers [B, C, D] candidate rows and times the raw batch.
+    tile = 1
+    if measure and time_rows and nq < time_rows:
+        tile = min(64, -(-int(time_rows) // nq))
+    qt = np.tile(qb, (tile, 1)) if tile > 1 else qb
+    n_timed = qt.shape[0]
+    packed = getattr(forest, "_packed", None) is not None
+
+    def timed_qps(fn, rows=nq):
         """Measured queries/s of one config: warm (compile) call, then
         ``reps`` timed calls, completion forced by the host fetch."""
         np.asarray(fn()[1])
@@ -63,7 +83,7 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
         for _ in range(reps):
             np.asarray(fn()[1])
         dt = time.perf_counter() - t0
-        return nq * reps / dt if dt > 0 else float("inf")
+        return rows * reps / dt if dt > 0 else float("inf")
 
     lmax = max(forest.plan.max_leaf_len, 1)
     results = []
@@ -89,7 +109,15 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
                 "cost": budget + probes * lmax,
             }
             if measure:
-                point["qps"] = timed_qps(run)
+                if packed and tile > 1:
+                    def run_t(budget=budget, probes=probes):
+                        return forest.knn_batched(
+                            qt, k, metric=metric, budget=budget,
+                            probes=probes, precision=precision, chunk=nq)
+
+                    point["qps"] = timed_qps(run_t, rows=n_timed)
+                else:
+                    point["qps"] = timed_qps(run)
             results.append(point)
 
     # the exact MXU scan is always a candidate operating point; its cost
@@ -115,7 +143,16 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
     scan_point = {"budget": None, "probes": None, "recall": recall_scan,
                   "cost": n_all, "scan": True}
     if measure:
-        scan_point["qps"] = timed_qps(run_scan)
+        if tile > 1:
+            # the scan streams row chunks (peak memory bounded per tile),
+            # so the tiled timing batch is always safe here
+            def run_scan_t():
+                return forest.brute_force_knn(qt, k, metric=metric,
+                                              precision="fastest")
+
+            scan_point["qps"] = timed_qps(run_scan_t, rows=n_timed)
+        else:
+            scan_point["qps"] = timed_qps(run_scan)
     results.append(scan_point)
 
     if measure:

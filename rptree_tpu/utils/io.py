@@ -211,6 +211,8 @@ def save_forest_sharded(dirpath: str, forest) -> None:
     common file -- the host only ever buffers one shard's rows at a time
     (``save_forest`` would ``np.asarray`` the full dataset, defeating the
     point of building data-parallel because it exceeds one device).
+    Payloads are stored pickled; restoring unpickles them, so only load
+    checkpoints you trust (see :func:`load_forest_sharded`).
 
     Layout: ``<dirpath>/common.npz`` (header + replicated structure
     arrays) and ``<dirpath>/shard_<i>.npz`` (that shard's dataset rows and
@@ -283,6 +285,9 @@ def load_forest_sharded(dirpath: str, mesh=None):
     :class:`DataParallelForest`: each shard file is uploaded straight to
     its device (resharding to the target mesh's shard count if it
     differs), so no host or device buffer ever holds the full dataset.
+
+    Note: payloads (if present) are unpickled -- only load checkpoints
+    you trust (same caveat as :func:`load_forest`).
     """
     import os
 

@@ -560,6 +560,55 @@ def test_knn_h_buckets_reference_contract():
         assert got <= set(raw[b].tolist())
 
 
+def test_knn_h_buckets_includes_folded_rows():
+    """After fold(), knn_h_buckets reads the PACKED id blocks with the
+    dynamic occupancies: fold-appended rows appear in their assigned
+    buckets and count toward the cumulative stop rule (the contract
+    tracks index contents, not just the build permutation)."""
+    rng = np.random.default_rng(57)
+    x = rng.normal(size=(600, 8)).astype(np.float32)
+    f = forest_batch(8, 4, 16, 3, 1.0, x)
+    f.pack_leaves(slack=16)
+    new = rng.normal(size=(8, 8)).astype(np.float32)
+    f.add(new)
+    f.fold()
+    assert f.n_folded == 8
+    q = new + 1e-4
+    raw = np.asarray(f.knn_h_buckets(q, 4, budget=f.plan.n_leaves))
+    # each query's nearest neighbour is its folded twin; the twin's
+    # bucket is the first selected, so the folded id must appear
+    for b in range(8):
+        got = set(i for i in raw[b].tolist() if i >= 0)
+        assert (600 + b) in got, (b, sorted(got)[:20])
+    # and knn_h's reranked ids stay a subset of the raw buckets
+    _, ih = map(np.asarray, f.knn_h(q, 4, budget=f.plan.n_leaves))
+    for b in range(8):
+        assert {i for i in ih[b].tolist() if i >= 0} <= set(raw[b].tolist())
+
+
+def test_rebuild_replays_pack_config():
+    """rebuild() re-packs with the REMEMBERED pack configuration
+    (dtype/centered/sub_block), not a silent f32 downgrade (ADVICE r3)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(58)
+    x = (3.0 + rng.normal(size=(500, 8))).astype(np.float32)
+    f = forest_batch(11, 4, 16, 2, 1.0, x)
+    f.pack_leaves(dtype=jnp.int8, centered=True, slack=8)
+    f.add(rng.normal(size=(4, 8)).astype(np.float32))
+    f.rebuild()
+    assert f._packed[0].dtype == jnp.int8
+    assert f._block_scale is not None
+    assert f._block_center is not None
+    # sub-blocked bf16 pack replays too
+    g = forest_batch(11, 4, 16, 2, 1.0, x)
+    g.pack_leaves(dtype=jnp.bfloat16, sub_block=2)
+    g.add(rng.normal(size=(4, 8)).astype(np.float32))
+    g.rebuild()
+    assert g._packed[0].dtype == jnp.bfloat16
+    assert g._sub_block == 2 and g._sub_len_dev is not None
+
+
 def test_centered_int8_blocks_beat_plain_int8_on_clustered():
     """Centered (residual) int8 blocks: the block mean stays f32 and only
     residuals quantize, shrinking the cross-term error by the
