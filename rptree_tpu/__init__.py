@@ -48,11 +48,12 @@ if (not _os.environ.get("RPTREE_TPU_NO_CACHE")
     except (OSError, AttributeError):  # read-only fs / older jax
         pass
 
-from .config import BenchConfig, ForestConfig, RPTreeConfig, rp_tree_cfg
+from .config import (BenchConfig, ForestConfig, RPTreeConfig,
+                     rp_tree_cfg, rp_tree_cfg_clustered)
 from .models.forest import RPForest, forest_batch, tree_batch
 from .models.plan import TreePlan, make_plan
 from .streaming import ForestBuilder, forest, tree
-from .tuning import tune
+from .tuning import tune, tune_build
 from .utils.draw import (
     draw,
     knn_write_csv,

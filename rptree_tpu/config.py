@@ -57,6 +57,29 @@ def rp_tree_cfg(min_leaf: int, n: int, dim: int) -> RPTreeConfig:
     )
 
 
+def rp_tree_cfg_clustered(n: int, dim: int, *,
+                          centers: int) -> "RPTreeConfig":
+    """Closed-form construction heuristic for CLUSTERED data (Gaussian
+    mixtures and real embedding workloads), the measured counterpart of
+    the reference's iid heuristic :func:`rp_tree_cfg`.
+
+    The round-3 sweeps (BASELINE.md) measured ``min_leaf ~ n / centers``
+    as the recall/QPS sweet spot: the per-tree leaf then covers most of a
+    query's cluster and the cross-tree union the rest (half that size
+    saturates recall at the union-reachable set; double reaches higher
+    recall at ~0.7x the QPS).  Serve with ``budget=1`` and
+    ``probes ~ n_trees`` -- cluster-pure leaves make wide frontiers
+    redundant.
+
+    When no reliable ``centers`` estimate exists, sweep it empirically
+    with :func:`rptree_tpu.tuning.tune_build` instead.
+    """
+    if centers <= 0:
+        raise ValueError(f"centers must be positive, got {centers}")
+    min_leaf = max(8, min(int(n), int(round(n / centers))))
+    return rp_tree_cfg(min_leaf, int(n), int(dim))
+
+
 @dataclasses.dataclass(frozen=True)
 class ForestConfig:
     """Full forest construction configuration.

@@ -110,6 +110,61 @@ def _center_quantize(rows, valid):
 
 
 
+def _sub_order_kmeans(rows, valid, r_sub, sub):
+    """Within-leaf row ordering for sub-block packing by RECURSIVE
+    BALANCED 2-MEANS (``log2(sub)`` levels): at each level every current
+    segment fits a 2-means pair (farthest-point init along ``r_sub``,
+    four Lloyd steps over the segment's valid rows), reorders the segment
+    by the margin ``|x - c1|^2 - |x - c2|^2``, and splits at the midpoint.
+    Each final sub-block's rows then share a real cluster center (up to
+    the balance constraint), which is what centered int8 needs on leaves
+    that straddle clusters -- the 1-D projection sort only gives "nearly
+    pure" slices (measured gap in BASELINE.md round-3/4).
+
+    Invalid rows key ``+inf`` at every level, so they stay a contiguous
+    tail of every segment and the flat occupancy formula
+    ``clip(len - j*ls, 0, ls)`` keeps holding per sub-block.  ``sub``
+    must be a power of two.  Returns ``order int32[nl, lmax]`` (apply to
+    ids and rows alike)."""
+    nl, lmax, d = rows.shape
+    order = jnp.broadcast_to(jnp.arange(lmax, dtype=jnp.int32),
+                             (nl, lmax))
+    levels = sub.bit_length() - 1
+    r, v = rows, valid
+    for j in range(levels):
+        segs = nl * (1 << j)
+        m = lmax >> j
+        rs = r.reshape(segs, m, d)
+        vs = v.reshape(segs, m)
+        os_ = order.reshape(segs, m)
+        key = jnp.where(vs, rs @ r_sub, jnp.inf)
+        i1 = jnp.argmin(key, axis=-1)
+        c1 = jnp.take_along_axis(rs, i1[:, None, None], axis=1)[:, 0]
+        d1 = jnp.sum((rs - c1[:, None]) ** 2, axis=-1)
+        i2 = jnp.argmax(jnp.where(vs, d1, -jnp.inf), axis=-1)
+        c2 = jnp.take_along_axis(rs, i2[:, None, None], axis=1)[:, 0]
+        for _ in range(4):
+            d1 = jnp.sum((rs - c1[:, None]) ** 2, axis=-1)
+            d2 = jnp.sum((rs - c2[:, None]) ** 2, axis=-1)
+            a1 = ((d1 <= d2) & vs).astype(jnp.float32)
+            a2 = ((d1 > d2) & vs).astype(jnp.float32)
+            n1 = jnp.sum(a1, axis=-1, keepdims=True)
+            n2 = jnp.sum(a2, axis=-1, keepdims=True)
+            # empty clusters keep their previous center
+            c1 = jnp.where(n1 > 0, jnp.einsum("sm,smd->sd", a1, rs)
+                           / jnp.maximum(n1, 1.0), c1)
+            c2 = jnp.where(n2 > 0, jnp.einsum("sm,smd->sd", a2, rs)
+                           / jnp.maximum(n2, 1.0), c2)
+        margin = (jnp.sum((rs - c1[:, None]) ** 2, axis=-1)
+                  - jnp.sum((rs - c2[:, None]) ** 2, axis=-1))
+        ord2 = jnp.argsort(jnp.where(vs, margin, jnp.inf), axis=-1)
+        r = jnp.take_along_axis(rs, ord2[..., None], axis=1
+                                ).reshape(nl, lmax, d)
+        v = jnp.take_along_axis(vs, ord2, axis=1).reshape(nl, lmax)
+        order = jnp.take_along_axis(os_, ord2, axis=1).reshape(nl, lmax)
+    return order
+
+
 def _prec(precision: str):
     if precision not in _PRECISIONS:
         raise ValueError(f"precision must be one of {_PRECISIONS}")
@@ -249,7 +304,8 @@ def _select_probes(plan, arrays, q, budget, probes, k=None,
 
 def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
                   kk, metric, dedup, precision, min_votes=1,
-                  block_scale=None, block_len=None, block_center=None):
+                  block_scale=None, block_len=None, block_center=None,
+                  selection="sort"):
     """Fetch and exactly score the selected leaf blocks.
 
     ``rows_sel int32[B, P]``: row index into the (possibly shard-local)
@@ -360,10 +416,23 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
     kk = min(kk, probes * lmax)
     ids_blk = jnp.take(id_leaf, rows_sel, axis=0)  # [B, P, lmax]
     ids_flat = ids_blk.reshape(b, probes * lmax)
-    # (approx_max_k selection was MEASURED SLOWER here: 4.27 vs 3.59ms
-    # per 1024 queries at the 1M clustered flagship -- the id
-    # take_along_axis it needs costs more than the payload sort saves;
-    # BASELINE.md round-3)
+    if selection == "approx" and min_votes == 1 and kk < probes * lmax:
+        # hardware top-k (lax.approx_max_k lowers to the TPU PartialReduce
+        # op): 25us vs the payload sort's 460us per 1024q at the clustered
+        # flagship selection shape [1024, 8*128] -> 80 (BASELINE.md
+        # round-4; the round-3 negative measured a different composition).
+        # APPROXIMATE: per-element recall of the kk-candidate set is
+        # ~recall_target; the k survivors are the easiest elements, so
+        # end recall moves ~0.001 at the flagship.  Exact contracts
+        # (oracle parity, min_votes counts) keep the sort.
+        neg, sel_idx = lax.approx_max_k(-d, kk, recall_target=0.99)
+        d_top = -neg
+        ids_top = jnp.take_along_axis(ids_flat, sel_idx, axis=-1)
+        ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
+        return merge_top_k(d_top, ids_top, k, dedup=dedup,
+                           min_votes=min_votes)
+    # (the full payload sort is the EXACT default; per-probe pre-reduction
+    # to k' was measured 5x slower -- many short minor-axis sorts)
     d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
     d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
     ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
@@ -373,12 +442,14 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
-                     "precision", "bucket_stop", "min_votes", "sub"),
+                     "precision", "bucket_stop", "min_votes", "sub",
+                     "selection"),
 )
 def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                 probes, metric, dedup, precision="highest",
                 bucket_stop=False, min_votes=1, block_scale=None,
-                block_len=None, block_center=None, sub=1):
+                block_len=None, block_center=None, sub=1,
+                selection="sort"):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -404,7 +475,7 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     return _score_blocks(plan, x_leaf, sq_leaf, id_leaf, gsel, lsel, q, k,
                          kk, metric, dedup, precision, min_votes=min_votes,
                          block_scale=block_scale, block_len=block_len,
-                         block_center=block_center)
+                         block_center=block_center, selection=selection)
 
 
 def _knn_h_ids(plan, arrays, q, k, budget):
@@ -453,13 +524,68 @@ def _knn_h_ids(plan, arrays, q, k, budget):
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
+                     "precision", "tile_m", "nt", "tile_chunk",
+                     "bucket_stop", "sub", "selection"),
+)
+def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
+                 budget, probes, metric, dedup, precision, tile_m, nt,
+                 tile_chunk, bucket_stop=False, block_scale=None,
+                 block_center=None, sub=1, selection="sort"):
+    """Query-grouped block-resident rerank (see :mod:`..ops.grouped`):
+    semantically :func:`_knn_packed`, restructured so each distinct probed
+    block is fetched once per TILE of queries and scored with one MXU
+    matmul -- the win grows with probe overlap (clustered data, large
+    batches).  The selection tail (block-gathered ids, payload-carrying
+    sort, top-k merge) is the per-pair path's, unchanged.  Returns
+    ``(dists, ids, needed_tiles)``; exact iff ``needed_tiles <= nt``
+    (the caller retries with a bigger capacity)."""
+    from ..ops.grouped import grouped_distances
+
+    gsel, lsel = _select_probes(plan, arrays, q, budget, probes, k=k,
+                                bucket_stop=bucket_stop,
+                                block_len=None if sub > 1 else lens_global)
+    if sub > 1:
+        b0, p0 = gsel.shape
+        gsel = (gsel[..., None] * sub
+                + jnp.arange(sub, dtype=jnp.int32)).reshape(b0, p0 * sub)
+        lsel = jnp.repeat(lsel, sub, axis=-1)
+    d, needed = grouped_distances(
+        x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,
+        _prec(precision), tile_m, nt, tile_chunk,
+        block_scale=block_scale, block_center=block_center)
+    # selection tail, identical to _score_blocks: ids fetched as whole
+    # leaf blocks with the same [B, P] pattern, carried through the sort
+    # as payload operands
+    b, p = gsel.shape
+    lmax = x_leaf.shape[-2]
+    t = arrays.perm.shape[0]
+    ids_blk = jnp.take(id_leaf, gsel, axis=0)  # [B, P, lmax]
+    d = d.reshape(b, p * lmax)
+    ids_flat = ids_blk.reshape(b, p * lmax)
+    kk = min(k * t if dedup else k, p * lmax)
+    if selection == "approx" and kk < p * lmax:
+        # hardware top-k; see the note in _score_blocks
+        neg, sel_idx = lax.approx_max_k(-d, kk, recall_target=0.99)
+        d_top = -neg
+        ids_top = jnp.take_along_axis(ids_flat, sel_idx, axis=-1)
+    else:
+        d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
+        d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
+    ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
+    d_out, i_out = merge_top_k(d_top, ids_top, k, dedup=dedup)
+    return d_out, i_out, needed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
                      "precision", "bucket_stop", "min_votes", "chunk",
-                     "sub"),
+                     "sub", "selection"),
 )
 def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                      probes, metric, dedup, precision, bucket_stop,
                      min_votes, block_scale, block_len, chunk,
-                     block_center=None, sub=1):
+                     block_center=None, sub=1, selection="sort"):
     """One-dispatch chunked batch query: ``lax.map`` over query chunks of
     the packed kNN pipeline.  Peak memory stays per-chunk (the rerank
     buffers are reused across iterations) while the host pays ONE
@@ -474,7 +600,8 @@ def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                            budget, probes, metric, dedup, precision,
                            bucket_stop=bucket_stop, min_votes=min_votes,
                            block_scale=block_scale, block_len=block_len,
-                           block_center=block_center, sub=sub)
+                           block_center=block_center, sub=sub,
+                           selection=selection)
 
     d, ids = lax.map(one, qc)
     return d.reshape(b, -1), ids.reshape(b, -1)
@@ -550,9 +677,10 @@ def _descend(plan, arrays, xnew):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dtype_str", "centered", "sub"))
+                   static_argnames=("dtype_str", "centered", "sub",
+                                    "sub_split"))
 def _pack_dense_blocks(perm, x, pos, in_leaf, dtype_str, centered,
-                       sub=1, r_sub=None, in_sub=None):
+                       sub=1, r_sub=None, in_sub=None, sub_split="proj"):
     """Leaf-blocked packing, one ``lax.map`` step per tree so the f32
     gather/quantization intermediates are a single tree's blocks (~1/T of
     the index), not the whole forest's -- an eager per-op pack of int8
@@ -574,11 +702,16 @@ def _pack_dense_blocks(perm, x, pos, in_leaf, dtype_str, centered,
         rows = jnp.where(in_leaf[..., None], rows, 0.0)
         ids = jnp.where(in_leaf, ids, -1)
         if sub > 1:
-            # spatial order within the leaf: 1-D projection sort (invalid
-            # slots key +inf -> they stay a contiguous tail, so sub-block
-            # occupancy remains a static prefix)
-            key = jnp.where(in_leaf, rows @ r_sub, jnp.inf)
-            order = jnp.argsort(key, axis=-1)
+            # spatial order within the leaf (invalid slots key +inf ->
+            # they stay a contiguous tail, so sub-block occupancy remains
+            # a static prefix): balanced recursive 2-means when asked
+            # (boundary-adaptive centers; sub must be a power of two),
+            # else the 1-D projection sort
+            if sub_split == "kmeans":
+                order = _sub_order_kmeans(rows, in_leaf, r_sub, sub)
+            else:
+                key = jnp.where(in_leaf, rows @ r_sub, jnp.inf)
+                order = jnp.argsort(key, axis=-1)
             ids = jnp.take_along_axis(ids, order, axis=-1)
             rows = jnp.take_along_axis(rows, order[..., None], axis=-2)
             nl, lmax = in_leaf.shape
@@ -985,7 +1118,8 @@ class RPForest:
 
     def pack_leaves(self, dtype=None, slack: int = 0,
                     centered: bool = False,
-                    sub_block: int = 1) -> "RPForest":
+                    sub_block: int = 1,
+                    sub_split: str = "kmeans") -> "RPForest":
         """Precompute leaf-blocked copies of the dataset: ``x_leaf
         [T * n_leaves, lmax * D]`` holds each leaf's points contiguously
         (zero-padded to the max leaf size), ``id_leaf [T * n_leaves * lmax]``
@@ -1015,14 +1149,17 @@ class RPForest:
         operands thread through the sharded scorers).
 
         ``sub_block=s > 1`` splits every leaf into ``s`` sub-blocks of
-        ``lmax/s`` slots, with the leaf's rows reordered by a 1-D random
-        projection first so each sub-block is a spatially coherent slice.
-        Queries fetch the same bytes (all of a probed leaf's sub-blocks),
-        but the quantization state -- int8 scales and centered means --
-        lives PER SUB-BLOCK, which repairs centered int8 on leaves that
-        straddle clusters (a straddling leaf's projection-sorted slices
-        are nearly pure, so each slice's mean is a tight center).  Dense
-        single-device packs only; incompatible with ``slack``/``fold``.
+        ``lmax/s`` slots, with the leaf's rows reordered so each
+        sub-block is a spatially coherent slice.  Queries fetch the same
+        bytes (all of a probed leaf's sub-blocks), but the quantization
+        state -- int8 scales and centered means -- lives PER SUB-BLOCK,
+        which repairs centered int8 on leaves that straddle clusters.
+        ``sub_split`` picks the ordering: ``"kmeans"`` (default; balanced
+        recursive 2-means, so each sub-block's mean is a real cluster
+        center -- requires power-of-two ``s``) or ``"proj"`` (1-D random
+        projection sort; any ``s``).  Dense blocks only; incompatible
+        with ``slack``/``fold``.  Supported on the sharded layouts too
+        (tree-/leaf-sharded and data-parallel packers).
 
         ELL-sparse datasets pack into :class:`EllBlocks` (leaf-blocked
         padded cols/vals) and serve through the same probe-compacted
@@ -1076,6 +1213,12 @@ class RPForest:
                 raise ValueError("sub_block and slack are mutually "
                                  "exclusive (fold() addresses whole-leaf "
                                  "blocks)")
+            if sub_split not in ("kmeans", "proj"):
+                raise ValueError("sub_split must be 'kmeans' or 'proj', "
+                                 f"got {sub_split!r}")
+            if s > 1 and sub_split == "kmeans" and (s & (s - 1)):
+                # the recursive halving needs a power of two; fall back
+                sub_split = "proj"
             self._pack_slack = int(slack)
             if centered and (dtype is None
                              or jnp.dtype(dtype) != jnp.int8):
@@ -1126,7 +1269,7 @@ class RPForest:
                                      jnp.asarray(pos),
                                      jnp.asarray(in_leaf), dtype_str,
                                      centered, sub=s, r_sub=r_sub,
-                                     in_sub=in_sub)
+                                     in_sub=in_sub, sub_split=sub_split)
             scale = None
             center = None
             g = self.n_trees * nl * s
@@ -1165,7 +1308,8 @@ class RPForest:
             # SAME layout (an int8/centered pack silently becoming f32
             # would grow index memory 4x with no indication)
             self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
-                              "centered": centered, "sub_block": s}
+                              "centered": centered, "sub_block": s,
+                              "sub_split": sub_split}
         return self
 
     # -- incremental updates (freshness layer) -------------------------------
@@ -1305,11 +1449,20 @@ class RPForest:
         like rebuild, folding renumbers the buffered points' ids.
 
         Works on every packed layout: single-device dense/int8/ELL blocks,
-        tree-sharded and leaf-sharded dense blocks (the scatter addresses
-        each block's storage row through the layout's round-robin map, and
-        the dynamic per-block occupancy is threaded into the sharded query
-        kernels); sharded sparse (ELL) blocks are the one unsupported
-        combination."""
+        tree-sharded and leaf-sharded dense or ELL blocks (the scatter
+        addresses each block's storage row through the layout's
+        round-robin map, and the dynamic per-block occupancy is threaded
+        into the sharded query kernels).
+
+        How long is fold-only operation safe?  Measured
+        (examples/fold_drift.py, BASELINE.md round-4): under a STATIONARY
+        stream, recall stays within 0.002 of a fresh rebuild up to 80%
+        folded fraction -- degradation comes from slack exhaustion, not
+        threshold staleness.  Under distribution DRIFT the gap opens once
+        the data has moved ~0.5 sigma and leaves saturate (0.27 recall
+        gap at 81% folded).  Recommended default: :meth:`rebuild` by ~50%
+        folded fraction under drift (``add(rebuild_every=n//2)``), 80%
+        stationary, or on the first fold that leaves overflow pending."""
         if self._packed is None:
             raise ValueError("pack_leaves(slack=...) first: fold inserts "
                              "into the packed blocks' slack slots")
@@ -1318,12 +1471,6 @@ class RPForest:
                              "without sub_block (or rebuild())")
         sharded = getattr(self, "mesh", None) is not None
         is_ell = isinstance(self._packed[0], EllBlocks)
-        if sharded and is_ell:
-            raise NotImplementedError(
-                "fold into SHARDED sparse (ELL) blocks is unsupported; "
-                "rebuild from the source rows with "
-                "forest_batch_data_parallel"
-            )
         if not getattr(self, "_pending", None):
             return self
         xp = jnp.concatenate(self._pending, axis=0)
@@ -1404,7 +1551,7 @@ class RPForest:
                     rc[j, :idxs.size] = idxs
                     rv[j, :idxs.size] = rows_np[j][idxs]
                 blocks = self._packed[0]
-                cols2, vals2, sq2, ids2 = _scatter_fold_ell(
+                out_ell = _scatter_fold_ell(
                     blocks.cols, blocks.vals, self._packed[1],
                     self._packed[2],
                     jnp.asarray(rsel.reshape(-1)),
@@ -1414,6 +1561,16 @@ class RPForest:
                     jnp.tile(sq, t),
                     jnp.tile(jnp.asarray(ids_new), t),
                 )
+                if sharded:
+                    # re-pin the scattered outputs to the original block
+                    # shardings (GSPMD may have chosen different ones)
+                    out_ell = tuple(
+                        jax.device_put(a, ref.sharding)
+                        for a, ref in zip(
+                            out_ell, (blocks.cols, blocks.vals,
+                                      self._packed[1], self._packed[2]))
+                    )
+                cols2, vals2, sq2, ids2 = out_ell
                 self._packed = (EllBlocks(blocks.dim, cols2, vals2),
                                 sq2, ids2)
             else:
@@ -1608,8 +1765,8 @@ class RPForest:
 
     def knn(self, q, k: int, metric: str = "l2", budget: Optional[int] = None,
             dedup: bool = True, precision: str = "highest",
-            probes: Optional[int] = None,
-            min_votes: int = 1) -> Tuple[jax.Array, jax.Array]:
+            probes: Optional[int] = None, min_votes: int = 1,
+            selection: str = "sort") -> Tuple[jax.Array, jax.Array]:
         """k nearest neighbours of ``q`` (single vector or batch).
 
         Returns ``(dists f32[B, k], ids int32[B, k])`` ordered by increasing
@@ -1647,7 +1804,8 @@ class RPForest:
                               block_scale=getattr(self, "_block_scale", None),
                               block_len=(self._sub_len_dev if sub > 1
                                          else self._block_len_dev),
-                              block_center=self._block_center, sub=sub)
+                              block_center=self._block_center, sub=sub,
+                              selection=selection)
             return self._apply_update_hooks(qb, out[0], out[1], int(k),
                                             metric, precision)
         if self.x is None:
@@ -1663,7 +1821,8 @@ class RPForest:
                     budget: Optional[int] = None, dedup: bool = True,
                     precision: str = "highest",
                     probes: Optional[int] = None, min_votes: int = 1,
-                    chunk: int = 4096) -> Tuple[jax.Array, jax.Array]:
+                    chunk: int = 4096,
+                    selection: str = "sort") -> Tuple[jax.Array, jax.Array]:
         """Large-batch kNN in ONE device dispatch: queries are processed
         in chunks of ``chunk`` inside a single ``lax.map`` program, so
         peak rerank memory is per-chunk but the host pays one dispatch
@@ -1684,11 +1843,106 @@ class RPForest:
             budget, int(probes), metric, dedup, precision, False,
             int(min_votes), getattr(self, "_block_scale", None),
             self._sub_len_dev if sub > 1 else self._block_len_dev, chunk,
-            block_center=self._block_center, sub=sub,
+            block_center=self._block_center, sub=sub, selection=selection,
         )
         out = (out[0][:b], out[1][:b])
         return self._apply_update_hooks(qb[:b], out[0], out[1], int(k),
                                         metric, precision)
+
+    def _lens_global(self) -> jax.Array:
+        """Per-block occupancy ``int32[G]`` in GLOBAL block order: the
+        dynamic post-fold table when present, else the plan's static leaf
+        lengths tiled over trees (sub-block occupancies when packed with
+        ``sub_block > 1``)."""
+        sub = getattr(self, "_sub_block", 1)
+        if sub > 1:
+            return self._sub_len_dev
+        if self._block_len_dev is not None:
+            return self._block_len_dev
+        if getattr(self, "_lens_global_dev", None) is None:
+            self._lens_global_dev = jnp.asarray(
+                np.tile(np.asarray(self.plan.leaf_len, np.int32),
+                        self.n_trees))
+        return self._lens_global_dev
+
+    def knn_grouped(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None, dedup: bool = True,
+                    precision: str = "highest",
+                    probes: Optional[int] = None, tile_m: int = 16,
+                    nt: Optional[int] = None, tile_chunk: int = 2048,
+                    bucket_stop: bool = False, selection: str = "sort"
+                    ) -> Tuple[jax.Array, jax.Array]:
+        """Query-grouped block-resident kNN: same results as :meth:`knn`
+        on the packed path, restructured so queries probing the SAME leaf
+        block share one fetch of it and one MXU matmul against the
+        resident block (:mod:`rptree_tpu.ops.grouped`).  The win grows
+        with probe overlap -- clustered data and large batches; on data
+        where every pair probes a distinct block it degenerates to the
+        per-pair path's traffic plus grouping overhead (use :meth:`knn`).
+
+        Processes the WHOLE batch in one dispatch.  The data-dependent
+        tile count is covered by a static capacity that auto-sizes: the
+        first call measures the needed tiles and re-runs if the initial
+        guess was low (each capacity bucket compiles once); the learned
+        capacity is cached per (batch, probes, tile_m) shape.
+
+        Unsupported here (use :meth:`knn`): ELL-sparse blocks, custom
+        distance callables, ``min_votes``, sharded forests.
+        """
+        if self._packed is None:
+            raise ValueError("pack_leaves() first: knn_grouped runs on "
+                             "the leaf-blocked layout")
+        if isinstance(self._packed[0], EllBlocks):
+            raise ValueError("knn_grouped needs dense blocks; ELL-sparse "
+                             "datasets serve through knn()")
+        if callable(metric):
+            raise ValueError("knn_grouped supports builtin metrics only; "
+                             "use knn() for distance callables")
+        if getattr(self, "mesh", None) is not None:
+            raise ValueError("knn_grouped is single-device; sharded "
+                             "forests serve through knn()/knn_batched()")
+        k = self._check_k(k)
+        qb = _as_dense_queries(q, self.dim)
+        budget = self._budget(budget)
+        if probes is None:
+            probes = self.n_trees * budget
+        probes = int(probes)
+        sub = getattr(self, "_sub_block", 1)
+        x_leaf, sq_leaf, id_leaf = self._packed
+        e = qb.shape[0] * probes * sub
+        tc = max(1, int(tile_chunk))
+        cap_max = -(-e // tc) * tc  # every pair its own tile
+
+        def _bucket(n):
+            return min(max(-(-int(n) // tc) * tc, tc), cap_max)
+
+        if not hasattr(self, "_grouped_nt"):
+            self._grouped_nt = {}
+        key = (qb.shape[0], probes, int(tile_m))
+        # initial guess 2.25 * e / tile_m: the measured flagship tile
+        # count sits just above 2x (needed=65774 at e/tile_m=32768;
+        # BASELINE.md round-4), so 2x would retry-recompile at the margin
+        cap = int(nt) if nt is not None else self._grouped_nt.get(
+            key, _bucket(2 * e // int(tile_m) + e // (4 * int(tile_m))))
+        lens = self._lens_global()
+        while True:
+            d, ids, needed = _knn_grouped(
+                self.plan, self.arrays, x_leaf, sq_leaf, id_leaf, lens,
+                qb, int(k), budget, probes, metric, dedup, precision,
+                int(tile_m), cap, min(tc, cap), bucket_stop=bucket_stop,
+                block_scale=getattr(self, "_block_scale", None),
+                block_center=self._block_center, sub=sub,
+                selection=selection)
+            needed = int(needed)
+            if needed <= cap or nt is not None:
+                break
+            # retry with headroom so minor batch-to-batch variance does
+            # not force another recompile
+            cap = _bucket(needed + needed // 8)
+        self._grouped_nt[key] = max(cap, _bucket(needed + needed // 8)) \
+            if nt is None else self._grouped_nt.get(key, cap)
+        return self._apply_update_hooks(qb, d, ids, int(k), metric,
+                                        precision)
 
     def knn_pq(self, q, k: int, metric: str = "l2",
                budget: Optional[int] = None, precision: str = "highest"):

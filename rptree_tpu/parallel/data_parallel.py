@@ -47,6 +47,7 @@ from ..models.plan import TreePlan, make_plan
 from ..ops.build import TreeArrays, project_dataset
 from ..ops.sparse import EllBlocks, EllMatrix
 from ..utils import gen as rgen
+from .mesh import QUERY_AXIS
 
 __all__ = ["DataParallelForest", "forest_batch_data_parallel",
            "brute_force_knn_sharded", "DATA_AXIS", "data_mesh"]
@@ -54,12 +55,21 @@ __all__ = ["DataParallelForest", "forest_batch_data_parallel",
 DATA_AXIS = "data"
 
 
-def data_mesh(n_shards: Optional[int] = None, devices=None) -> Mesh:
-    """1-D mesh over the data (points) axis."""
+def data_mesh(n_shards: Optional[int] = None, devices=None,
+              n_query: int = 1) -> Mesh:
+    """Mesh over the data (points) axis; ``n_query > 1`` adds a second
+    ``query`` axis, so a giant batch splits across device columns instead
+    of replicating ``B x D`` onto every data shard (the (data x query)
+    composition).  ``n_shards * n_query`` must not exceed the device
+    count."""
     if devices is None:
         devices = jax.devices()
     if n_shards is None:
-        n_shards = len(devices)
+        n_shards = len(devices) // max(1, n_query)
+    if n_query > 1:
+        grid = np.asarray(devices[: n_shards * n_query]).reshape(
+            n_shards, n_query)
+        return Mesh(grid, (DATA_AXIS, QUERY_AXIS))
     return Mesh(np.asarray(devices[:n_shards]), (DATA_AXIS,))
 
 
@@ -384,10 +394,11 @@ def _dp_knn(mesh, plan, arrays, x, sq, q, k, budget, metric, dedup,
         return merge_top_k(d_all, i_all, k, dedup=dedup or min_votes > 1)
 
     spec = TreeArrays(r=P(), thr=P(), mgl=P(), mgh=P(), perm=P())
+    q_spec = P(QUERY_AXIS) if QUERY_AXIS in mesh.shape else P()
     return jax.shard_map(
         block, mesh=mesh,
-        in_specs=(spec, P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P()),
+        in_specs=(spec, P(DATA_AXIS), P(DATA_AXIS), q_spec),
+        out_specs=(q_spec, q_spec),
         check_vma=False,
     )(arrays, x, sq, q)
 
@@ -423,19 +434,21 @@ def _dp_recall(mesh, plan, arrays, x, sq, q, k, budget, metric):
         return jnp.mean(jnp.sum(found, -1).astype(jnp.float32) / k, axis=0)
 
     spec = TreeArrays(r=P(), thr=P(), mgl=P(), mgh=P(), perm=P())
+    q_spec = P(QUERY_AXIS) if QUERY_AXIS in mesh.shape else P()
     return jax.shard_map(
         block, mesh=mesh,
-        in_specs=(spec, P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=P(),
+        in_specs=(spec, P(DATA_AXIS), P(DATA_AXIS), q_spec),
+        out_specs=q_spec,
         check_vma=False,
     )(arrays, x, sq, q)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "plan", "n_trees", "dtype_str",
-                                    "centered"))
+                                    "centered", "sub", "sub_split"))
 def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr,
-             centered=False):
+             centered=False, sub=1, r_sub=None, in_sub_arr=None,
+             sub_split="proj"):
     """Leaf-blocked packing FROM the sharded dataset, INTO leaf-sharded
     blocks (block g on shard g % S at local row g // S -- the layout
     :func:`rptree_tpu.parallel.distributed._dist_knn_leaf_sharded`
@@ -453,7 +466,7 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr,
     # blow past the remote compiler's request limit (CLAUDE.md: pass big
     # arrays as jit arguments, never close over them)
 
-    def block(perm_r, x_l, pos_r, in_r):
+    def block(perm_r, x_l, pos_r, in_r, r_sub_r, in_sub_r):
         me = lax.axis_index(DATA_AXIS)
         n_l = x_l.shape[0]
         base = me * n_l
@@ -492,32 +505,59 @@ def _dp_pack(mesh, plan, n_trees, perm, x, dtype_str, pos_arr, in_leaf_arr,
         ids_own = perm_r[t_own[:, None], pos_own]
         ids_own = jnp.where(in_own, ids_own, -1)
         rows = jnp.where(in_own[..., None], acc, 0.0)
+        if sub > 1:
+            # a leaf's sub-blocks are formed LOCALLY on its owner (the
+            # whole leaf was just assembled here): order the rows and
+            # slice -- the leaf's `sub` sub-blocks stay the contiguous
+            # storage rows under its leaf row
+            if sub_split == "kmeans":
+                from ..models.forest import _sub_order_kmeans
+
+                order = _sub_order_kmeans(rows, in_own, r_sub_r, sub)
+            else:
+                key = jnp.where(in_own, rows @ r_sub_r, jnp.inf)
+                order = jnp.argsort(key, axis=-1)
+            ids_own = jnp.take_along_axis(ids_own, order, axis=-1)
+            rows = jnp.take_along_axis(rows, order[..., None], axis=-2)
+            ls = lmax // sub
+            rows = rows.reshape(g_per * sub, ls, d)
+            ids_own = ids_own.reshape(g_per * sub, ls)
+            sub_idx = (leaf_own[:, None] * sub
+                       + jnp.arange(sub, dtype=jnp.int32)[None, :]
+                       ).reshape(-1)
+            in_own = (jnp.take(in_sub_r, sub_idx, axis=0)
+                      & jnp.repeat(own_ok, sub)[:, None])
+            ids_own = jnp.where(in_own, ids_own, -1)
+            rows = jnp.where(in_own[..., None], rows, 0.0)
+        g_out = g_per * sub
         sq = jnp.sum(rows * rows, axis=-1)
         if dtype_str == "int8" and centered:
             from ..models.forest import _center_quantize
 
             rows, scale, mu, mudr = _center_quantize(rows, in_own)
-            return rows, sq, ids_own, scale.reshape(g_per), mu, mudr
+            return rows, sq, ids_own, scale.reshape(g_out), mu, mudr
         if dtype_str == "int8":
             amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
             scale = jnp.maximum(amax, 1e-30) / 127.0
             rows = jnp.clip(jnp.round(rows / scale), -127, 127
                             ).astype(jnp.int8)
-            scale = scale.reshape(g_per)
+            scale = scale.reshape(g_out)
         else:
-            scale = jnp.ones(g_per, jnp.float32)
+            scale = jnp.ones(g_out, jnp.float32)
             if dtype_str == "bf16":
                 rows = rows.astype(jnp.bfloat16)
         return rows, sq, ids_own, scale
 
     d_ax = P(DATA_AXIS)
     n_out = 6 if (dtype_str == "int8" and centered) else 4
+    rs_spec = None if r_sub is None else P()
+    is_spec = None if in_sub_arr is None else P()
     return jax.shard_map(
         block, mesh=mesh,
-        in_specs=(P(), d_ax, P(), P()),
+        in_specs=(P(), d_ax, P(), P(), rs_spec, is_spec),
         out_specs=tuple([d_ax] * n_out),
         check_vma=False,
-    )(perm, x, pos_arr, in_leaf_arr)
+    )(perm, x, pos_arr, in_leaf_arr, r_sub, in_sub_arr)
 
 
 @functools.partial(jax.jit,
@@ -609,20 +649,34 @@ class DataParallelForest(RPForest):
         self.mesh = mesh
 
     def _q_repl(self, q):
+        """Place a query batch on the mesh: replicated on a 1-D data
+        mesh; SHARDED over the query axis on a (data x query) mesh, so a
+        giant batch costs B/S_q rows per device instead of a full copy on
+        every data shard.  Returns ``(padded batch, original B)``."""
         from ..models.forest import _as_dense_queries
 
         qb = _as_dense_queries(q, self.dim)
-        return jax.device_put(qb, NamedSharding(self.mesh, P()))
+        b = qb.shape[0]
+        if QUERY_AXIS in self.mesh.shape:
+            s_q = self.mesh.shape[QUERY_AXIS]
+            pad = (-b) % s_q
+            if pad:
+                qb = jnp.concatenate(
+                    [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+            return jax.device_put(
+                qb, NamedSharding(self.mesh, P(QUERY_AXIS))), b
+        return jax.device_put(qb, NamedSharding(self.mesh, P())), b
 
     def knn(self, q, k: int, metric: str = "l2",
             budget: Optional[int] = None, dedup: bool = True,
             precision: str = "highest", probes: Optional[int] = None,
             min_votes: int = 1):
-        qb = self._q_repl(q)
+        qb, b = self._q_repl(q)
         budget = self._budget(budget)
         if getattr(self, "_packed_mode", None) == "leaf":
-            from .distributed import _dist_knn_leaf_sharded
+            from .distributed import _dist_knn_leaf_sharded, _serving_lens
 
+            bl_r, bl_g, sub = _serving_lens(self)
             if probes is None:
                 probes = self.n_trees * budget
             out = _dist_knn_leaf_sharded(
@@ -631,9 +685,9 @@ class DataParallelForest(RPForest):
                 min_votes=int(min_votes),
                 block_scale=getattr(self, "_block_scale", None),
                 axis=DATA_AXIS,
-                block_len=getattr(self, "_block_len_rows_dev", None),
-                block_len_global=self._block_len_dev,
+                block_len=bl_r, block_len_global=bl_g,
                 block_center=getattr(self, "_block_center", None),
+                sub=sub,
             )
         else:
             if self.x is None:
@@ -642,8 +696,8 @@ class DataParallelForest(RPForest):
             out = _dp_knn(self.mesh, self.plan, self.arrays, self.x,
                           self.sq_norms, qb, int(k), budget, metric, dedup,
                           precision, min_votes=int(min_votes))
-        return self._apply_update_hooks(qb, out[0], out[1], int(k), metric,
-                                        precision)
+        return self._apply_update_hooks(qb[:b], out[0][:b], out[1][:b],
+                                        int(k), metric, precision)
 
     def knn_batched(self, q, k: int, metric: str = "l2",
                     budget: Optional[int] = None, dedup: bool = True,
@@ -658,17 +712,24 @@ class DataParallelForest(RPForest):
         if getattr(self, "_packed_mode", None) != "leaf":
             raise ValueError("pack_leaves() first: knn_batched serves the "
                              "leaf-sharded packed blocks")
-        from .distributed import _dist_knn_leaf_sharded
+        from .distributed import _dist_knn_leaf_sharded, _serving_lens
 
+        bl_r, bl_g, sub = _serving_lens(self)
         k = self._check_k(k)
-        qb = self._q_repl(q)
-        b = qb.shape[0]
-        chunk = max(1, min(int(chunk), b))
-        pad = (-b) % chunk
+        qb, b = self._q_repl(q)
+        s_q = self.mesh.shape.get(QUERY_AXIS, 1)
+        chunk = max(1, min(int(chunk), -(-qb.shape[0] // s_q)))
+        unit = s_q * chunk
+        pad = (-b) % unit
         if pad:
+            from ..models.forest import _as_dense_queries
             qb = jnp.concatenate(
-                [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
-            qb = jax.device_put(qb, NamedSharding(self.mesh, P()))
+                [_as_dense_queries(q, self.dim),
+                 jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+            qb = jax.device_put(
+                qb, NamedSharding(
+                    self.mesh,
+                    P(QUERY_AXIS) if s_q > 1 else P()))
         budget = self._budget(budget)
         if probes is None:
             probes = self.n_trees * budget
@@ -678,9 +739,9 @@ class DataParallelForest(RPForest):
             min_votes=int(min_votes),
             block_scale=getattr(self, "_block_scale", None),
             axis=DATA_AXIS, chunk=chunk,
-            block_len=getattr(self, "_block_len_rows_dev", None),
-            block_len_global=self._block_len_dev,
+            block_len=bl_r, block_len_global=bl_g,
             block_center=getattr(self, "_block_center", None),
+            sub=sub,
         )
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
@@ -688,11 +749,12 @@ class DataParallelForest(RPForest):
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,
               precision: str = "highest", probes: Optional[int] = None):
-        qb = self._q_repl(q)
+        qb, b = self._q_repl(q)
         budget = self._budget(budget)
         if getattr(self, "_packed_mode", None) == "leaf":
-            from .distributed import _dist_knn_leaf_sharded
+            from .distributed import _dist_knn_leaf_sharded, _serving_lens
 
+            bl_r, bl_g, sub = _serving_lens(self)
             if probes is None:
                 probes = self.n_trees * budget
             out = _dist_knn_leaf_sharded(
@@ -701,27 +763,28 @@ class DataParallelForest(RPForest):
                 bucket_stop=True,
                 block_scale=getattr(self, "_block_scale", None),
                 axis=DATA_AXIS,
-                block_len=getattr(self, "_block_len_rows_dev", None),
-                block_len_global=self._block_len_dev,
+                block_len=bl_r, block_len_global=bl_g,
                 block_center=getattr(self, "_block_center", None),
+                sub=sub,
             )
-            return self._apply_update_hooks(qb, out[0], out[1], int(k),
-                                            metric, precision)
+            return self._apply_update_hooks(qb[:b], out[0][:b], out[1][:b],
+                                            int(k), metric, precision)
         if self.x is None:
             raise ValueError("dataset dropped; pack_leaves() first")
         out = _dp_knn(self.mesh, self.plan, self.arrays, self.x,
                       self.sq_norms, qb, int(k), budget, metric, dedup,
                       precision, variant="h")
-        return self._apply_update_hooks(qb, out[0], out[1], int(k),
-                                        metric, precision)
+        return self._apply_update_hooks(qb[:b], out[0][:b], out[1][:b],
+                                        int(k), metric, precision)
 
     def brute_force_knn(self, q, k: int, metric: str = "l2",
                         precision: str = "highest"):
         if self.x is None:
             raise ValueError("dataset dropped; brute force needs raw rows")
-        qb = self._q_repl(q)
+        qb, b = self._q_repl(q)
         d, i = _bf_sharded(self.mesh, self.x, self.sq_norms, qb, int(k),
                            metric)
+        qb, d, i = qb[:b], d[:b], i[:b]
         if self.n_folded:
             # fold-appended rows live only in the packed blocks (small
             # dense host copies): scan them separately and merge so the
@@ -733,13 +796,20 @@ class DataParallelForest(RPForest):
                     budget: Optional[int] = None):
         if self.x is None:
             raise ValueError("dataset dropped; recall needs raw rows")
+        qb, b = self._q_repl(q)
         if self.n_folded:
-            raise ValueError("recall on a folded sharded forest is "
-                             "unsupported; rebuild() first")
-        qb = self._q_repl(q)
+            # folded-aware ground truth from the sharded brute force (it
+            # merges the fold-appended rows), then the candidate match on
+            # the REPLICATED structure arrays -- no collective needed
+            from ..models.forest import _recall_folded
+            _, exact_ids = self.brute_force_knn(qb, int(k), metric=metric)
+            fl = jnp.asarray(np.concatenate(self._folded_leaf, axis=1))
+            return _recall_folded(self.plan, self.arrays, qb, int(k),
+                                  self._budget(budget), exact_ids, fl,
+                                  self.plan.n)[:b]
         return _dp_recall(self.mesh, self.plan, self.arrays, self.x,
                           self.sq_norms, qb, int(k), self._budget(budget),
-                          metric)
+                          metric)[:b]
 
     def rebuild(self) -> "DataParallelForest":
         """Fold pending inserts / purge tombstones by re-running the
@@ -750,14 +820,16 @@ class DataParallelForest(RPForest):
         if (not getattr(self, "_pending", None) and self.n_deleted == 0
                 and self.n_folded == 0):
             return self
-        if isinstance(self.x, EllMatrix):
-            raise NotImplementedError(
-                "rebuild() on a data-parallel ELL dataset is unsupported; "
-                "rebuild from the source rows with "
-                "forest_batch_data_parallel"
-            )
         n_sh = self.mesh.shape[DATA_AXIS]
-        x_all, new_payloads = self._rebuild_rows()
+        if isinstance(self.x, EllMatrix):
+            # sparse rebuild stays sparse end to end: stage the row-sharded
+            # ELL tables through the host (never densified -- a
+            # bag-of-words dim would not fit anywhere dense), append the
+            # folded/pending dense rows as padded slot lists, purge
+            # tombstones, and re-run the data-parallel build
+            x_all, new_payloads = self._rebuild_rows_ell()
+        else:
+            x_all, new_payloads = self._rebuild_rows()
         if x_all.shape[0] % n_sh:
             raise ValueError(
                 f"rebuilt size {x_all.shape[0]} does not divide the "
@@ -766,8 +838,9 @@ class DataParallelForest(RPForest):
         cfg = self.config
         fresh = forest_batch_data_parallel(
             self.seed, cfg.max_depth, cfg.min_leaf, cfg.n_trees,
-            cfg.proj_nz_density, np.asarray(x_all), mesh=self.mesh,
-            payloads=new_payloads,
+            cfg.proj_nz_density,
+            x_all if isinstance(x_all, EllMatrix) else np.asarray(x_all),
+            mesh=self.mesh, payloads=new_payloads,
         )
         self.plan, self.arrays = fresh.plan, fresh.arrays
         self.x, self.sq_norms = fresh.x, fresh.sq_norms
@@ -783,24 +856,89 @@ class DataParallelForest(RPForest):
         self._block_len_dev = None
         self._block_len_rows_dev = None
         if self._packed is not None:
-            # replay the remembered pack configuration (dtype/centered)
+            # replay the remembered pack configuration
+            # (dtype/centered/sub_block)
             cfg_p = dict(getattr(self, "_pack_cfg", None) or {})
-            cfg_p.pop("sub_block", None)
             self._packed = None
             self._small = None
             self._packed_mode = None
             self._block_scale = None
             self._block_center = None
+            self._sub_block = 1
+            self._sub_len_dev = None
+            self._sub_len_rows_dev = None
             self.pack_leaves(slack=self._pack_slack, **cfg_p)
         return self
 
+    def _rebuild_rows_ell(self):
+        """ELL counterpart of ``_rebuild_rows``: original sharded rows +
+        fold-appended + pending rows as padded (cols, vals) tables, with
+        tombstoned entries purged -- never densified.  Dense update rows
+        with more nonzeros than the table's K slots cannot be stored
+        losslessly and raise."""
+        cols = np.asarray(self.x.cols)
+        vals = np.asarray(self.x.vals)
+        kz = cols.shape[1]
+        n0 = cols.shape[0]
+        pays = (list(self.payloads) if self.payloads is not None
+                else [None] * n0)
+
+        def to_ell(chunk):
+            c = np.asarray(chunk)
+            rc = np.zeros((c.shape[0], kz), np.int32)
+            rv = np.zeros((c.shape[0], kz), np.float32)
+            for j in range(c.shape[0]):
+                nz = np.flatnonzero(c[j])
+                if nz.size > kz:
+                    raise ValueError(
+                        f"update row has {nz.size} nonzeros > the ELL "
+                        f"table's {kz} slots; rebuild from source rows "
+                        "with forest_batch_data_parallel")
+                rc[j, :nz.size] = nz
+                rv[j, :nz.size] = c[j][nz]
+            return rc, rv
+
+        cs, vs = [cols], [vals]
+        for chunk in self._folded_x:
+            rc, rv = to_ell(chunk)
+            cs.append(rc)
+            vs.append(rv)
+        pays = pays + list(self._folded_payloads)
+        cols_all = np.concatenate(cs, axis=0)
+        vals_all = np.concatenate(vs, axis=0)
+        if self._deleted is not None and self._deleted.any():
+            keep = ~self._deleted
+            cols_all = cols_all[keep]
+            vals_all = vals_all[keep]
+            pays = [p for p, kp in zip(pays, keep) if kp]
+        pend = list(self._pending)
+        pend_pays = sum(self._pending_payloads, [])
+        dead_p = getattr(self, "_pending_deleted", None)
+        if dead_p and pend:
+            xp = np.concatenate([np.asarray(c) for c in pend], axis=0)
+            keep_p = np.ones(xp.shape[0], bool)
+            keep_p[list(dead_p)] = False
+            pend = [xp[keep_p]]
+            pend_pays = [p for p, kp in zip(pend_pays, keep_p) if kp]
+        for chunk in pend:
+            rc, rv = to_ell(chunk)
+            cols_all = np.concatenate([cols_all, rc], axis=0)
+            vals_all = np.concatenate([vals_all, rv], axis=0)
+        pays = pays + pend_pays
+        x_ell = EllMatrix(self.dim, cols_all, vals_all)
+        return x_ell, (None if all(p is None for p in pays) else pays)
+
     def pack_leaves(self, dtype=None, shard_by: str = "leaf",
-                    slack: int = 0,
-                    centered: bool = False) -> "DataParallelForest":
+                    slack: int = 0, centered: bool = False,
+                    sub_block: int = 1,
+                    sub_split: str = "kmeans") -> "DataParallelForest":
         """Pack leaf blocks directly from the SHARDED dataset into
         leaf-sharded blocks (1/S of the index per chip).  Only
         ``shard_by="leaf"`` exists here: any other layout would
-        materialize more than 1/S of the data somewhere."""
+        materialize more than 1/S of the data somewhere.
+        ``sub_block=s > 1`` (dense only, exclusive with ``slack``) forms
+        each leaf's projection-ordered sub-blocks locally on the leaf's
+        owner shard after assembly."""
         if shard_by != "leaf":
             raise ValueError("DataParallelForest packs shard_by='leaf' "
                              "only (the memory-complete layout)")
@@ -808,6 +946,17 @@ class DataParallelForest(RPForest):
             return self
         from ..models.forest import _dtype_str
 
+        s_blk = int(sub_block) if sub_block else 1
+        if s_blk > 1 and slack:
+            raise ValueError("sub_block and slack are mutually exclusive "
+                             "(fold() addresses whole-leaf blocks)")
+        if s_blk > 1 and isinstance(self.x, EllMatrix):
+            raise ValueError("sub_block applies to dense blocks only")
+        if sub_split not in ("kmeans", "proj"):
+            raise ValueError("sub_split must be 'kmeans' or 'proj', "
+                             f"got {sub_split!r}")
+        if s_blk > 1 and sub_split == "kmeans" and (s_blk & (s_blk - 1)):
+            sub_split = "proj"  # recursive halving needs a power of two
         self._pack_slack = int(slack)
         lmax_ = max(self.plan.max_leaf_len, 1) + int(slack)
         if isinstance(self.x, EllMatrix) and centered:
@@ -822,7 +971,12 @@ class DataParallelForest(RPForest):
             if centered and dtype_str != "int8":
                 raise ValueError("centered=True applies to int8 blocks "
                                  "(pass dtype=jnp.int8)")
-            lmax_ = _tile_align(lmax_, dtype_str)
+            if s_blk > 1:
+                ls_ = -(-lmax_ // s_blk)
+                ls_ = -(-ls_ // 8) * 8
+                lmax_ = ls_ * s_blk
+            else:
+                lmax_ = _tile_align(lmax_, dtype_str)
         starts_ = np.asarray(self.plan.leaf_start)
         lens_ = np.asarray(self.plan.leaf_len)
         pos_a = starts_[:, None] + np.arange(lmax_)[None, :]
@@ -854,12 +1008,45 @@ class DataParallelForest(RPForest):
                           self.arrays.mgh)
             )
             return self
+        r_sub = in_sub_a = None
+        if s_blk > 1:
+            import numbers
+
+            ls_ = lmax_ // s_blk
+            j = np.arange(s_blk)
+            sub_len = np.clip(lens_[:, None] - j[None, :] * ls_,
+                              0, ls_).astype(np.int32).reshape(-1)
+            in_sub_a = jax.device_put(jnp.asarray(
+                np.arange(ls_)[None, :] < sub_len[:, None]), repl0)
+            seed0 = (int(self.seed)
+                     if isinstance(self.seed, numbers.Integral) else 0)
+            r_sub = rgen.key_from_seed(seed0)
+            r_sub = jax.random.normal(jax.random.fold_in(r_sub, 987),
+                                      (self.dim,), jnp.float32)
+            self._sub_len_dev = jax.device_put(jnp.asarray(
+                np.tile(sub_len, self.n_trees)), repl0)
+            # storage-row order: leaf g on shard g % S at leaf row g // S
+            n_sh = self.mesh.shape[DATA_AXIS]
+            nl = self.plan.n_leaves
+            g_total = self.n_trees * nl
+            g_per = -(-g_total // n_sh)
+            g_rows = np.concatenate([
+                s_ + n_sh * np.arange(g_per) for s_ in range(n_sh)])
+            ok_rows = g_rows < g_total
+            g_rows = np.minimum(g_rows, g_total - 1)
+            sl_rows = sub_len.reshape(nl, s_blk)[g_rows % nl]
+            sl_rows[~ok_rows] = 0
+            self._sub_len_rows_dev = jax.device_put(
+                jnp.asarray(sl_rows.reshape(-1)),
+                NamedSharding(self.mesh, P(DATA_AXIS)))
+        self._sub_block = s_blk
         out = _dp_pack(
             self.mesh, self.plan, self.n_trees, self.arrays.perm, self.x,
             dtype_str,
             jax.device_put(jnp.asarray(pos_a), repl0),
             jax.device_put(jnp.asarray(in_leaf_a), repl0),
-            centered=centered,
+            centered=centered, sub=s_blk, r_sub=r_sub, in_sub_arr=in_sub_a,
+            sub_split=sub_split,
         )
         if centered:
             rows, sq, ids, scale, mu, mudr = out
@@ -873,7 +1060,8 @@ class DataParallelForest(RPForest):
         from ..models.forest import _DTYPE_OF
 
         self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
-                          "centered": centered}
+                          "centered": centered, "sub_block": s_blk,
+                          "sub_split": sub_split}
         self._small = tuple(
             jax.device_put(a, repl0)
             for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,
@@ -899,10 +1087,11 @@ def _bf_sharded(mesh, x, sq, q, k, metric):
         dd, ii = lax.sort((d_all, i_all), num_keys=1)
         return dd[:, :k], ii[:, :k]
 
+    q_spec = P(QUERY_AXIS) if QUERY_AXIS in mesh.shape else P()
     return jax.shard_map(
         block, mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), q_spec),
+        out_specs=(q_spec, q_spec),
         check_vma=False,
     )(x, sq, q)
 

@@ -88,12 +88,13 @@ def _pad_k(dists: jax.Array, ids: jax.Array, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "plan", "k", "budget", "probes", "metric",
-                     "dedup", "variant", "precision", "min_votes", "chunk"),
+                     "dedup", "variant", "precision", "min_votes", "chunk",
+                     "sub"),
 )
 def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
               dedup, variant, precision="highest", packed=None,
               min_votes=1, chunk=None, block_len=None,
-              block_len_global=None, block_center=None):
+              block_len_global=None, block_center=None, sub=1):
     """Tree+query-sharded kNN: local rerank to k, all_gather(k per shard)
     over the tree axis, dedup-merge, re-top-k.  With ``packed`` (leaf-
     blocked ``(x_leaf, id_leaf)``, sharded over the tree axis) each shard
@@ -158,7 +159,7 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                 else max(plan.max_leaf_len, 1))
         if min_votes > 1:
             # full local candidate width: vote copies must not truncate
-            w = (probes if packed_l is not None else tl * budget) * lmax
+            w = (probes if packed_l is not None else tl * budget) * sub * lmax
             k_eff, dedup_eff = w, False
         else:
             k_eff, dedup_eff = k, dedup
@@ -189,9 +190,16 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                 ).reshape(1, tl_ * fw)
                 rows = tree_of * plan.n_leaves + jnp.clip(leaf_kept, 0, None)
                 rows = jnp.where(leaf_kept >= 0, rows, 0)
+                lsel_s = leaf_kept
+                if sub > 1:
+                    bq, pw = rows.shape
+                    rows = (rows[..., None] * sub
+                            + jnp.arange(sub, dtype=jnp.int32)
+                            ).reshape(bq, pw * sub)
+                    lsel_s = jnp.repeat(leaf_kept, sub, axis=-1)
                 kk = k_eff * tl_ if dedup_eff else k_eff
                 d_l, i_l = _score_blocks(
-                    plan, x_leaf_l, sq_leaf_l, id_leaf_l, rows, leaf_kept,
+                    plan, x_leaf_l, sq_leaf_l, id_leaf_l, rows, lsel_s,
                     q_l, k_eff, kk, metric, dedup_eff, precision,
                     block_scale=scale_l, block_len=bl_l,
                     block_center=bc_l,
@@ -202,7 +210,7 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                                    id_leaf_l, q_l, k_eff, budget, probes,
                                    metric, dedup_eff, precision,
                                    block_scale=scale_l, block_len=bl_l,
-                                   block_center=bc_l)
+                                   block_center=bc_l, sub=sub)
         else:
             d_l, i_l = _knn(plan, arrays_l, x_l, sq_l, q_l, k_eff, budget,
                             metric, dedup_eff, precision)
@@ -252,14 +260,14 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
     jax.jit,
     static_argnames=("mesh", "plan", "k", "budget", "probes",
                      "probes_per_shard", "metric", "dedup", "precision",
-                     "min_votes", "bucket_stop", "axis", "chunk"),
+                     "min_votes", "bucket_stop", "axis", "chunk", "sub"),
 )
 def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            probes_per_shard, metric, dedup, precision,
                            min_votes=1, bucket_stop=False,
                            block_scale=None, axis=TREE_AXIS, chunk=None,
                            block_len=None, block_len_global=None,
-                           block_center=None):
+                           block_center=None, sub=1):
     """kNN with the leaf blocks sharded round-robin across the tree axis
     (per-chip index memory = 1/S of the total).  Every shard traverses the
     whole (small, replicated) forest structure for its queries, keeps the
@@ -286,7 +294,7 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
             # full owned-probe width: vote copies must not truncate
             # (slot width from the packed arrays -- slack/fold may have
             # grown blocks past the plan's static max_leaf_len)
-            k_eff = probes_per_shard * x_leaf_l.shape[-2]
+            k_eff = probes_per_shard * sub * x_leaf_l.shape[-2]
             dedup_eff = False
         else:
             k_eff, dedup_eff = k, dedup
@@ -310,6 +318,15 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         pad_mask = key_s[:, :probes_per_shard] >= m
         l_s = jnp.where(pad_mask, -1, l_s[:, :probes_per_shard])
         rows = jnp.where(pad_mask, 0, g_s[:, :probes_per_shard] // n_sh)
+        if sub > 1:
+            # ownership is at LEAF granularity (leaf g on shard g % S at
+            # local leaf row g // S); its sub-blocks are the s contiguous
+            # storage rows under that leaf row
+            bq, pw = rows.shape
+            rows = (rows[..., None] * sub
+                    + jnp.arange(sub, dtype=jnp.int32)
+                    ).reshape(bq, pw * sub)
+            l_s = jnp.repeat(l_s, sub, axis=-1)
         kk = k_eff * t if dedup_eff else k_eff
         d_l, i_l = _score_blocks(plan, x_leaf_l, sq_leaf_l, id_leaf_l,
                                  rows, l_s, q_l, k_eff, kk, metric,
@@ -389,65 +406,135 @@ def _dist_recall(mesh, plan, arrays, x, sq_norms, q, k, budget, metric):
     )(arrays, x, sq_norms, q)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "plan", "k", "budget", "n_base")
+)
+def _dist_recall_folded(mesh, plan, arrays, q, k, budget, exact_ids,
+                        folded_leaf, n_base):
+    """Folded-aware :func:`_dist_recall`: the ground truth (``exact_ids``,
+    computed by the folded-aware brute force) may contain fold-appended
+    rows (ids >= ``n_base``), whose per-tree candidacy is decided by leaf
+    membership (``folded_leaf int32[T, M]``, sharded over the tree axis)
+    exactly as in the single-device ``_recall_folded``."""
+
+    def block(arrays_l, q_l, exact_l, fl_l):
+        cand = _candidate_ids(plan, arrays_l, q_l, budget)  # [T_loc, B, C]
+        hit = (exact_l[None, :, :, None] == cand[:, :, None, :]) & (
+            cand[:, :, None, :] >= 0
+        )
+        found = jnp.any(hit, axis=-1)  # [T_loc, B, k]
+        leaf_sel, _ = _traverse_forest(plan, arrays_l, q_l, budget)
+        m = fl_l.shape[1]
+        fidx = jnp.clip(exact_l - n_base, 0, max(m - 1, 0))  # [B, k]
+        fleaf = jnp.take(fl_l, fidx, axis=1)  # [T_loc, B, k]
+        found_f = jnp.any(
+            leaf_sel[:, :, None, :] == fleaf[:, :, :, None], axis=-1
+        )
+        found = jnp.where((exact_l >= n_base)[None], found_f, found)
+        local_sum = jnp.sum(
+            jnp.sum(found, axis=-1).astype(jnp.float32) / k, axis=0
+        )
+        total = lax.psum(local_sum, TREE_AXIS)
+        t_total = cand.shape[0] * lax.psum(1, TREE_AXIS)
+        return total / t_total
+
+    return jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(_arrays_pspec(plan.n_levels), P(QUERY_AXIS),
+                  P(QUERY_AXIS), P(TREE_AXIS)),
+        out_specs=P(QUERY_AXIS),
+        check_vma=False,
+    )(arrays, q, exact_ids, folded_leaf)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "plan", "dtype_str",
-                                    "centered"))
+                                    "centered", "sub", "sub_split"))
 def _dist_pack(mesh, plan, perm, x, dtype_str, pos, in_leaf,
-               centered=False):
+               centered=False, sub=1, r_sub=None, in_sub=None,
+               sub_split="proj"):
     """Tree-sharded leaf-block packing: each shard packs its own trees'
     blocks from the replicated dataset, so per-device peak memory is
     T_local x dataset instead of the whole forest's blocks on one chip.
     ``centered`` packs int8 RESIDUALS around per-block f32 means (the
-    centered quantization of ``RPForest.pack_leaves``).  ``pos`` /
-    ``in_leaf`` (slot tables at the caller's tile-aligned lmax) arrive
-    as ARGUMENTS: they are O(n)-sized, and baking them into the HLO can
-    exceed the remote compiler's request limit (CLAUDE.md)."""
+    centered quantization of ``RPForest.pack_leaves``).  ``sub > 1``
+    splits every leaf into ``sub`` projection-ordered SUB-BLOCKS with
+    per-sub quantization state (the ``sub_block`` layout; ``r_sub`` is
+    the within-leaf ordering direction, ``in_sub`` the ``[nl*sub, ls]``
+    validity mask).  ``pos`` / ``in_leaf`` (slot tables at the caller's
+    tile-aligned lmax) arrive as ARGUMENTS: they are O(n)-sized, and
+    baking them into the HLO can exceed the remote compiler's request
+    limit (CLAUDE.md)."""
     nl = plan.n_leaves
     lmax = pos.shape[1]
 
-    def block(perm_l, x_l, pos, in_leaf):
+    def block(perm_l, x_l, pos, in_leaf, r_sub, in_sub):
         def per_tree(pm):
             ids = jnp.take(pm, pos)
             rows = jnp.take(x_l, ids, axis=0)
             rows = jnp.where(in_leaf[..., None], rows, 0.0)
-            return rows, jnp.where(in_leaf, ids, -1)
+            ids = jnp.where(in_leaf, ids, -1)
+            if sub > 1:
+                # within-leaf spatial order (invalid slots key +inf so
+                # sub-block occupancy stays a static prefix)
+                if sub_split == "kmeans":
+                    from ..models.forest import _sub_order_kmeans
+
+                    order = _sub_order_kmeans(rows, in_leaf, r_sub, sub)
+                else:
+                    key = jnp.where(in_leaf, rows @ r_sub, jnp.inf)
+                    order = jnp.argsort(key, axis=-1)
+                ids = jnp.take_along_axis(ids, order, axis=-1)
+                rows = jnp.take_along_axis(rows, order[..., None], axis=-2)
+                d_ = rows.shape[-1]
+                rows = rows.reshape(nl * sub, lmax // sub, d_)
+                ids = ids.reshape(nl * sub, lmax // sub)
+                ids = jnp.where(in_sub, ids, -1)
+                rows = jnp.where(in_sub[..., None], rows, 0.0)
+            return rows, ids
 
         rows, ids = jax.vmap(per_tree)(perm_l)
         tl, d = perm_l.shape[0], x_l.shape[1]
+        g_l = tl * nl * sub
+        ls = lmax // sub
+        valid = in_sub if sub > 1 else in_leaf
         sq = jnp.sum(rows * rows, axis=-1)
         if dtype_str == "int8" and centered:
             from ..models.forest import _center_quantize
 
-            rows, scale, mu, mudr = _center_quantize(rows, in_leaf)
-            return (rows.reshape(tl * nl, lmax, d),
-                    sq.reshape(tl * nl, lmax),
-                    ids.reshape(tl * nl, lmax),
-                    scale.reshape(tl * nl),
-                    mu.reshape(tl * nl, d),
-                    mudr.reshape(tl * nl, lmax))
+            rows, scale, mu, mudr = _center_quantize(rows, valid)
+            return (rows.reshape(g_l, ls, d),
+                    sq.reshape(g_l, ls),
+                    ids.reshape(g_l, ls),
+                    scale.reshape(g_l),
+                    mu.reshape(g_l, d),
+                    mudr.reshape(g_l, ls))
         if dtype_str == "int8":
             amax = jnp.max(jnp.abs(rows), axis=(-2, -1), keepdims=True)
             scale = jnp.maximum(amax, 1e-30) / 127.0
             rows = jnp.clip(jnp.round(rows / scale), -127, 127
                             ).astype(jnp.int8)
-            scale = scale.reshape(tl * nl)
+            scale = scale.reshape(g_l)
         else:
-            scale = jnp.ones(tl * nl, jnp.float32)
+            scale = jnp.ones(g_l, jnp.float32)
             if dtype_str == "bf16":
                 rows = rows.astype(jnp.bfloat16)
-        return (rows.reshape(tl * nl, lmax, d),
-                sq.reshape(tl * nl, lmax),
-                ids.reshape(tl * nl, lmax),
+        return (rows.reshape(g_l, ls, d),
+                sq.reshape(g_l, ls),
+                ids.reshape(g_l, ls),
                 scale)
 
     t_ax = P(TREE_AXIS)
     n_out = 6 if (dtype_str == "int8" and centered) else 4
+    rs_spec = None if r_sub is None else P()
+    is_spec = None if in_sub is None else P()
     return jax.shard_map(
         block, mesh=mesh,
-        in_specs=(t_ax, P(), P(), P()),
+        in_specs=(t_ax, P(), P(), P(), rs_spec, is_spec),
         out_specs=tuple([t_ax] * n_out),
         check_vma=False,
-    )(perm, x, pos, in_leaf)
+    )(perm, x, pos, in_leaf, r_sub, in_sub)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "plan"))
@@ -461,6 +548,17 @@ def _dist_build(mesh, plan, x, r):
         out_specs=_arrays_pspec(plan.n_levels),
         check_vma=False,
     )(x, r)
+
+
+def _serving_lens(f):
+    """(block_len_rows, block_len_global, sub) for the sharded scorers:
+    sub-blocked packs read the per-sub occupancy tables (fold -- hence a
+    dynamic global table -- is excluded for them); whole-leaf packs read
+    the post-fold dynamic tables when present."""
+    sub = getattr(f, "_sub_block", 1)
+    if sub > 1:
+        return f._sub_len_rows_dev, None, sub
+    return (getattr(f, "_block_len_rows_dev", None), f._block_len_dev, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -502,8 +600,9 @@ class DistributedForest(RPForest):
         return qb, b
 
     def pack_leaves(self, dtype=None, shard_by: str = "tree",
-                    slack: int = 0,
-                    centered: bool = False) -> "DistributedForest":
+                    slack: int = 0, centered: bool = False,
+                    sub_block: int = 1,
+                    sub_split: str = "kmeans") -> "DistributedForest":
         """Leaf-blocked packing, sharded over the tree axis.
 
         ``slack`` reserves empty per-block slots for :meth:`fold`
@@ -513,7 +612,24 @@ class DistributedForest(RPForest):
         are distributed round-robin by global block id (block g on shard
         g % S at row g // S) -- per-chip memory is 1/S of the TOTAL index,
         below one dataset copy, and every shard serves the probes it owns.
+
+        ``sub_block=s > 1`` (dense blocks only, exclusive with ``slack``)
+        splits every leaf into ``s`` projection-ordered sub-blocks with
+        per-sub quantization state, exactly as in
+        :meth:`RPForest.pack_leaves`; on the leaf-sharded layout a leaf's
+        ``s`` sub-blocks stay contiguous on the leaf's owner shard.
         """
+        s_blk = int(sub_block) if sub_block else 1
+        if s_blk > 1 and slack:
+            raise ValueError("sub_block and slack are mutually exclusive "
+                             "(fold() addresses whole-leaf blocks)")
+        if sub_split not in ("kmeans", "proj"):
+            raise ValueError("sub_split must be 'kmeans' or 'proj', "
+                             f"got {sub_split!r}")
+        if s_blk > 1 and sub_split == "kmeans" and (s_blk & (s_blk - 1)):
+            sub_split = "proj"  # recursive halving needs a power of two
+        if s_blk > 1 and isinstance(self.x, EllMatrix):
+            raise ValueError("sub_block applies to dense blocks only")
         if self._packed is None:
             if isinstance(self.x, EllMatrix):
                 # sparse (EllBlocks) packing, sharded over the tree axis:
@@ -542,21 +658,50 @@ class DistributedForest(RPForest):
                                      "blocks (pass dtype=jnp.int8)")
                 from ..models.forest import _tile_align
 
-                lmax = _tile_align(
-                    max(self.plan.max_leaf_len, 1) + int(slack),
-                    dtype_str)
+                lmax0 = max(self.plan.max_leaf_len, 1) + int(slack)
+                # sub-blocked packs round slices to 8 rows (same measured
+                # policy as the single-device packer)
+                ls = -(-lmax0 // s_blk) if s_blk > 1 else lmax0
+                ls = (_tile_align(ls, dtype_str) if s_blk == 1
+                      else -(-ls // 8) * 8)
+                lmax = ls * s_blk if s_blk > 1 else ls
                 starts = np.asarray(self.plan.leaf_start)
                 lens = np.asarray(self.plan.leaf_len)
                 pos = starts[:, None] + np.arange(lmax)[None, :]
                 in_leaf = np.arange(lmax)[None, :] < lens[:, None]
                 pos = np.where(in_leaf, pos, 0).astype(np.int32)
                 repl = NamedSharding(self.mesh, P())
+                r_sub = in_sub = None
+                if s_blk > 1:
+                    import numbers
+
+                    from ..utils import gen as rgen_
+
+                    j = np.arange(s_blk)
+                    sub_len = np.clip(lens[:, None] - j[None, :] * ls,
+                                      0, ls).astype(np.int32).reshape(-1)
+                    in_sub = jax.device_put(jnp.asarray(
+                        np.arange(ls)[None, :] < sub_len[:, None]), repl)
+                    seed0 = (int(self.seed)
+                             if isinstance(self.seed, numbers.Integral)
+                             else 0)
+                    r_sub = jax.random.normal(
+                        jax.random.fold_in(rgen_.key_from_seed(seed0), 987),
+                        (self.dim,), jnp.float32)
+                    self._sub_len_dev = jax.device_put(jnp.asarray(
+                        np.tile(sub_len, self.n_trees)), repl)
+                    # storage order == global order for the tree layout
+                    self._sub_len_rows_dev = jax.device_put(
+                        jnp.asarray(np.tile(sub_len, self.n_trees)),
+                        NamedSharding(self.mesh, P(TREE_AXIS)))
+                self._sub_block = s_blk
                 out = _dist_pack(
                     self.mesh, self.plan, self.arrays.perm, self.x,
                     dtype_str,
                     jax.device_put(jnp.asarray(pos), repl),
                     jax.device_put(jnp.asarray(in_leaf), repl),
-                    centered=centered,
+                    centered=centered, sub=s_blk, r_sub=r_sub,
+                    in_sub=in_sub, sub_split=sub_split,
                 )
                 if centered:
                     rows, sq, ids, scale, mu, mudr = out
@@ -571,9 +716,12 @@ class DistributedForest(RPForest):
                 from ..models.forest import _DTYPE_OF
 
                 self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
-                                  "centered": centered}
+                                  "centered": centered,
+                                  "sub_block": s_blk,
+                                  "sub_split": sub_split}
                 return self
-            super().pack_leaves(dtype=dtype, slack=slack, centered=centered)
+            super().pack_leaves(dtype=dtype, slack=slack, centered=centered,
+                                sub_block=s_blk, sub_split=sub_split)
             if self._packed is None:
                 return self
             scale = getattr(self, "_block_scale", None)
@@ -581,12 +729,30 @@ class DistributedForest(RPForest):
                 raise ValueError("shard_by must be 'tree' or 'leaf'")
             n_sh = self.mesh.shape[TREE_AXIS]
             x_leaf, sq_leaf, id_leaf = self._packed
+            # round-robin at LEAF granularity (a leaf's sub-blocks stay
+            # contiguous on its owner, matching the serving-side
+            # rows = (g // S) * sub + j expansion)
+            g_leaf = x_leaf.shape[0] // s_blk
+            pad_l = (-g_leaf) % n_sh
+            idx = np.arange(g_leaf + pad_l)
+            rr_leaf = np.concatenate([idx[s::n_sh] for s in range(n_sh)])
+            rr_leaf = np.clip(rr_leaf, 0, g_leaf - 1).astype(np.int32)
+            pad_row_l = (rr_leaf >= g_leaf if pad_l
+                         else np.zeros_like(rr_leaf, bool))
+            rr = (rr_leaf[:, None] * s_blk
+                  + np.arange(s_blk)[None, :]).reshape(-1).astype(np.int32)
+            pad_row = np.repeat(pad_row_l, s_blk)
             g = x_leaf.shape[0]
-            pad = (-g) % n_sh
-            idx = np.arange(g + pad)
-            rr = np.concatenate([idx[s::n_sh] for s in range(n_sh)])
-            rr = np.clip(rr, 0, g - 1).astype(np.int32)
-            pad_row = rr >= g if pad else np.zeros_like(rr, bool)
+            pad = pad_l * s_blk
+            if s_blk > 1:
+                # sub-block occupancies follow the round-robin reorder
+                sl = np.asarray(self._sub_len_dev)[rr]
+                sl[pad_row] = 0
+                self._sub_len_rows_dev = jax.device_put(
+                    jnp.asarray(sl),
+                    NamedSharding(self.mesh, P(TREE_AXIS)))
+                self._sub_len_dev = jax.device_put(
+                    self._sub_len_dev, NamedSharding(self.mesh, P()))
             sh = NamedSharding(self.mesh, P(TREE_AXIS))
             x_rr = jax.device_put(jnp.take(x_leaf, jnp.asarray(rr), axis=0), sh)
             sq_rr = jax.device_put(jnp.take(sq_leaf, jnp.asarray(rr), axis=0), sh)
@@ -625,6 +791,7 @@ class DistributedForest(RPForest):
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
         budget = self._budget(budget)
         n_sh = self.mesh.shape[TREE_AXIS]
+        bl_r, bl_g, sub = _serving_lens(self)
         if getattr(self, "_packed_mode", None) == "leaf":
             if probes is None:
                 probes = self.n_trees * budget  # global cap here
@@ -636,9 +803,9 @@ class DistributedForest(RPForest):
                 budget, int(probes), int(probes_per_shard), metric, dedup,
                 precision, min_votes=int(min_votes),
                 block_scale=getattr(self, "_block_scale", None),
-                block_len=getattr(self, "_block_len_rows_dev", None),
-                block_len_global=self._block_len_dev,
+                block_len=bl_r, block_len_global=bl_g,
                 block_center=getattr(self, "_block_center", None),
+                sub=sub,
             )
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
@@ -659,11 +826,9 @@ class DistributedForest(RPForest):
                          sq, qb, int(k), budget, int(probes),
                          metric, dedup, "flat", precision, packed4,
                          min_votes=int(min_votes),
-                         block_len=getattr(self, "_block_len_rows_dev",
-                                           None),
-                         block_len_global=self._block_len_dev,
+                         block_len=bl_r, block_len_global=bl_g,
                          block_center=getattr(self, "_block_center",
-                                              None))
+                                              None), sub=sub)
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
 
@@ -695,6 +860,7 @@ class DistributedForest(RPForest):
             qb = jnp.concatenate(
                 [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
         budget = self._budget(budget)
+        bl_r, bl_g, sub = _serving_lens(self)
         if getattr(self, "_packed_mode", None) == "leaf":
             if probes is None:
                 probes = self.n_trees * budget
@@ -705,10 +871,9 @@ class DistributedForest(RPForest):
                 budget, int(probes), int(probes_per_shard), metric, dedup,
                 precision, min_votes=int(min_votes),
                 block_scale=getattr(self, "_block_scale", None),
-                chunk=chunk,
-                block_len=getattr(self, "_block_len_rows_dev", None),
-                block_len_global=self._block_len_dev,
+                chunk=chunk, block_len=bl_r, block_len_global=bl_g,
                 block_center=getattr(self, "_block_center", None),
+                sub=sub,
             )
         else:
             n_sh = self.mesh.shape[TREE_AXIS]
@@ -721,11 +886,9 @@ class DistributedForest(RPForest):
                              int(k), budget, int(probes), metric, dedup,
                              "flat", precision, packed4,
                              min_votes=int(min_votes), chunk=chunk,
-                             block_len=getattr(self, "_block_len_rows_dev",
-                                               None),
-                             block_len_global=self._block_len_dev,
+                             block_len=bl_r, block_len_global=bl_g,
                              block_center=getattr(self, "_block_center",
-                                                  None))
+                                                  None), sub=sub)
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
 
@@ -746,6 +909,7 @@ class DistributedForest(RPForest):
 
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
         budget = self._budget(budget)
+        bl_r, bl_g, sub = _serving_lens(self)
         if getattr(self, "_packed_mode", None) == "leaf":
             if probes is None:
                 probes = self.n_trees * budget
@@ -754,9 +918,9 @@ class DistributedForest(RPForest):
                 budget, int(probes), int(probes), metric, dedup, precision,
                 bucket_stop=True,
                 block_scale=getattr(self, "_block_scale", None),
-                block_len=getattr(self, "_block_len_rows_dev", None),
-                block_len_global=self._block_len_dev,
+                block_len=bl_r, block_len_global=bl_g,
                 block_center=getattr(self, "_block_center", None),
+                sub=sub,
             )
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
@@ -767,11 +931,9 @@ class DistributedForest(RPForest):
             d, i = _dist_knn(self.mesh, self.plan, self.arrays, x, sq, qb,
                              int(k), budget, 1, metric, dedup, "h_packed",
                              precision, packed4,
-                             block_len=getattr(self, "_block_len_rows_dev",
-                                               None),
-                             block_len_global=self._block_len_dev,
+                             block_len=bl_r, block_len_global=bl_g,
                              block_center=getattr(self, "_block_center",
-                                                  None))
+                                                  None), sub=sub)
             return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                             metric, precision)
         if self.x is None:
@@ -813,15 +975,18 @@ class DistributedForest(RPForest):
         self._block_len_rows_dev = None
         if self._packed is not None:
             mode = getattr(self, "_packed_mode", "tree")
-            # replay the remembered pack configuration (dtype/centered):
-            # rebuild must not silently de-quantize the serving layout
+            # replay the remembered pack configuration (dtype/centered/
+            # sub_block): rebuild must not silently de-quantize the
+            # serving layout
             cfg_p = dict(getattr(self, "_pack_cfg", None) or {})
-            cfg_p.pop("sub_block", None)  # sharded packs are whole-leaf
             self._packed = None
             self._small = None
             self._packed_mode = None
             self._block_scale = None
             self._block_center = None
+            self._sub_block = 1
+            self._sub_len_dev = None
+            self._sub_len_rows_dev = None
             self.pack_leaves(shard_by=mode or "tree",
                              slack=self._pack_slack, **cfg_p)
         return self
@@ -832,10 +997,18 @@ class DistributedForest(RPForest):
 
         if self.x is None:
             raise ValueError("dataset dropped; recall needs the raw rows")
-        if self.n_folded:
-            raise ValueError("recall on a folded sharded forest is "
-                             "unsupported; rebuild() first")
         qb, b = self._pad_queries(_as_dense_queries(q, self.dim))
+        if self.n_folded:
+            # folded-aware ground truth (inherited brute force covers the
+            # fold-appended rows), then the tree-sharded candidate match
+            _, exact_ids = self.brute_force_knn(qb, int(k), metric=metric)
+            fl = jax.device_put(
+                jnp.asarray(np.concatenate(self._folded_leaf, axis=1)),
+                NamedSharding(self.mesh, P(TREE_AXIS)))
+            r = _dist_recall_folded(self.mesh, self.plan, self.arrays, qb,
+                                    int(k), self._budget(budget),
+                                    exact_ids, fl, self.plan.n)
+            return r[:b]
         r = _dist_recall(self.mesh, self.plan, self.arrays, self.x,
                          self.sq_norms, qb, int(k), self._budget(budget),
                          metric)

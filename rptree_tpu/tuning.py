@@ -15,7 +15,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["tune"]
+__all__ = ["tune", "tune_build"]
 
 
 def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
@@ -167,4 +167,86 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
         best = dict(max(results, key=lambda r: r["recall"]))
         best["met"] = False
     best["frontier"] = results
+    return best
+
+
+def tune_build(data, queries, k: int = 10, target_recall: float = 0.9,
+               n_trees_grid: Sequence[int] = (8,),
+               min_leaf_grid: Optional[Sequence[int]] = None,
+               centers_estimate: Optional[int] = None,
+               sample: int = 131072, full_n: Optional[int] = None,
+               seed: int = 0, budgets: Sequence[int] = (1, 2),
+               probes_per_tree: Sequence[float] = (1.0, 2.0),
+               metric: str = "l2", precision: str = "default",
+               measure: bool = False, pack=True) -> dict:
+    """Sweep BUILD-side parameters (n_trees, min_leaf) on a data
+    SUBSAMPLE, then scale the winning leaf size to the full dataset.
+
+    :func:`tune` only sweeps query-time knobs on a fixed forest; the
+    round-3 measurements (BASELINE.md) showed the build-side knob
+    ``min_leaf`` dominates on clustered data (``min_leaf ~ n/centers`` is
+    the sweet spot).  This encodes that sweep: cheap rebuilds on
+    ``sample`` rows, each evaluated by :func:`tune` over a small
+    (budget, probes) grid, winner = the config meeting ``target_recall``
+    at the lowest cost (or highest measured QPS with ``measure=True``).
+    Cluster structure is scale-free in the leaf-to-cluster RATIO, so the
+    winning subsample leaf size transfers to the full dataset as
+    ``min_leaf_full = min_leaf * full_n / sample`` (rounded to a power of
+    two) -- pass ``full_n`` when ``data`` is already a subsample of the
+    corpus to be indexed.
+
+    ``min_leaf_grid`` defaults to {1/2x, 1x, 2x} of ``sample /
+    centers_estimate`` when an estimate is given, else a coarse
+    power-of-four ladder.  Returns ``{"n_trees", "min_leaf",
+    "min_leaf_full", "budget", "probes", "recall", "met", "scan",
+    "frontier"}``; ``scan=True`` means no swept forest met the target and
+    the exact MXU scan is the recommended serving path.
+    """
+    from .models.forest import forest_batch
+    from .config import rp_tree_cfg
+
+    x = np.asarray(data, dtype=np.float32)
+    n = x.shape[0]
+    m = min(int(sample), n)
+    if m < n:
+        rng = np.random.default_rng(seed)
+        x = x[rng.choice(n, size=m, replace=False)]
+    full = int(full_n) if full_n else n
+    if min_leaf_grid is None:
+        if centers_estimate:
+            base = max(8, int(round(m / centers_estimate)))
+            min_leaf_grid = sorted({max(8, base // 2), base, 2 * base})
+        else:
+            min_leaf_grid = [ml for ml in (16, 64, 256, 1024) if ml < m]
+    frontier = []
+    for t in sorted(set(int(t) for t in n_trees_grid)):
+        for ml in sorted(set(int(ml) for ml in min_leaf_grid)):
+            cfg = rp_tree_cfg(ml, m, x.shape[1])
+            f = forest_batch(seed, cfg.max_depth, ml, t,
+                             cfg.proj_nz_density, x)
+            if pack:
+                f.pack_leaves(dtype=None if pack is True else pack)
+            r = tune(f, queries, k=k, target_recall=target_recall,
+                     budgets=budgets, probes_per_tree=probes_per_tree,
+                     metric=metric, precision=precision, measure=measure)
+            r = dict(r)
+            r["n_trees"], r["min_leaf"] = t, ml
+            frontier.append(r)
+            del f
+    meeting = [r for r in frontier if r["met"] and not r.get("scan")]
+    if meeting:
+        key = ((lambda r: -r.get("qps", 0.0)) if measure
+               else (lambda r: r["cost"]))
+        best = dict(min(meeting, key=key))
+    else:
+        # no forest config met the target: recommend the scan if IT met
+        # it anywhere, else the best-recall forest
+        scans = [r for r in frontier if r["met"]]
+        best = dict(scans[0] if scans
+                    else max(frontier, key=lambda r: r["recall"]))
+    ml_full = max(8, int(best["min_leaf"] * full / m))
+    best["min_leaf_full"] = 1 << (ml_full - 1).bit_length() \
+        if ml_full & (ml_full - 1) else ml_full
+    best.pop("frontier", None)
+    best["frontier"] = frontier
     return best

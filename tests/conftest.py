@@ -19,22 +19,47 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compile cache: the suite's wall clock is dominated by XLA
-# compiles (hundreds of distinct shapes); caching them across runs cuts
-# repeat runs severalfold.  Keyed per user: a crashed/contended run can
-# corrupt a shared cache (symptom: every later run dies with
-# INVALID_ARGUMENT at dispatch -- recover with `rm -rf` of the dir below).
+# Persistent compile cache: OPT-IN for dev loops (RPTREE_TEST_CACHE=1).
+# It cuts repeat suite runs severalfold (the wall clock is XLA compiles
+# of hundreds of distinct shapes), but it is disabled by default because
+# the cache WRITE path segfaults this jaxlib: a handful of this suite's
+# executables crash the interpreter inside `executable.serialize()`
+# (jax 0.9.0 CPU; observed deterministically on the fold/knn_h test
+# compiles -- stack: compilation_cache.put_executable_and_time ->
+# serialize).  A single-shot run gains nothing from the cache anyway
+# (jit already memoizes in-process), so default-off only costs repeat
+# runs.  Keyed per user; a crashed/contended run can corrupt the cache
+# (symptom: INVALID_ARGUMENT at dispatch -- rm -rf the dir below).
 try:
-    import getpass
-    import tempfile
+    if os.environ.get("RPTREE_TEST_CACHE") == "1":
+        import getpass
+        import tempfile
 
-    _cache_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"rptree_tpu_test_jax_cache_{getpass.getuser()}",
-    )
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_enable_xla_caches",
-                      "all")
+        _cache_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"rptree_tpu_test_jax_cache_{getpass.getuser()}",
+        )
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_enable_xla_caches",
+                          "all")
 except Exception:
     pass  # older jax without the persistent-cache options
+
+
+# The long single-process suite accumulates hundreds of compiled
+# executables; late in the run XLA:CPU compilation starts segfaulting
+# (observed deterministically around the same test region on jax 0.9.0,
+# in backend_compile_and_load -- and, with the persistent cache on, in
+# executable.serialize()).  Isolated runs of the same tests pass, so the
+# crash tracks accumulated in-process state, not any one program.
+# Dropping the jit caches between MODULES bounds that accumulation; the
+# cross-module recompiles it costs are small next to the suite's
+# per-module compile load.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()

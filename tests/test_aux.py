@@ -134,3 +134,42 @@ def test_gen_custom_component_sampler():
     assert ((nz > 0.0) & (nz < 1.0)).all()
     frac = (s != 0.0).mean()
     assert 0.3 < frac < 0.7
+
+
+def test_tune_build_clustered():
+    """VERDICT r3 item 5: build-side tuning encodes the measured
+    ``min_leaf ~ n/centers`` sweet spot; the winner transfers to the
+    full-dataset scale as min_leaf * full_n / sample."""
+    import numpy as np
+
+    import rptree_tpu as rt
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(32, 16)).astype(np.float32) * 4.0
+    x = (centers[rng.integers(0, 32, 4096)]
+         + 0.1 * rng.normal(size=(4096, 16)).astype(np.float32))
+    q = (x[rng.integers(0, 4096, 24)]
+         + 0.05 * rng.normal(size=(24, 16)).astype(np.float32))
+    best = rt.tune_build(x, q, k=5, target_recall=0.9,
+                         centers_estimate=32, sample=4096,
+                         full_n=1_000_000, budgets=(1,),
+                         probes_per_tree=(1.0,), measure=False)
+    assert best["met"] and best["recall"] >= 0.9
+    assert best["min_leaf"] in (64, 128, 256)  # around 4096/32
+    # scale transfer: min_leaf_full ~ min_leaf * 1M/4096, power-of-2
+    ml_f = best["min_leaf_full"]
+    assert ml_f >= best["min_leaf"] * (1_000_000 // 4096)
+    assert ml_f & (ml_f - 1) == 0
+    assert len(best["frontier"]) == 3  # the 3-point min_leaf grid
+
+
+def test_rp_tree_cfg_clustered():
+    import pytest
+
+    import rptree_tpu as rt
+
+    cfg = rt.rp_tree_cfg_clustered(1_000_000, 128, centers=4000)
+    assert cfg.min_leaf == 250  # n / centers
+    assert cfg.max_depth == 12  # ceil(log2(1M / 250))
+    with pytest.raises(ValueError):
+        rt.rp_tree_cfg_clustered(1000, 8, centers=0)

@@ -308,8 +308,14 @@ def test_dp_fold_leaf_sharded(single, data):
     d2, i2 = map(np.asarray, f.knn_batched(q, 3, budget=8, chunk=4))
     np.testing.assert_allclose(d1, d2, atol=1e-6)
     np.testing.assert_array_equal(i1, i2)
-    with pytest.raises(ValueError, match="rebuild"):
-        f.recall_with(q, 3)
+    # recall on the folded forest works (folded-aware ground truth +
+    # leaf-membership candidacy; DP==single-device parity is pinned in
+    # test_dp_recall_after_fold).  k=1 at full budget: each query sits on
+    # its folded point, whose leaf is on the query's traversal path in
+    # every tree, so candidate recall of the folded rows is exactly 1.
+    r_f = np.asarray(f.recall_with(q, 1, budget=f.plan.n_leaves))
+    assert r_f.shape == (10,)
+    np.testing.assert_allclose(r_f, 1.0)
     # base rows still served, and rebuild still divides the mesh
     _, ib = map(np.asarray, f.knn(data[:5] + 1e-4, 1, budget=8))
     assert (ib[:, 0] == np.arange(5)).all()
@@ -352,3 +358,112 @@ def test_dp_centered_int8(single, data):
     _, ifo = map(np.asarray, g.knn(new_rows + 1e-4, 1,
                                    budget=g.plan.n_leaves))
     assert (ifo[:, 0] >= N).all()
+
+
+def test_dp_sub_block_parity(single, data):
+    """VERDICT r3 item 3d (data mesh): sub_block packing from the sharded
+    rows; f32 sub-blocking is an exact re-blocking of the leaf blocks."""
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data,
+                                   mesh=data_mesh(8))
+    f.pack_leaves(sub_block=2)
+    assert f._sub_block == 2
+    q = data[:9] + 0.01
+    d1, i1 = map(np.asarray, single.knn(q, 10, budget=16))
+    d2, i2 = map(np.asarray, f.knn(q, 10, budget=16))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(9):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+    # knn_h (bucket stop at leaf granularity) matches the single-device
+    # sub-blocked knn_h (the stop rule may legitimately drop a query's
+    # own bucket, so parity -- not identity -- is the contract)
+    s2 = rt.forest_batch(SEED, 6, 12, T, 1.0, data)
+    s2.pack_leaves(sub_block=2)
+    dh, ih = map(np.asarray, f.knn_h(q, 5, budget=8))
+    dh2, ih2 = map(np.asarray, s2.knn_h(q, 5, budget=8))
+    np.testing.assert_allclose(dh, dh2, atol=1e-5)
+    for b in range(9):
+        assert set(ih[b].tolist()) == set(ih2[b].tolist())
+
+
+def test_dp_ell_rebuild(single, data):
+    """VERDICT r3 item 3c: rebuild() on a data-parallel ELL dataset stays
+    sparse and sharded; pending + folded + tombstoned rows all resolve."""
+    ell = _make_ell()
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, ell,
+                                   mesh=data_mesh(8))
+    n0 = f.n_points
+    # new sparse rows (as dense chunks), delete half of them while still
+    # pending, then rebuild (the result size must divide the shards)
+    de = f.dim
+    new = np.zeros((16, de), np.float32)
+    for j in range(16):
+        new[j, (j % de, (j * 3 + 1) % de)] = (1.0 + j, -0.5)
+    f.add(new)
+    f.remove(np.arange(n0, n0 + 8))
+    f.rebuild()
+    assert f.n_points == n0 + 16 - 8
+    from rptree_tpu.ops.sparse import EllMatrix
+    assert isinstance(f.x, EllMatrix)
+    assert f.n_pending == 0 and f.n_deleted == 0
+    # the rebuilt index finds the surviving new rows exactly
+    _, ids = map(np.asarray, f.knn(new[8:10], 1, budget=16))
+    got = np.asarray(f.points())[ids[:, 0]]
+    np.testing.assert_allclose(got, new[8:10], atol=1e-6)
+    # a dense update row with more nonzeros than K must raise
+    f2 = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, _make_ell(),
+                                    mesh=data_mesh(8))
+    wide = np.ones((8, f2.dim), np.float32)
+    f2.add(wide)
+    with pytest.raises(ValueError):
+        f2.rebuild()
+
+
+def test_dp_recall_after_fold(single, data):
+    """VERDICT r3 item 3b (data mesh): recall_with after fold()."""
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data,
+                                   mesh=data_mesh(8))
+    f.pack_leaves(slack=8)
+    q = data[:9] + 0.01
+    r0 = np.asarray(f.recall_with(q, 10, budget=16))
+    new = data[:6] * 0.5 + 2.0
+    f.add(new)
+    f.fold()
+    assert f.n_folded == 6
+    r1 = np.asarray(f.recall_with(q, 10, budget=16))
+    assert r1.shape == (9,)
+    rq = np.asarray(f.recall_with(new[:2], 1, budget=16))
+    assert (rq > 0.99).all()
+    assert abs(float(r0.mean()) - float(r1.mean())) < 0.2
+
+
+def test_dp_query_axis_composition(single, data):
+    """VERDICT r3 item 9: (data x query) 2-D mesh -- giant batches split
+    across the query axis instead of replicating B x D onto every data
+    shard; results match the 1-D data mesh and the single device."""
+    mesh2 = data_mesh(4, n_query=2)
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data, mesh=mesh2)
+    f.pack_leaves()
+    # 22 queries (odd, forces padding): 11 rows per query shard, not 22
+    q = np.concatenate([data[:22]]).astype(np.float32) + 0.01
+    qb, b = f._q_repl(q)
+    assert b == 22 and qb.shape[0] == 22
+    assert _addressable_max_rows(qb) == 11  # B/s_q per device, not B
+    d1, i1 = map(np.asarray, single.knn(q, 10, budget=16))
+    for name, fn, kw in (("knn", f.knn, {}),
+                         ("knn_batched", f.knn_batched, {"chunk": 4}),
+                         ("knn_h", f.knn_h, {})):
+        d2, i2 = map(np.asarray, fn(q, 10, budget=16, **kw))
+        assert d2.shape == (22, 10)
+        if name != "knn_h":  # knn_h's bucket stop legitimately differs
+            np.testing.assert_allclose(d1, d2, atol=1e-4)
+            for bq in range(22):
+                assert set(i1[bq].tolist()) == set(i2[bq].tolist())
+    # recall + brute force compose with the query axis too
+    r = np.asarray(f.recall_with(q, 5, budget=16))
+    assert r.shape == (22,)
+    db, ib = map(np.asarray, f.brute_force_knn(q, 5))
+    assert (ib[:, 0] == np.arange(22)).all()
+    # unpacked path as well
+    f2 = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data, mesh=mesh2)
+    d3, i3 = map(np.asarray, f2.knn(q, 10, budget=16))
+    np.testing.assert_allclose(d1, d3, atol=1e-4)

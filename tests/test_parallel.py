@@ -437,3 +437,81 @@ def test_sharded_centered_int8(data, queries):
     assert g.n_folded == 4
     _, ifo = map(np.asarray, g.knn(new + 1e-4, 1, budget=g.plan.n_leaves))
     assert (ifo[:, 0] >= N).all()
+
+
+def test_sharded_sub_block_tree_and_leaf(data, queries):
+    """VERDICT r3 item 3d: sub_block on the tree- and leaf-sharded
+    packers.  f32 sub-blocked packs are an exact re-blocking, so both
+    sharded layouts must match the single-device whole-leaf path."""
+    base = rt.forest_batch(SEED, MAXD, MINL, T, PNZ, data)
+    base.pack_leaves()
+    d0, i0 = map(np.asarray, base.knn(queries, 10, budget=16))
+    for mode in ("tree", "leaf"):
+        dist = forest_batch_distributed(
+            SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+        ).pack_leaves(shard_by=mode, sub_block=2)
+        assert dist._sub_block == 2
+        d1, i1 = map(np.asarray, dist.knn(queries, 10, budget=16))
+        np.testing.assert_allclose(d0, d1, atol=1e-5)
+        for b in range(queries.shape[0]):
+            assert set(i0[b].tolist()) == set(i1[b].tolist()), (mode, b)
+        # knn_h (bucket stop at leaf granularity) must run too
+        dh, ih = map(np.asarray, dist.knn_h(queries, 5, budget=8))
+        assert (ih[:, 0] >= 0).all()
+        # centered int8 at sub granularity composes on sharded layouts
+        dist_q = forest_batch_distributed(
+            SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+        ).pack_leaves(shard_by=mode, dtype=jnp.int8, centered=True,
+                      sub_block=2)
+        dq, iq = map(np.asarray, dist_q.knn(queries, 10, budget=16))
+        overlap = np.mean([
+            len(set(i0[b].tolist()) & set(iq[b].tolist())) / 10
+            for b in range(queries.shape[0])
+        ])
+        assert overlap >= 0.85, (mode, overlap)
+
+
+def test_sharded_recall_after_fold(data, queries):
+    """VERDICT r3 item 3b: recall_with on a folded sharded forest (the
+    folded-aware ground truth + tree-sharded candidate matching)."""
+    dist = forest_batch_distributed(
+        SEED, MAXD, MINL, T, PNZ, data, mesh=forest_mesh(8, 1)
+    ).pack_leaves(slack=8)
+    r0 = np.asarray(dist.recall_with(queries, 10, budget=16))
+    new = data[:6] * 0.5 + 2.0
+    dist.add(new)
+    dist.fold()
+    assert dist.n_folded == 6
+    r1 = np.asarray(dist.recall_with(queries, 10, budget=16))
+    assert r1.shape == (queries.shape[0],)
+    # querying AT a folded point: it is its own nearest neighbour and its
+    # leaf is the traversal's first bucket, so recall includes it
+    rq = np.asarray(dist.recall_with(new[:2], 1, budget=16))
+    assert (rq > 0.99).all()
+    assert abs(float(r0.mean()) - float(r1.mean())) < 0.2
+
+
+def test_sharded_ell_fold(queries):
+    """VERDICT r3 item 3a: fold() into sharded (tree-mode) ELL blocks."""
+    from rptree_tpu.ops.sparse import EllMatrix
+
+    rng = np.random.default_rng(61)
+    cols = np.stack([np.sort(rng.choice(DIM, size=5, replace=False))
+                     for _ in range(800)]).astype(np.int32)
+    vals = rng.normal(size=(800, 5)).astype(np.float32)
+    m = EllMatrix(DIM, jnp.asarray(cols), jnp.asarray(vals))
+    dist = forest_batch_distributed(
+        3, 5, 16, T, 1.0, m, mesh=forest_mesh(8, 1)
+    ).pack_leaves(slack=8)
+    # a sparse new point (nnz <= K) folds into the sharded blocks
+    new = np.zeros((2, DIM), np.float32)
+    new[0, [1, 5, 9]] = (0.5, -0.25, 1.0)
+    new[1, [2, 3]] = (1.5, 0.75)
+    dist.add(new)
+    dist.fold()
+    assert dist.n_folded == 2 and dist.n_pending == 0
+    _, ids = map(np.asarray, dist.knn(new, 1, budget=8))
+    assert ids[0, 0] == 800 and ids[1, 0] == 801
+    # knn_h reads the dynamic occupancies too
+    _, ih = map(np.asarray, dist.knn_h(new[:1], 1, budget=8))
+    assert ih[0, 0] == 800

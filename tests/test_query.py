@@ -720,6 +720,25 @@ def test_sub_block_pack_parity_and_centered_rescue():
     # the residue vs f32 is the ONE mixed boundary slice per straddle
     # (~ls/leaf_len of the rows); everything else scores at f32 level
     assert ov_cent_sub > ov_cent + 0.15, (ov_f32, ov_cent, ov_cent_sub)
+    # boundary-adaptive 2-means ordering (r3 VERDICT item 4): at least
+    # as good as the projection sort, and f32 re-blocking stays exact
+    fcp = forest_batch(21, 6, 32, 4, 1.0, x)
+    fcp.pack_leaves(dtype=jnp.int8, centered=True, sub_block=8,
+                    sub_split="proj")
+    ov_cent_proj = overlap(fcp)
+    assert ov_cent_sub >= ov_cent_proj - 0.02, (ov_cent_sub, ov_cent_proj)
+    fk = forest_batch(21, 6, 32, 4, 1.0, x).pack_leaves(
+        sub_block=4, sub_split="kmeans")
+    dk, ik = map(np.asarray, fk.knn(q, 10, budget=8))
+    np.testing.assert_allclose(d0, dk, atol=1e-5)
+    for b in range(32):
+        assert set(i0[b].tolist()) == set(ik[b].tolist())
+    # non-power-of-two sub falls back to the projection sort silently
+    f3 = forest_batch(21, 6, 32, 4, 1.0, x).pack_leaves(sub_block=3)
+    assert f3._pack_cfg["sub_split"] == "proj"
+    with pytest.raises(ValueError, match="sub_split"):
+        forest_batch(21, 6, 32, 2, 1.0, x).pack_leaves(sub_block=4,
+                                                       sub_split="bogus")
     # guards: fold/slack are whole-leaf features
     with pytest.raises(ValueError, match="sub_block"):
         forest_batch(21, 6, 32, 2, 1.0, x).pack_leaves(sub_block=4,
