@@ -94,14 +94,23 @@ def main():
 
     # device-side QPS (marginal fori_loop; utils/profiling): the wall
     # number above includes this environment's ~25ms tunneled dispatch
-    # RTT, which understates the chip -- record both
+    # RTT, which understates the chip -- record both.  The packed arrays
+    # are passed as ARGUMENTS (closing over them embeds GBs of constants
+    # in the lowered program and stalls the remote compiler for many
+    # minutes; CLAUDE.md)
+    from rptree_tpu.models.forest import _knn_packed_many
     from rptree_tpu.utils.profiling import device_time
 
-    def dev_step(qx):
-        return f.knn_batched(qx, K, budget=BUDGET, probes=PROBES,
-                             precision="default", chunk=CHUNK)[0]
+    xl_b, sl_b, il_b = f._packed
+    sc_b = f._block_scale
 
-    qps_device = B / max(device_time(dev_step, qd, reps=5), 1e-9)
+    def dev_step(qx, xl, sl, il, sc):
+        return _knn_packed_many(f.plan, f.arrays, xl, sl, il, qx, K,
+                                BUDGET, PROBES, "l2", True, "default",
+                                False, 1, sc, None, CHUNK)[0]
+
+    qps_device = B / max(
+        device_time(dev_step, qd, xl_b, sl_b, il_b, sc_b, reps=5), 1e-9)
 
     # quality: recall@10 of the returned neighbours vs exact top-k
     got = np.asarray(sweep()[1])
@@ -250,34 +259,81 @@ def main():
 
     gt_c = np.asarray(_brute_force_many(xc, sqc, qc[:1024], K, "l2",
                                         "highest", 256)[1])
+    # the clustered build config comes from the TUNER, not a hand pin
+    # (VERDICT r3 item 5): sweep min_leaf around n_sub/centers on a
+    # subsample; the winner transfers by the measured scale law
+    # (min_leaf ~ n/centers, BASELINE.md round-3).  Static-cost ranking
+    # (measure=False) keeps the driver's compile count bounded and picks
+    # the smallest leaf meeting the target -- the measured QPS-optimal
+    # direction at these shapes.
+    from rptree_tpu.tuning import tune_build
+
+    SUBC = 131072
+    tb = tune_build(np.asarray(xc[:SUBC]), np.asarray(qc[:256]), k=K,
+                    target_recall=TARGET, centers_estimate=CC,
+                    sample=SUBC, full_n=NC, budgets=(BC,),
+                    probes_per_tree=(1.0, 2.0), measure=False)
+    MLC = int(tb["min_leaf_full"])
+    PC = int(tb["probes"] or PC)
     cfg_c = rt.rp_tree_cfg(MLC, NC, DIM)
     fc = rt.forest_batch(SEED, cfg_c.max_depth, MLC, TC,
                          cfg_c.proj_nz_density, xc)
     fc.pack_leaves()
 
+    # serve through the query-grouped block-resident rerank
+    # (ops/grouped.py): queries probing the same leaf block share ONE
+    # fetch of it and ONE MXU matmul -- on clustered data probe sets
+    # overlap heavily by construction, measured ~2x device-side over the
+    # per-pair path at this flagship at bit-identical recall
+    # (BASELINE.md round-4)
     def sweep_c():
-        _, ids = fc.knn_batched(qc, K, budget=BC, probes=PC,
-                                precision="default", chunk=2048)
-        return int(jnp.sum(jnp.clip(ids, 0, None)))
+        _, ids = fc.knn_grouped(qc, K, budget=BC, probes=PC,
+                                precision="default", tile_m=8)
+        return ids
 
-    sweep_c()
+    ids_g = sweep_c()  # learns the tile capacity + compiles
     t0 = time.perf_counter()
     for _ in range(2):
-        sweep_c()
+        int(jnp.sum(jnp.clip(sweep_c()[:, 0], 0, 1)))
     tree_qps_c = BCQ / ((time.perf_counter() - t0) / 2)
 
-    def dev_step_c(qx):
-        return fc.knn_batched(qx, K, budget=BC, probes=PC,
-                              precision="default", chunk=2048)[0]
+    xl_c, sl_c, il_c = fc._packed
+    lens_c = fc._lens_global()
+    ntc = fc._grouped_nt[(BCQ, PC, 8)]
+    from rptree_tpu.models.forest import _knn_grouped
 
-    tree_qps_c_device = BCQ / max(device_time(dev_step_c, qc, reps=4),
-                                  1e-9)
-    ids_c = np.asarray(fc.knn_batched(qc[:1024], K, budget=BC, probes=PC,
-                                      precision="default", chunk=1024)[1])
+    def dev_step_c(qx, xl, sl, il, ln):
+        return _knn_grouped(fc.plan, fc.arrays, xl, sl, il, ln, qx, K,
+                            BC, PC, "l2", True, "default", 8, ntc,
+                            2048)[0]
+
+    tree_qps_c_device = BCQ / max(
+        device_time(dev_step_c, qc, xl_c, sl_c, il_c, lens_c, reps=4),
+        1e-9)
     tree_recall_c = float(np.mean([
-        len(set(ids_c[b].tolist()) & set(gt_c[b].tolist())) / K
+        len(set(np.asarray(ids_g)[b].tolist()) & set(gt_c[b].tolist())) / K
         for b in range(1024)
     ]))
+
+    # per-pair path (the round-3 serving mode), kept for continuity
+    def sweep_c_pp():
+        _, ids = fc.knn_batched(qc, K, budget=BC, probes=PC,
+                                precision="default", chunk=2048)
+        return int(jnp.sum(jnp.clip(ids[:, 0], 0, 1)))
+
+    sweep_c_pp()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        sweep_c_pp()
+    tree_qps_c_pp = BCQ / ((time.perf_counter() - t0) / 2)
+
+    def dev_step_c_pp(qx, xl, sl, il):
+        return _knn_packed_many(fc.plan, fc.arrays, xl, sl, il, qx, K,
+                                BC, PC, "l2", True, "default", False,
+                                1, None, None, 2048)[0]
+
+    tree_qps_c_pp_device = BCQ / max(
+        device_time(dev_step_c_pp, qc, xl_c, sl_c, il_c, reps=4), 1e-9)
 
     def sweep_scan_c():
         _, ids = _brute_force_many(xc, sqc, qc, K, "l2", "fastest", 1024)
@@ -355,13 +411,20 @@ def main():
         "tree_qps_at_target": round(tree_qps_c, 1),
         "tree_qps_device": round(tree_qps_c_device, 1),
         "tree_recall_at_target": round(tree_recall_c, 4),
+        "tree_serving_path": "knn_grouped",  # block-resident MXU rerank
+        "tree_qps_perpair": round(tree_qps_c_pp, 1),
+        "tree_qps_perpair_device": round(tree_qps_c_pp_device, 1),
         "clustered_scan_qps": round(scan_qps_c, 1),
         "clustered_scan_recall": round(scan_recall_c, 4),
         "tree_vs_scan_clustered": round(tree_qps_c / scan_qps_c, 2),
         "vs_baseline_tree_at_target": round(tree_qps_c / ref_qps_1m, 1),
         "clustered_config": {"n": NC, "centers": CC, "sigma": SIGC,
                              "trees": TC, "min_leaf": MLC, "budget": BC,
-                             "probes": PC, "blocks": "f32"},
+                             "probes": PC, "blocks": "f32",
+                             "tuned": True,  # min_leaf/probes from
+                             #                 tune_build on a subsample
+                             "tuner_subsample": SUBC,
+                             "tuner_min_leaf_sub": int(tb["min_leaf"])},
         "config": {"n": N, "dim": DIM, "trees": T, "k": K,
                    "max_depth": cfg.max_depth, "min_leaf": MIN_LEAF,
                    "budget": BUDGET, "probes": PROBES, "batch": B,

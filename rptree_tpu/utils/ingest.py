@@ -24,6 +24,7 @@ __all__ = [
     "read_fvecs", "read_bvecs", "read_ivecs", "read_idx",
     "fvecs_meta", "bvecs_meta", "ivecs_meta", "idx_meta",
     "fvecs_source", "bvecs_source", "idx_source", "native_available",
+    "write_fvecs", "write_ivecs",
 ]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
@@ -195,6 +196,29 @@ def read_idx(path: str, start: int = 0, count: Optional[int] = None,
     raw = np.fromfile(path, np.uint8, offset=header + start * dim,
                       count=count * dim).reshape(count, dim)
     return raw.astype(np.float32) * scale
+
+
+# ---- writers (dataset export; the inverse of the readers above) -----------
+
+def write_fvecs(path: str, x: np.ndarray) -> None:
+    """Write ``f32[n, dim]`` rows as an .fvecs file (the SIFT/GIST layout:
+    each row is an int32 dim header followed by ``dim`` f32 values)."""
+    x = np.ascontiguousarray(np.asarray(x, np.float32))
+    n, dim = x.shape
+    out = np.empty((n, 1 + dim), np.int32)
+    out[:, 0] = dim
+    out[:, 1:] = x.view(np.int32)
+    out.tofile(path)
+
+
+def write_ivecs(path: str, ids: np.ndarray) -> None:
+    """Write ``i32[n, k]`` rows as an .ivecs file (ground-truth layout)."""
+    ids = np.ascontiguousarray(np.asarray(ids, np.int32))
+    n, k = ids.shape
+    out = np.empty((n, 1 + k), np.int32)
+    out[:, 0] = k
+    out[:, 1:] = ids
+    out.tofile(path)
 
 
 # ---- chunked sources (streaming-builder feeds) ----------------------------
