@@ -467,3 +467,16 @@ def test_dp_query_axis_composition(single, data):
     f2 = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data, mesh=mesh2)
     d3, i3 = map(np.asarray, f2.knn(q, 10, budget=16))
     np.testing.assert_allclose(d1, d3, atol=1e-4)
+
+
+def test_tune_on_data_parallel_forest(single, data):
+    """tune() on a DataParallelForest: the sweep's knn/brute-force calls
+    run the sharded pipelines (including the scan candidate's sharded
+    brute force)."""
+    mesh = data_mesh(8)
+    f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data, mesh=mesh)
+    rng = np.random.default_rng(5)
+    q = data[:9] + 0.01 * rng.normal(size=(9, DIM)).astype(np.float32)
+    best = rt.tune(f, q, k=5, target_recall=0.3, budgets=(1, 2),
+                   probes_per_tree=(1.0,), measure=False)
+    assert best["recall"] > 0 and "frontier" in best

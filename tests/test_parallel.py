@@ -515,3 +515,28 @@ def test_sharded_ell_fold(queries):
     # knn_h reads the dynamic occupancies too
     _, ih = map(np.asarray, dist.knn_h(new[:1], 1, budget=8))
     assert ih[0, 0] == 800
+
+
+def test_tune_on_sharded_forest(data, queries):
+    """tune() runs unchanged on a DistributedForest (its knn /
+    brute_force_knn / knn_batched methods are the sweep's only surface)
+    and returns the same knobs as on the equivalent single-device
+    forest when ranked by the static cost proxy."""
+    f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(4, 2))
+    f.pack_leaves()
+    best = rt.tune(f, queries, k=5, target_recall=0.3,
+                   budgets=(1, 2), probes_per_tree=(1.0, 2.0),
+                   measure=False)
+    assert best["met"] and not best.get("scan")
+    f0 = rt.forest_batch(SEED, MAXD, MINL, T, PNZ, data).pack_leaves()
+    best0 = rt.tune(f0, queries, k=5, target_recall=0.3,
+                    budgets=(1, 2), probes_per_tree=(1.0, 2.0),
+                    measure=False)
+    assert (best["budget"], best["probes"]) == (best0["budget"],
+                                                best0["probes"])
+    # measured mode exercises the sharded knn_batched timing path
+    best_m = rt.tune(f, queries, k=5, target_recall=0.3,
+                     budgets=(1,), probes_per_tree=(1.0,),
+                     measure=True, reps=1, time_rows=64)
+    assert best_m["frontier"][0].get("qps", 0) > 0
