@@ -165,6 +165,52 @@ def _sub_order_kmeans(rows, valid, r_sub, sub):
     return order
 
 
+def _sub_split_of(sub_split: str, s: int) -> str:
+    """Validate/normalize the sub-block ordering mode (single source for
+    every packer): unknown modes raise; "kmeans" needs a power-of-two
+    ``s`` (recursive halving) and falls back to the projection sort."""
+    if sub_split not in ("kmeans", "proj"):
+        raise ValueError("sub_split must be 'kmeans' or 'proj', "
+                         f"got {sub_split!r}")
+    if s > 1 and sub_split == "kmeans" and (s & (s - 1)):
+        return "proj"
+    return sub_split
+
+
+def _sub_pack_tables(seed, dim, lens, ls, sub):
+    """Shared sub-block pack-time state (single source for every packer,
+    so the layouts provably agree): the within-leaf ordering direction
+    ``r_sub`` (seeded; fold_in salt 987), the per-sub-block occupancy
+    ``sub_len int32[n_leaves * sub]`` (valid rows are a contiguous prefix
+    of every leaf, so sub j holds ``clip(len - j*ls, 0, ls)``), and the
+    slot-validity mask ``in_sub bool[n_leaves * sub, ls]``."""
+    import numbers
+
+    j = np.arange(sub)
+    sub_len = np.clip(np.asarray(lens)[:, None] - j[None, :] * ls, 0, ls
+                      ).astype(np.int32).reshape(-1)
+    in_sub = jnp.asarray(np.arange(ls)[None, :] < sub_len[:, None])
+    # numbers.Integral (not isinstance int): numpy integer seeds must not
+    # silently fall back to 0
+    seed0 = int(seed) if isinstance(seed, numbers.Integral) else 0
+    r_sub = jax.random.normal(
+        jax.random.fold_in(rgen.key_from_seed(seed0), 987),
+        (dim,), jnp.float32)
+    return r_sub, in_sub, sub_len
+
+
+def _expand_sub_probes(rows, lsel, sub):
+    """Expand a leaf-granular probe selection to sub-block granularity:
+    leaf storage row g becomes rows ``g*sub .. g*sub + sub - 1`` (a
+    leaf's sub-blocks are contiguous under its leaf row in EVERY packed
+    layout), and the occupancy-mask leaf ids repeat per slice.  Single
+    source for the packed, grouped, and sharded scorers."""
+    b, p = rows.shape
+    rows = (rows[..., None] * sub
+            + jnp.arange(sub, dtype=jnp.int32)).reshape(b, p * sub)
+    return rows, jnp.repeat(lsel, sub, axis=-1)
+
+
 def _prec(precision: str):
     if precision not in _PRECISIONS:
         raise ValueError(f"precision must be one of {_PRECISIONS}")
@@ -467,10 +513,7 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                                 bucket_stop=bucket_stop,
                                 block_len=None if sub > 1 else block_len)
     if sub > 1:
-        b, p = gsel.shape
-        gsel = (gsel[..., None] * sub
-                + jnp.arange(sub, dtype=jnp.int32)).reshape(b, p * sub)
-        lsel = jnp.repeat(lsel, sub, axis=-1)
+        gsel, lsel = _expand_sub_probes(gsel, lsel, sub)
     kk = k * t if dedup else k
     return _score_blocks(plan, x_leaf, sq_leaf, id_leaf, gsel, lsel, q, k,
                          kk, metric, dedup, precision, min_votes=min_votes,
@@ -545,10 +588,7 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
                                 bucket_stop=bucket_stop,
                                 block_len=None if sub > 1 else lens_global)
     if sub > 1:
-        b0, p0 = gsel.shape
-        gsel = (gsel[..., None] * sub
-                + jnp.arange(sub, dtype=jnp.int32)).reshape(b0, p0 * sub)
-        lsel = jnp.repeat(lsel, sub, axis=-1)
+        gsel, lsel = _expand_sub_probes(gsel, lsel, sub)
     d, needed = grouped_distances(
         x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,
         _prec(precision), tile_m, nt, tile_chunk,
@@ -1213,12 +1253,7 @@ class RPForest:
                 raise ValueError("sub_block and slack are mutually "
                                  "exclusive (fold() addresses whole-leaf "
                                  "blocks)")
-            if sub_split not in ("kmeans", "proj"):
-                raise ValueError("sub_split must be 'kmeans' or 'proj', "
-                                 f"got {sub_split!r}")
-            if s > 1 and sub_split == "kmeans" and (s & (s - 1)):
-                # the recursive halving needs a power of two; fall back
-                sub_split = "proj"
+            sub_split = _sub_split_of(sub_split, s)
             self._pack_slack = int(slack)
             if centered and (dtype is None
                              or jnp.dtype(dtype) != jnp.int8):
@@ -1245,23 +1280,8 @@ class RPForest:
             nl, d = plan.n_leaves, self.dim
             r_sub = in_sub = None
             if s > 1:
-                # sub-block occupancy: after the within-leaf projection
-                # sort, valid rows are a contiguous prefix of the leaf,
-                # so sub-block j of leaf l holds clip(len_l - j*ls, 0, ls)
-                j = np.arange(s)
-                sub_len = np.clip(lens[:, None] - j[None, :] * ls,
-                                  0, ls).astype(np.int32).reshape(-1)
-                in_sub = jnp.asarray(
-                    np.arange(ls)[None, :] < sub_len[:, None])
-                # numbers.Integral (not isinstance int): numpy integer
-                # seeds must not silently fall back to 0
-                import numbers
-
-                seed0 = (int(self.seed)
-                         if isinstance(self.seed, numbers.Integral) else 0)
-                r_sub = jax.random.normal(
-                    jax.random.fold_in(rgen.key_from_seed(seed0), 987),
-                    (d,), jnp.float32)
+                r_sub, in_sub, sub_len = _sub_pack_tables(
+                    self.seed, d, lens, ls, s)
                 self._sub_len_dev = jnp.asarray(
                     np.tile(sub_len, self.n_trees))
             self._sub_block = s
@@ -1713,6 +1733,10 @@ class RPForest:
         self._folded_cat = None
         self._block_len = None
         self._block_len_dev = None
+        # the static per-block occupancy cache is a function of the PLAN,
+        # which rebuild() just replaced -- a stale table silently masks or
+        # unmasks rows in knn_grouped
+        self._lens_global_dev = None
         if self._packed is not None:
             # replay the remembered pack configuration (dtype / centered /
             # sub_block), not just the slack -- rebuild must not silently
@@ -1922,7 +1946,9 @@ class RPForest:
         # initial guess 2.25 * e / tile_m: the measured flagship tile
         # count sits just above 2x (needed=65774 at e/tile_m=32768;
         # BASELINE.md round-4), so 2x would retry-recompile at the margin
-        cap = int(nt) if nt is not None else self._grouped_nt.get(
+        # an explicit nt is still rounded up to a tile_chunk multiple:
+        # grouped_distances reshapes the tile axis into [nt/tc, tc] chunks
+        cap = _bucket(int(nt)) if nt is not None else self._grouped_nt.get(
             key, _bucket(2 * e // int(tile_m) + e // (4 * int(tile_m))))
         lens = self._lens_global()
         while True:

@@ -130,9 +130,10 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
     if block_center is not None:
         mu, mudr = block_center
     # the small-M einsum's DEFAULT lowering loses accumulation accuracy
-    # (see module docstring); force the accurate path for float blocks
-    prec_eff = (precision if x_leaf.dtype == jnp.int8
-                else lax.Precision.HIGHEST)
+    # (see module docstring); force the accurate path for f32 blocks ONLY
+    # -- bf16 blocks keep the caller's knob, like the per-pair scorer
+    prec_eff = (lax.Precision.HIGHEST if x_leaf.dtype == jnp.float32
+                else precision)
 
     def step(args):
         rows_i, tp_i, lens_i = args

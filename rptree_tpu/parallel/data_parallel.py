@@ -855,6 +855,7 @@ class DataParallelForest(RPForest):
         self._block_len = None
         self._block_len_dev = None
         self._block_len_rows_dev = None
+        self._lens_global_dev = None
         if self._packed is not None:
             # replay the remembered pack configuration
             # (dtype/centered/sub_block)
@@ -952,11 +953,9 @@ class DataParallelForest(RPForest):
                              "(fold() addresses whole-leaf blocks)")
         if s_blk > 1 and isinstance(self.x, EllMatrix):
             raise ValueError("sub_block applies to dense blocks only")
-        if sub_split not in ("kmeans", "proj"):
-            raise ValueError("sub_split must be 'kmeans' or 'proj', "
-                             f"got {sub_split!r}")
-        if s_blk > 1 and sub_split == "kmeans" and (s_blk & (s_blk - 1)):
-            sub_split = "proj"  # recursive halving needs a power of two
+        from ..models.forest import _sub_split_of
+
+        sub_split = _sub_split_of(sub_split, s_blk)
         self._pack_slack = int(slack)
         lmax_ = max(self.plan.max_leaf_len, 1) + int(slack)
         if isinstance(self.x, EllMatrix) and centered:
@@ -1010,19 +1009,12 @@ class DataParallelForest(RPForest):
             return self
         r_sub = in_sub_a = None
         if s_blk > 1:
-            import numbers
+            from ..models.forest import _sub_pack_tables
 
             ls_ = lmax_ // s_blk
-            j = np.arange(s_blk)
-            sub_len = np.clip(lens_[:, None] - j[None, :] * ls_,
-                              0, ls_).astype(np.int32).reshape(-1)
-            in_sub_a = jax.device_put(jnp.asarray(
-                np.arange(ls_)[None, :] < sub_len[:, None]), repl0)
-            seed0 = (int(self.seed)
-                     if isinstance(self.seed, numbers.Integral) else 0)
-            r_sub = rgen.key_from_seed(seed0)
-            r_sub = jax.random.normal(jax.random.fold_in(r_sub, 987),
-                                      (self.dim,), jnp.float32)
+            r_sub, in_sub_a, sub_len = _sub_pack_tables(
+                self.seed, self.dim, lens_, ls_, s_blk)
+            in_sub_a = jax.device_put(in_sub_a, repl0)
             self._sub_len_dev = jax.device_put(jnp.asarray(
                 np.tile(sub_len, self.n_trees)), repl0)
             # storage-row order: leaf g on shard g % S at leaf row g // S

@@ -192,11 +192,9 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
                 rows = jnp.where(leaf_kept >= 0, rows, 0)
                 lsel_s = leaf_kept
                 if sub > 1:
-                    bq, pw = rows.shape
-                    rows = (rows[..., None] * sub
-                            + jnp.arange(sub, dtype=jnp.int32)
-                            ).reshape(bq, pw * sub)
-                    lsel_s = jnp.repeat(leaf_kept, sub, axis=-1)
+                    from ..models.forest import _expand_sub_probes
+
+                    rows, lsel_s = _expand_sub_probes(rows, leaf_kept, sub)
                 kk = k_eff * tl_ if dedup_eff else k_eff
                 d_l, i_l = _score_blocks(
                     plan, x_leaf_l, sq_leaf_l, id_leaf_l, rows, lsel_s,
@@ -322,11 +320,9 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
             # ownership is at LEAF granularity (leaf g on shard g % S at
             # local leaf row g // S); its sub-blocks are the s contiguous
             # storage rows under that leaf row
-            bq, pw = rows.shape
-            rows = (rows[..., None] * sub
-                    + jnp.arange(sub, dtype=jnp.int32)
-                    ).reshape(bq, pw * sub)
-            l_s = jnp.repeat(l_s, sub, axis=-1)
+            from ..models.forest import _expand_sub_probes
+
+            rows, l_s = _expand_sub_probes(rows, l_s, sub)
         kk = k_eff * t if dedup_eff else k_eff
         d_l, i_l = _score_blocks(plan, x_leaf_l, sq_leaf_l, id_leaf_l,
                                  rows, l_s, q_l, k_eff, kk, metric,
@@ -623,11 +619,9 @@ class DistributedForest(RPForest):
         if s_blk > 1 and slack:
             raise ValueError("sub_block and slack are mutually exclusive "
                              "(fold() addresses whole-leaf blocks)")
-        if sub_split not in ("kmeans", "proj"):
-            raise ValueError("sub_split must be 'kmeans' or 'proj', "
-                             f"got {sub_split!r}")
-        if s_blk > 1 and sub_split == "kmeans" and (s_blk & (s_blk - 1)):
-            sub_split = "proj"  # recursive halving needs a power of two
+        from ..models.forest import _sub_split_of
+
+        sub_split = _sub_split_of(sub_split, s_blk)
         if s_blk > 1 and isinstance(self.x, EllMatrix):
             raise ValueError("sub_block applies to dense blocks only")
         if self._packed is None:
@@ -673,21 +667,11 @@ class DistributedForest(RPForest):
                 repl = NamedSharding(self.mesh, P())
                 r_sub = in_sub = None
                 if s_blk > 1:
-                    import numbers
+                    from ..models.forest import _sub_pack_tables
 
-                    from ..utils import gen as rgen_
-
-                    j = np.arange(s_blk)
-                    sub_len = np.clip(lens[:, None] - j[None, :] * ls,
-                                      0, ls).astype(np.int32).reshape(-1)
-                    in_sub = jax.device_put(jnp.asarray(
-                        np.arange(ls)[None, :] < sub_len[:, None]), repl)
-                    seed0 = (int(self.seed)
-                             if isinstance(self.seed, numbers.Integral)
-                             else 0)
-                    r_sub = jax.random.normal(
-                        jax.random.fold_in(rgen_.key_from_seed(seed0), 987),
-                        (self.dim,), jnp.float32)
+                    r_sub, in_sub, sub_len = _sub_pack_tables(
+                        self.seed, self.dim, lens, ls, s_blk)
+                    in_sub = jax.device_put(in_sub, repl)
                     self._sub_len_dev = jax.device_put(jnp.asarray(
                         np.tile(sub_len, self.n_trees)), repl)
                     # storage order == global order for the tree layout
@@ -973,6 +957,7 @@ class DistributedForest(RPForest):
         self._block_len = None
         self._block_len_dev = None
         self._block_len_rows_dev = None
+        self._lens_global_dev = None
         if self._packed is not None:
             mode = getattr(self, "_packed_mode", "tree")
             # replay the remembered pack configuration (dtype/centered/

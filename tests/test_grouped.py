@@ -109,6 +109,28 @@ def test_grouped_sub_block():
     _assert_same(f, q)
 
 
+def test_grouped_after_rebuild_rereads_occupancy():
+    """rebuild() replaces the plan, so the cached static occupancy table
+    must be invalidated -- a stale one silently masks/unmasks rows."""
+    f, q = _mk(n=2048)
+    _ = f.knn_grouped(q, K)  # caches the plan-A occupancy table
+    rng = np.random.default_rng(3)
+    f.add(rng.normal(size=(2048, 16)).astype(np.float32))
+    f.rebuild()  # plan B: same leaf count regime, different leaf lengths
+    # (tol: the two contraction orders differ by ~1e-5 on f32 at this n;
+    # the BUG this test pins produced masking errors of ~1e0)
+    _assert_same(f, q, tol=1e-4)
+
+
+def test_grouped_explicit_nt_rounds_to_chunk():
+    """A caller-given nt that is not a tile_chunk multiple must be
+    rounded up, not crash the chunk reshape."""
+    f, q = _mk()
+    d, ids = map(np.asarray, f.knn_grouped(q, K, nt=3000, tile_chunk=64))
+    d0, _ = map(np.asarray, f.knn(q, K))
+    np.testing.assert_allclose(d, d0, rtol=1e-5, atol=1e-5)
+
+
 def test_grouped_rejects_unsupported():
     f, q = _mk()
     with pytest.raises(ValueError):
