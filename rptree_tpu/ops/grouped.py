@@ -28,12 +28,14 @@ tiles was MEASURED far slower (+177ms: many narrow per-tile sorts at
 tail stays the per-pair path's -- results are bit-comparable by
 construction.
 
-Numerics: the tile einsum contracts f32 blocks at ``HIGHEST`` precision
-regardless of the caller's knob -- the small-M (``tile_m``) matmul lowers
-through a path whose DEFAULT-precision accumulation measurably loses
-ranking accuracy on near-equidistant clustered data (recall 0.860 vs the
-per-pair path's 0.925 at the 1M flagship; HIGHEST restores exact parity
-at ~4% of the batch time).  bf16/int8 blocks keep their native pipelines.
+Numerics: the tile einsum contracts f32 blocks at a FLOOR of ``HIGH``
+(3-pass bf16) regardless of the caller's knob -- the small-M
+(``tile_m``) matmul lowers through a path whose DEFAULT-precision
+accumulation measurably loses ranking accuracy on near-equidistant
+clustered data (recall 0.860 at DEFAULT vs 0.9248 at HIGH vs 0.9249 at
+HIGHEST at the 1M flagship; HIGH and HIGHEST are time-identical there
+because the passes overlap the block fetch).  An explicit ``"highest"``
+is honored; bf16/int8 blocks keep their native pipelines.
 
 Static shapes: the number of tiles ``sum_g ceil(c_g / tile_m)`` is
 data-dependent, so the kernel takes a static tile capacity ``nt`` and
@@ -130,10 +132,15 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
     if block_center is not None:
         mu, mudr = block_center
     # the small-M einsum's DEFAULT lowering loses accumulation accuracy
-    # (see module docstring); force the accurate path for f32 blocks ONLY
-    # -- bf16 blocks keep the caller's knob, like the per-pair scorer
-    prec_eff = (lax.Precision.HIGHEST if x_leaf.dtype == jnp.float32
-                else precision)
+    # (see module docstring), so f32 blocks get a floor of HIGH (3-pass
+    # bf16: recall 0.9248 vs HIGHEST's 0.9249 at the 1M flagship,
+    # measurably cheaper in isolation; BASELINE.md round-4); an explicit
+    # "highest" is honored.  bf16 blocks keep the caller's knob, like
+    # the per-pair scorer.
+    if x_leaf.dtype == jnp.float32 and precision != lax.Precision.HIGHEST:
+        prec_eff = lax.Precision.HIGH
+    else:
+        prec_eff = precision
 
     def step(args):
         rows_i, tp_i, lens_i = args

@@ -26,19 +26,28 @@ __all__ = ["device_time"]
 def device_time(step: Callable, *args, reps: int = 20) -> float:
     """Marginal device seconds per call of ``step(*args)``.
 
-    ``step`` must accept its first argument as a float32 jax array (the
-    perturbation target used to chain iterations) and return an array or
-    tuple of arrays.  Remaining ``args`` are passed through as jit
-    arguments (never closed over -- large closures can exceed remote
-    compile request limits).
+    Iterations are chained through a data dependency on the FIRST
+    FLOATING-POINT argument (an ``acc * 1e-9`` perturbation -- adding it
+    to an integer argument would silently promote it to f32 and break
+    integer consumers like gathers/scatters downstream); at least one
+    argument must be floating.  ``step`` returns an array or tuple of
+    arrays.  Args are passed through as jit arguments (never closed
+    over -- large closures can exceed remote compile request limits).
     """
-    first, rest = args[0], args[1:]
+    fi = next((i for i, a in enumerate(args)
+               if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)),
+              None)
+    if fi is None:
+        raise ValueError("device_time needs at least one floating-point "
+                         "argument to chain iterations through")
 
     def loop(n: int) -> float:
         @jax.jit
-        def g(a, rest):
+        def g(argt):
             def body(_, acc):
-                out = step(a + acc * 1e-9, *rest)
+                a = list(argt)
+                a[fi] = a[fi] + acc * 1e-9
+                out = step(*a)
                 if isinstance(out, tuple):
                     out = out[0]
                 return jnp.sum(
@@ -47,9 +56,9 @@ def device_time(step: Callable, *args, reps: int = 20) -> float:
 
             return lax.fori_loop(0, n, body, 0.0)
 
-        float(g(first, rest))  # compile + warm
+        float(g(args))  # compile + warm
         t0 = time.perf_counter()
-        float(g(first, rest))
+        float(g(args))
         return time.perf_counter() - t0
 
     t1, tn = loop(1), loop(reps)
