@@ -348,6 +348,43 @@ def _select_probes(plan, arrays, q, budget, probes, k=None,
     return gsel, lsel
 
 
+def _selection_tail(d, id_leaf, rows_sel, k, kk, dedup, min_votes=1,
+                    selection="sort"):
+    """Shared candidate-selection tail of every leaf-blocked scorer
+    (per-pair, grouped, and the sharded kernels): ids are fetched as
+    whole leaf blocks with the same ``[B, P]`` index pattern as the rows
+    and carried THROUGH the sort as a payload operand (TPU gathers cost
+    ~7ns per index; the comparator network moves payloads for free), a
+    full batched 2-operand sort beats lax.top_k at serving k, then the
+    dedup/vote merge.  ``d: f32[B, P * lmax]`` with +inf in masked
+    slots."""
+    b, w = d.shape
+    lmax = id_leaf.shape[-1]
+    probes = rows_sel.shape[1]
+    kk = min(kk, probes * lmax)
+    ids_blk = jnp.take(id_leaf, rows_sel, axis=0)  # [B, P, lmax]
+    ids_flat = ids_blk.reshape(b, probes * lmax)
+    if selection == "approx" and min_votes == 1 and kk < probes * lmax:
+        # hardware top-k (lax.approx_max_k lowers to the TPU PartialReduce
+        # op): 25us vs the payload sort's 460us per 1024q at the clustered
+        # flagship selection shape [1024, 8*128] -> 80 in ISOLATION, but
+        # measured SLOWER composed end-to-end at the flagship (the sort
+        # fuses with its producers; BASELINE.md round-4) -- opt-in only.
+        # APPROXIMATE: per-element recall of the kk-candidate set is
+        # ~recall_target; exact contracts (oracle parity, min_votes
+        # counts) keep the sort.
+        neg, sel_idx = lax.approx_max_k(-d, kk, recall_target=0.99)
+        d_top = -neg
+        ids_top = jnp.take_along_axis(ids_flat, sel_idx, axis=-1)
+    else:
+        # (per-probe pre-reduction to k' was measured 5x slower -- many
+        # short minor-axis sorts)
+        d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
+        d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
+    ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
+    return merge_top_k(d_top, ids_top, k, dedup=dedup, min_votes=min_votes)
+
+
 def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
                   kk, metric, dedup, precision, min_votes=1,
                   block_scale=None, block_len=None, block_center=None,
@@ -452,37 +489,8 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
         jnp.arange(lmax, dtype=jnp.int32) < lens[..., None]
     )
     d = jnp.where(valid, d, jnp.inf).reshape(b, probes * lmax)
-
-    # Selection: a full batched 2-operand sort beats lax.top_k on TPU at
-    # this k (top_k lowers to a partial sort whose cost grows with k), and
-    # carrying the point ids THROUGH the sort as a payload operand avoids
-    # a per-element id gather afterwards (TPU gathers cost ~7ns per index;
-    # the comparator network moves payloads for free).  Ids are fetched as
-    # whole leaf blocks with the same [B, P] index pattern as the rows.
-    kk = min(kk, probes * lmax)
-    ids_blk = jnp.take(id_leaf, rows_sel, axis=0)  # [B, P, lmax]
-    ids_flat = ids_blk.reshape(b, probes * lmax)
-    if selection == "approx" and min_votes == 1 and kk < probes * lmax:
-        # hardware top-k (lax.approx_max_k lowers to the TPU PartialReduce
-        # op): 25us vs the payload sort's 460us per 1024q at the clustered
-        # flagship selection shape [1024, 8*128] -> 80 (BASELINE.md
-        # round-4; the round-3 negative measured a different composition).
-        # APPROXIMATE: per-element recall of the kk-candidate set is
-        # ~recall_target; the k survivors are the easiest elements, so
-        # end recall moves ~0.001 at the flagship.  Exact contracts
-        # (oracle parity, min_votes counts) keep the sort.
-        neg, sel_idx = lax.approx_max_k(-d, kk, recall_target=0.99)
-        d_top = -neg
-        ids_top = jnp.take_along_axis(ids_flat, sel_idx, axis=-1)
-        ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
-        return merge_top_k(d_top, ids_top, k, dedup=dedup,
-                           min_votes=min_votes)
-    # (the full payload sort is the EXACT default; per-probe pre-reduction
-    # to k' was measured 5x slower -- many short minor-axis sorts)
-    d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
-    d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
-    ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
-    return merge_top_k(d_top, ids_top, k, dedup=dedup, min_votes=min_votes)
+    return _selection_tail(d, id_leaf, rows_sel, k, kk, dedup,
+                           min_votes=min_votes, selection=selection)
 
 
 @functools.partial(
@@ -593,26 +601,13 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
         x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,
         _prec(precision), tile_m, nt, tile_chunk,
         block_scale=block_scale, block_center=block_center)
-    # selection tail, identical to _score_blocks: ids fetched as whole
-    # leaf blocks with the same [B, P] pattern, carried through the sort
-    # as payload operands
+    # selection tail shared with _score_blocks
     b, p = gsel.shape
     lmax = x_leaf.shape[-2]
     t = arrays.perm.shape[0]
-    ids_blk = jnp.take(id_leaf, gsel, axis=0)  # [B, P, lmax]
-    d = d.reshape(b, p * lmax)
-    ids_flat = ids_blk.reshape(b, p * lmax)
-    kk = min(k * t if dedup else k, p * lmax)
-    if selection == "approx" and kk < p * lmax:
-        # hardware top-k; see the note in _score_blocks
-        neg, sel_idx = lax.approx_max_k(-d, kk, recall_target=0.99)
-        d_top = -neg
-        ids_top = jnp.take_along_axis(ids_flat, sel_idx, axis=-1)
-    else:
-        d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
-        d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
-    ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
-    d_out, i_out = merge_top_k(d_top, ids_top, k, dedup=dedup)
+    kk = k * t if dedup else k
+    d_out, i_out = _selection_tail(d.reshape(b, p * lmax), id_leaf, gsel,
+                                   k, kk, dedup, selection=selection)
     return d_out, i_out, needed
 
 
@@ -1911,7 +1906,9 @@ class RPForest:
         capacity is cached per (batch, probes, tile_m) shape.
 
         Unsupported here (use :meth:`knn`): ELL-sparse blocks, custom
-        distance callables, ``min_votes``, sharded forests.
+        distance callables, ``min_votes``.  Sharded forests serve the
+        leaf-sharded grouped form through their own ``knn_grouped``
+        (``parallel/distributed.py``).
         """
         if self._packed is None:
             raise ValueError("pack_leaves() first: knn_grouped runs on "
@@ -1922,9 +1919,6 @@ class RPForest:
         if callable(metric):
             raise ValueError("knn_grouped supports builtin metrics only; "
                              "use knn() for distance callables")
-        if getattr(self, "mesh", None) is not None:
-            raise ValueError("knn_grouped is single-device; sharded "
-                             "forests serve through knn()/knn_batched()")
         k = self._check_k(k)
         qb = _as_dense_queries(q, self.dim)
         budget = self._budget(budget)

@@ -746,6 +746,24 @@ class DataParallelForest(RPForest):
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
 
+    def knn_grouped(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None, dedup: bool = True,
+                    precision: str = "highest",
+                    probes: Optional[int] = None,
+                    probes_per_shard: Optional[int] = None,
+                    min_votes: int = 1, tile_m: int = 16,
+                    nt: Optional[int] = None, tile_chunk: int = 2048,
+                    chunk: Optional[int] = None):
+        """Query-grouped block-resident kNN on the leaf-sharded packed
+        blocks of the data mesh (see
+        :meth:`rptree_tpu.parallel.DistributedForest.knn_grouped`)."""
+        from .distributed import _sharded_knn_grouped
+
+        return _sharded_knn_grouped(self, q, k, metric, budget, dedup,
+                                    precision, probes, probes_per_shard,
+                                    min_votes, tile_m, nt, tile_chunk,
+                                    chunk, DATA_AXIS)
+
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,
               precision: str = "highest", probes: Optional[int] = None):

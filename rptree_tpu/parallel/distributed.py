@@ -47,7 +47,7 @@ from ..models.forest import (
 )
 from ..models.plan import make_plan
 from ..ops.build import TreeArrays, build_forest_arrays
-from ..ops.sparse import EllMatrix
+from ..ops.sparse import EllBlocks, EllMatrix
 from ..ops.rerank import gather_leaf_points, merge_top_k, rerank_top_k
 from ..utils import gen as rgen
 from .mesh import QUERY_AXIS, TREE_AXIS, forest_mesh
@@ -258,14 +258,15 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
     jax.jit,
     static_argnames=("mesh", "plan", "k", "budget", "probes",
                      "probes_per_shard", "metric", "dedup", "precision",
-                     "min_votes", "bucket_stop", "axis", "chunk", "sub"),
+                     "min_votes", "bucket_stop", "axis", "chunk", "sub",
+                     "grouped_cfg"),
 )
 def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            probes_per_shard, metric, dedup, precision,
                            min_votes=1, bucket_stop=False,
                            block_scale=None, axis=TREE_AXIS, chunk=None,
                            block_len=None, block_len_global=None,
-                           block_center=None, sub=1):
+                           block_center=None, sub=1, grouped_cfg=None):
     """kNN with the leaf blocks sharded round-robin across the tree axis
     (per-chip index memory = 1/S of the total).  Every shard traverses the
     whole (small, replicated) forest structure for its queries, keeps the
@@ -281,6 +282,14 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     query chunks INSIDE the shard_map block: one host dispatch for the
     whole batch with per-chunk peak memory (the sharded form of
     ``RPForest.knn_batched``).  The per-shard batch must divide ``chunk``.
+
+    ``grouped_cfg = (tile_m, nt, tile_chunk)`` (static) scores each
+    shard's owned probes through the query-grouped block-resident rerank
+    (:mod:`rptree_tpu.ops.grouped`) instead of the per-pair scorer --
+    one fetch + one MXU matmul per tile of same-block pairs; the
+    cross-shard merge is unchanged.  ``nt`` is the PER-SHARD tile
+    capacity; a third output reports the max tiles any shard needed
+    (results exact iff ``needed <= nt``; the caller retries).
     """
 
     def chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l,
@@ -324,20 +333,52 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
 
             rows, l_s = _expand_sub_probes(rows, l_s, sub)
         kk = k_eff * t if dedup_eff else k_eff
-        d_l, i_l = _score_blocks(plan, x_leaf_l, sq_leaf_l, id_leaf_l,
-                                 rows, l_s, q_l, k_eff, kk, metric,
-                                 dedup_eff, precision,
-                                 block_scale=scale_l, block_len=bl_l,
-                                 block_center=bc_l)
+        needed_out = None
+        if grouped_cfg is not None:
+            from ..models.forest import _prec, _selection_tail
+            from ..ops.grouped import grouped_distances
+
+            tm_, nt_, tch_ = grouped_cfg
+            if bl_l is not None:
+                lens_rows = bl_l
+            else:
+                # static per-storage-row occupancy: local row rr holds
+                # global block rr * S + me; pad rows past the global
+                # block count are empty
+                g_rows = (jnp.arange(x_leaf_l.shape[0], dtype=jnp.int32)
+                          * n_sh + me)
+                lens_rows = jnp.where(
+                    g_rows < t * plan.n_leaves,
+                    jnp.take(jnp.asarray(plan.leaf_len, jnp.int32),
+                             g_rows % plan.n_leaves), 0)
+            d_g, needed_l = grouped_distances(
+                x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l, metric,
+                _prec(precision), tm_, nt_, tch_,
+                block_scale=scale_l, block_center=bc_l)
+            bq = rows.shape[0]
+            d_l, i_l = _selection_tail(d_g.reshape(bq, -1), id_leaf_l,
+                                       rows, k_eff, kk, dedup_eff)
+            needed_out = lax.pmax(needed_l, axis)
+            if QUERY_AXIS in mesh.shape:
+                needed_out = lax.pmax(needed_out, QUERY_AXIS)
+        else:
+            d_l, i_l = _score_blocks(plan, x_leaf_l, sq_leaf_l, id_leaf_l,
+                                     rows, l_s, q_l, k_eff, kk, metric,
+                                     dedup_eff, precision,
+                                     block_scale=scale_l, block_len=bl_l,
+                                     block_center=bc_l)
         d_l, i_l = _pad_k(d_l, i_l, k_eff)
         d_all = lax.all_gather(d_l, axis)
         i_all = lax.all_gather(i_l, axis)
         sh = d_all.shape[0]
         d_all = jnp.moveaxis(d_all, 0, 1).reshape(d_l.shape[0], sh * k_eff)
         i_all = jnp.moveaxis(i_all, 0, 1).reshape(i_l.shape[0], sh * k_eff)
-        return merge_top_k(d_all, i_all, k,
-                           dedup=(dedup or min_votes > 1),
-                           min_votes=min_votes)
+        out = merge_top_k(d_all, i_all, k,
+                          dedup=(dedup or min_votes > 1),
+                          min_votes=min_votes)
+        if grouped_cfg is not None:
+            return out[0], out[1], needed_out
+        return out
 
     def block(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l, scale_l,
               bl_l, bl_g, bc_l, q_l):
@@ -346,12 +387,16 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
             return chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l,
                               id_leaf_l, scale_l, bl_l, bl_g, bc_l, q_l)
         qc = q_l.reshape(b // chunk, chunk, q_l.shape[-1])
-        d, i = lax.map(
+        out = lax.map(
             lambda qi: chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l,
                                   id_leaf_l, scale_l, bl_l, bl_g, bc_l,
                                   qi),
             qc,
         )
+        if grouped_cfg is not None:
+            d, i, nd = out
+            return d.reshape(b, -1), i.reshape(b, -1), jnp.max(nd)
+        d, i = out
         return d.reshape(b, -1), i.reshape(b, -1)
 
     r, thr, mgl, mgh = small
@@ -360,13 +405,15 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     blg_spec = None if block_len_global is None else P()
     bc_spec = None if block_center is None else (P(axis), P(axis))
     q_spec = P(QUERY_AXIS) if QUERY_AXIS in mesh.shape else P()
+    out_specs = ((q_spec, q_spec) if grouped_cfg is None
+                 else (q_spec, q_spec, P()))
     return jax.shard_map(
         block,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis), P(axis),
                   P(axis), scale_spec, bl_spec, blg_spec, bc_spec,
                   q_spec),
-        out_specs=(q_spec, q_spec),
+        out_specs=out_specs,
         check_vma=False,
     )(r, thr, mgl, mgh, *packed, block_scale, block_len,
       block_len_global, block_center, q)
@@ -555,6 +602,85 @@ def _serving_lens(f):
     if sub > 1:
         return f._sub_len_rows_dev, None, sub
     return (getattr(f, "_block_len_rows_dev", None), f._block_len_dev, 1)
+
+
+def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
+                         probes, probes_per_shard, min_votes, tile_m, nt,
+                         tile_chunk, chunk, axis):
+    """Shared wrapper for the sharded query-grouped rerank
+    (DistributedForest / DataParallelForest): leaf-sharded packed dense
+    blocks only; auto-sizes the PER-SHARD tile capacity exactly like the
+    single-device :meth:`RPForest.knn_grouped` (retry with headroom on
+    overflow, learned capacity cached per batch shape)."""
+    from ..models.forest import _as_dense_queries
+
+    if getattr(f, "_packed_mode", None) != "leaf":
+        raise ValueError("pack_leaves(shard_by='leaf') first: the sharded "
+                         "knn_grouped serves the leaf-sharded blocks; "
+                         "other layouts serve through knn()")
+    if isinstance(f._packed[0], EllBlocks):
+        raise ValueError("knn_grouped needs dense blocks; ELL-sparse "
+                         "datasets serve through knn()")
+    if callable(metric):
+        raise ValueError("knn_grouped supports builtin metrics only; "
+                         "use knn() for distance callables")
+    k = f._check_k(k)
+    if axis == TREE_AXIS:
+        qb, b = f._pad_queries(_as_dense_queries(q, f.dim))
+    else:
+        qb, b = f._q_repl(q)
+    budget = f._budget(budget)
+    bl_r, bl_g, sub = _serving_lens(f)
+    if probes is None:
+        probes = f.n_trees * budget
+    if probes_per_shard is None:
+        probes_per_shard = int(probes)  # exact by default
+    tc = max(1, int(tile_chunk))
+    s_q = f.mesh.shape.get(QUERY_AXIS, 1)
+    b_local = -(-qb.shape[0] // s_q)
+    if chunk is not None:
+        chunk = max(1, min(int(chunk), b_local))
+        pad = (-qb.shape[0]) % (s_q * chunk)
+        if pad:
+            qb = jnp.concatenate(
+                [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
+            qb = jax.device_put(
+                qb, NamedSharding(
+                    f.mesh, P(QUERY_AXIS) if s_q > 1 else P()))
+            b_local = qb.shape[0] // s_q
+        b_local = chunk
+    e = b_local * int(probes_per_shard) * sub
+    cap_max = -(-e // tc) * tc
+
+    def _bucket(n):
+        return min(max(-(-int(n) // tc) * tc, tc), cap_max)
+
+    if not hasattr(f, "_grouped_nt"):
+        f._grouped_nt = {}
+    key = (qb.shape[0], int(probes_per_shard), int(tile_m),
+           chunk if chunk is not None else 0)
+    cap = _bucket(int(nt)) if nt is not None else f._grouped_nt.get(
+        key, _bucket(2 * e // int(tile_m) + e // (4 * int(tile_m))))
+    while True:
+        d, i, needed = _dist_knn_leaf_sharded(
+            f.mesh, f.plan, f._small, f._packed, qb, int(k), budget,
+            int(probes), int(probes_per_shard), metric, dedup, precision,
+            min_votes=int(min_votes),
+            block_scale=getattr(f, "_block_scale", None),
+            block_len=bl_r, block_len_global=bl_g,
+            block_center=getattr(f, "_block_center", None),
+            sub=sub, axis=axis, chunk=chunk,
+            grouped_cfg=(int(tile_m), cap, min(tc, cap)))
+        needed = int(needed)
+        if needed <= cap or nt is not None:
+            break
+        # retry with headroom so batch-to-batch variance does not force
+        # another recompile
+        cap = _bucket(needed + needed // 8)
+    f._grouped_nt[key] = max(cap, _bucket(needed + needed // 8)) \
+        if nt is None else f._grouped_nt.get(key, cap)
+    return f._apply_update_hooks(qb[:b], d[:b], i[:b], int(k), metric,
+                                 precision)
 
 
 # ---------------------------------------------------------------------------
@@ -875,6 +1001,25 @@ class DistributedForest(RPForest):
                                                   None), sub=sub)
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
+
+    def knn_grouped(self, q, k: int, metric: str = "l2",
+                    budget: Optional[int] = None, dedup: bool = True,
+                    precision: str = "highest",
+                    probes: Optional[int] = None,
+                    probes_per_shard: Optional[int] = None,
+                    min_votes: int = 1, tile_m: int = 16,
+                    nt: Optional[int] = None, tile_chunk: int = 2048,
+                    chunk: Optional[int] = None):
+        """Query-grouped block-resident kNN on the LEAF-SHARDED packed
+        layout: each shard tiles its owned (query, probe) pairs by block
+        and scores one MXU matmul per tile (same results as :meth:`knn`);
+        the cross-shard top-k merge is unchanged.  See
+        :meth:`rptree_tpu.RPForest.knn_grouped` for the capacity
+        semantics (``nt`` here is PER SHARD)."""
+        return _sharded_knn_grouped(self, q, k, metric, budget, dedup,
+                                    precision, probes, probes_per_shard,
+                                    min_votes, tile_m, nt, tile_chunk,
+                                    chunk, TREE_AXIS)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,

@@ -480,3 +480,17 @@ def test_tune_on_data_parallel_forest(single, data):
     best = rt.tune(f, q, k=5, target_recall=0.3, budgets=(1, 2),
                    probes_per_tree=(1.0,), measure=False)
     assert best["recall"] > 0 and "frontier" in best
+
+
+def test_dp_knn_grouped_matches_knn(single, data):
+    """knn_grouped on the data-parallel leaf-sharded blocks (incl. the
+    (data x query) 2-D mesh) matches the per-pair sharded path."""
+    for mesh in (data_mesh(8), data_mesh(4, n_query=2)):
+        f = forest_batch_data_parallel(SEED, 6, 12, T, 1.0, data,
+                                       mesh=mesh)
+        f.pack_leaves()
+        q = data[:8] + 0.01
+        d0, i0 = map(np.asarray, f.knn(q, 5, budget=8))
+        dg, ig = map(np.asarray, f.knn_grouped(q, 5, budget=8))
+        np.testing.assert_allclose(d0, dg, atol=1e-5)
+        np.testing.assert_array_equal(i0, ig)

@@ -540,3 +540,33 @@ def test_tune_on_sharded_forest(data, queries):
                      budgets=(1,), probes_per_tree=(1.0,),
                      measure=True, reps=1, time_rows=64)
     assert best_m["frontier"][0].get("qps", 0) > 0
+
+
+def test_sharded_knn_grouped_matches_knn(data, queries):
+    """Leaf-sharded query-grouped rerank: same results as the sharded
+    per-pair path and as the single-device forest, including after fold
+    (dynamic occupancy) and with an undersized capacity retry."""
+    f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(8))
+    f.pack_leaves(shard_by="leaf", slack=4)
+    d0, i0 = map(np.asarray, f.knn(queries, 5, budget=4))
+    dg, ig = map(np.asarray, f.knn_grouped(queries, 5, budget=4))
+    np.testing.assert_allclose(d0, dg, atol=1e-5)
+    np.testing.assert_array_equal(i0, ig)
+    # batched (chunked) grouped form
+    db, ib = map(np.asarray, f.knn_grouped(queries[:12], 5, budget=4,
+                                           chunk=4))
+    np.testing.assert_allclose(d0[:12], db, atol=1e-5)
+    # capacity retry: tiny tile_chunk forces a low first guess
+    d1, i1 = map(np.asarray, f.knn_grouped(queries, 5, budget=4,
+                                           tile_chunk=8))
+    np.testing.assert_allclose(d0, d1, atol=1e-5)
+    # fold into slack slots: grouped reads the dynamic occupancy
+    rng = np.random.default_rng(4)
+    new = rng.normal(size=(6, DIM)).astype(np.float32)
+    f.add(new)
+    f.fold()
+    assert f.n_folded > 0
+    d2, i2 = map(np.asarray, f.knn(new + 1e-4, 1, budget=4))
+    d3, i3 = map(np.asarray, f.knn_grouped(new + 1e-4, 1, budget=4))
+    np.testing.assert_array_equal(i2, i3)
