@@ -34,12 +34,16 @@ def device_time(step: Callable, *args, reps: int = 20) -> float:
     arrays.  Args are passed through as jit arguments (never closed
     over -- large closures can exceed remote compile request limits).
     """
-    fi = next((i for i, a in enumerate(args)
-               if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)),
-              None)
+    def _is_float_array(a):
+        try:  # pytree args (e.g. TreeArrays) are fine, just not targets
+            return jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        except (TypeError, ValueError):
+            return False
+
+    fi = next((i for i, a in enumerate(args) if _is_float_array(a)), None)
     if fi is None:
         raise ValueError("device_time needs at least one floating-point "
-                         "argument to chain iterations through")
+                         "array argument to chain iterations through")
 
     def loop(n: int) -> float:
         @jax.jit
