@@ -307,8 +307,7 @@ def main():
         # (ops/grouped.py): queries probing the same leaf block share ONE
         # fetch of it and ONE MXU matmul -- on clustered data probe sets
         # overlap heavily by construction, measured ~2x over the per-pair
-        # path at this flagship at bit-identical recall (BASELINE.md
-        # round-4)
+        # path at this flagship at equal recall (BASELINE.md round-4)
         def sweep_c():
             _, ids = fc.knn_grouped(qc, K, budget=BC, probes=PC,
                                     precision="default", tile_m=8)

@@ -165,6 +165,46 @@ def _sub_order_kmeans(rows, valid, r_sub, sub):
     return order
 
 
+def _grouped_auto_capacity(f, key, e, tile_m, tile_chunk, nt, run):
+    """Shared tile-capacity auto-sizing for the grouped rerank (single
+    source for the single-device and sharded wrappers): start from the
+    cached capacity for this shape (else 2.25x pairs/tile_m -- the
+    measured flagship tile count sits just above 2x, so 2x would
+    retry-recompile at the margin), run, and retry with 12.5% headroom on
+    overflow (results are exact only when ``needed <= capacity``).
+
+    Cache policy: an EXPLICIT ``nt`` never writes the cache (a one-off
+    generous capacity must not permanently inflate every later auto call
+    -- each tile costs fetch+matmul work whether or not it is needed),
+    and an auto run re-tightens a cached capacity that is > 2x the
+    needed tiles (one recompile buys back the per-call waste; within
+    [1x..2x] the cache is left alone for batch-to-batch stability)."""
+    tc = max(1, int(tile_chunk))
+    cap_max = -(-e // tc) * tc  # every pair its own tile
+
+    def _bucket(n):
+        # grouped_distances reshapes the tile axis into [nt/tc, tc]
+        # chunks, so every capacity is rounded up to a tc multiple
+        return min(max(-(-int(n) // tc) * tc, tc), cap_max)
+
+    if not hasattr(f, "_grouped_nt"):
+        f._grouped_nt = {}
+    cap = _bucket(int(nt)) if nt is not None else f._grouped_nt.get(
+        key, _bucket(2 * e // int(tile_m) + e // (4 * int(tile_m))))
+    while True:
+        out, needed = run(cap, min(tc, cap))
+        needed = int(needed)
+        if needed <= cap or nt is not None:
+            break
+        cap = _bucket(needed + needed // 8)
+    if nt is None:
+        tight = _bucket(needed + needed // 8)
+        cached = f._grouped_nt.get(key, 0)
+        if cached < tight or cached > 2 * tight:
+            f._grouped_nt[key] = tight
+    return out
+
+
 def _sub_split_of(sub_split: str, s: int) -> str:
     """Validate/normalize the sub-block ordering mode (single source for
     every packer): unknown modes raise; "kmeans" needs a power-of-two
@@ -1927,40 +1967,21 @@ class RPForest:
         probes = int(probes)
         sub = getattr(self, "_sub_block", 1)
         x_leaf, sq_leaf, id_leaf = self._packed
-        e = qb.shape[0] * probes * sub
-        tc = max(1, int(tile_chunk))
-        cap_max = -(-e // tc) * tc  # every pair its own tile
-
-        def _bucket(n):
-            return min(max(-(-int(n) // tc) * tc, tc), cap_max)
-
-        if not hasattr(self, "_grouped_nt"):
-            self._grouped_nt = {}
-        key = (qb.shape[0], probes, int(tile_m))
-        # initial guess 2.25 * e / tile_m: the measured flagship tile
-        # count sits just above 2x (needed=65774 at e/tile_m=32768;
-        # BASELINE.md round-4), so 2x would retry-recompile at the margin
-        # an explicit nt is still rounded up to a tile_chunk multiple:
-        # grouped_distances reshapes the tile axis into [nt/tc, tc] chunks
-        cap = _bucket(int(nt)) if nt is not None else self._grouped_nt.get(
-            key, _bucket(2 * e // int(tile_m) + e // (4 * int(tile_m))))
         lens = self._lens_global()
-        while True:
+
+        def run(cap, tc_eff):
             d, ids, needed = _knn_grouped(
                 self.plan, self.arrays, x_leaf, sq_leaf, id_leaf, lens,
                 qb, int(k), budget, probes, metric, dedup, precision,
-                int(tile_m), cap, min(tc, cap), bucket_stop=bucket_stop,
+                int(tile_m), cap, tc_eff, bucket_stop=bucket_stop,
                 block_scale=getattr(self, "_block_scale", None),
                 block_center=self._block_center, sub=sub,
                 selection=selection)
-            needed = int(needed)
-            if needed <= cap or nt is not None:
-                break
-            # retry with headroom so minor batch-to-batch variance does
-            # not force another recompile
-            cap = _bucket(needed + needed // 8)
-        self._grouped_nt[key] = max(cap, _bucket(needed + needed // 8)) \
-            if nt is None else self._grouped_nt.get(key, cap)
+            return (d, ids), needed
+
+        d, ids = _grouped_auto_capacity(
+            self, (qb.shape[0], probes, int(tile_m), sub),
+            qb.shape[0] * probes * sub, tile_m, tile_chunk, nt, run)
         return self._apply_update_hooks(qb, d, ids, int(k), metric,
                                         precision)
 

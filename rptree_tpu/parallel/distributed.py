@@ -635,7 +635,6 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
         probes = f.n_trees * budget
     if probes_per_shard is None:
         probes_per_shard = int(probes)  # exact by default
-    tc = max(1, int(tile_chunk))
     s_q = f.mesh.shape.get(QUERY_AXIS, 1)
     b_local = -(-qb.shape[0] // s_q)
     if chunk is not None:
@@ -647,21 +646,9 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
             qb = jax.device_put(
                 qb, NamedSharding(
                     f.mesh, P(QUERY_AXIS) if s_q > 1 else P()))
-            b_local = qb.shape[0] // s_q
         b_local = chunk
-    e = b_local * int(probes_per_shard) * sub
-    cap_max = -(-e // tc) * tc
 
-    def _bucket(n):
-        return min(max(-(-int(n) // tc) * tc, tc), cap_max)
-
-    if not hasattr(f, "_grouped_nt"):
-        f._grouped_nt = {}
-    key = (qb.shape[0], int(probes_per_shard), int(tile_m),
-           chunk if chunk is not None else 0)
-    cap = _bucket(int(nt)) if nt is not None else f._grouped_nt.get(
-        key, _bucket(2 * e // int(tile_m) + e // (4 * int(tile_m))))
-    while True:
+    def run(cap, tc_eff):
         d, i, needed = _dist_knn_leaf_sharded(
             f.mesh, f.plan, f._small, f._packed, qb, int(k), budget,
             int(probes), int(probes_per_shard), metric, dedup, precision,
@@ -670,15 +657,16 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
             block_len=bl_r, block_len_global=bl_g,
             block_center=getattr(f, "_block_center", None),
             sub=sub, axis=axis, chunk=chunk,
-            grouped_cfg=(int(tile_m), cap, min(tc, cap)))
-        needed = int(needed)
-        if needed <= cap or nt is not None:
-            break
-        # retry with headroom so batch-to-batch variance does not force
-        # another recompile
-        cap = _bucket(needed + needed // 8)
-    f._grouped_nt[key] = max(cap, _bucket(needed + needed // 8)) \
-        if nt is None else f._grouped_nt.get(key, cap)
+            grouped_cfg=(int(tile_m), cap, tc_eff))
+        return (d, i), needed
+
+    from ..models.forest import _grouped_auto_capacity
+
+    key = (qb.shape[0], int(probes_per_shard), int(tile_m), sub,
+           chunk if chunk is not None else 0)
+    d, i = _grouped_auto_capacity(
+        f, key, b_local * int(probes_per_shard) * sub, tile_m,
+        tile_chunk, nt, run)
     return f._apply_update_hooks(qb[:b], d[:b], i[:b], int(k), metric,
                                  precision)
 

@@ -140,3 +140,23 @@ def test_grouped_rejects_unsupported():
     f3 = forest_batch(SEED, 3, 8, 2, 1.0, np.eye(64, dtype=np.float32))
     f3.pack_leaves()
     _ = f3  # dense path fine; ELL rejection covered by construction below
+
+
+def test_grouped_capacity_cache_policy():
+    """An explicit nt must not poison the learned capacity cache, and an
+    oversized cached capacity re-tightens (every tile costs fetch+matmul
+    work whether or not it is needed)."""
+    f, q = _mk()
+    f.knn_grouped(q, K, tile_chunk=16)
+    key = next(iter(f._grouped_nt))
+    learned = f._grouped_nt[key]
+    # explicit generous capacity: same results, cache untouched
+    cap_max = -(-q.shape[0] * f.n_trees * f._budget(None) * 16 // 16) * 16
+    d1, _ = f.knn_grouped(q, K, tile_chunk=16, nt=4096)
+    assert f._grouped_nt[key] == learned
+    d0, _ = f.knn_grouped(q, K, tile_chunk=16)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
+    # a wildly oversized cached value tightens on the next auto call
+    f._grouped_nt[key] = learned * 8
+    f.knn_grouped(q, K, tile_chunk=16)
+    assert f._grouped_nt[key] <= 2 * learned
