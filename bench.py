@@ -331,7 +331,7 @@ def main():
 
     xl_c, sl_c, il_c = fc._packed
     lens_c = fc._lens_global()
-    ntc = fc._grouped_nt[(BCQ, PC, 8)]
+    ntc = fc._grouped_nt[(BCQ, PC, 8, 1)]  # (B, probes, tile_m, sub)
     from rptree_tpu.models.forest import _knn_grouped
 
     def dev_step_c(qx, xl, sl, il, ln):
