@@ -114,10 +114,12 @@ def main(base=None, query=None, gt=None, n_trees=8, k=10,
             return f.brute_force_knn(xq, k, precision="fastest",
                                      query_chunk=2048)[1]
     else:
+        # query-grouped block-resident rerank: same results as knn(),
+        # ~2x on clustered/real embedding data (BASELINE.md round-4)
         def serve():
-            return f.knn_batched(xq, k, budget=best["budget"],
+            return f.knn_grouped(xq, k, budget=best["budget"],
                                  probes=best["probes"],
-                                 precision="default", chunk=2048)[1]
+                                 precision="default")[1]
 
     t0 = time.perf_counter()
     ids = np.asarray(serve())  # first call compiles the batch shape
