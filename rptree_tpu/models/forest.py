@@ -616,12 +616,13 @@ def _knn_h_ids(plan, arrays, q, k, budget):
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
                      "precision", "tile_m", "nt", "tile_chunk",
-                     "bucket_stop", "sub", "selection"),
+                     "bucket_stop", "min_votes", "sub", "selection"),
 )
 def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
                  budget, probes, metric, dedup, precision, tile_m, nt,
-                 tile_chunk, bucket_stop=False, block_scale=None,
-                 block_center=None, sub=1, selection="sort"):
+                 tile_chunk, bucket_stop=False, min_votes=1,
+                 block_scale=None, block_center=None, sub=1,
+                 selection="sort"):
     """Query-grouped block-resident rerank (see :mod:`..ops.grouped`):
     semantically :func:`_knn_packed`, restructured so each distinct probed
     block is fetched once per TILE of queries and scored with one MXU
@@ -647,7 +648,8 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
     t = arrays.perm.shape[0]
     kk = k * t if dedup else k
     d_out, i_out = _selection_tail(d.reshape(b, p * lmax), id_leaf, gsel,
-                                   k, kk, dedup, selection=selection)
+                                   k, kk, dedup, min_votes=min_votes,
+                                   selection=selection)
     return d_out, i_out, needed
 
 
@@ -1929,7 +1931,8 @@ class RPForest:
                     precision: str = "highest",
                     probes: Optional[int] = None, tile_m: int = 16,
                     nt: Optional[int] = None, tile_chunk: int = 2048,
-                    bucket_stop: bool = False, selection: str = "sort"
+                    bucket_stop: bool = False, min_votes: int = 1,
+                    selection: str = "sort"
                     ) -> Tuple[jax.Array, jax.Array]:
         """Query-grouped block-resident kNN: same results as :meth:`knn`
         on the packed path, restructured so queries probing the SAME leaf
@@ -1945,17 +1948,16 @@ class RPForest:
         guess was low (each capacity bucket compiles once); the learned
         capacity is cached per (batch, probes, tile_m) shape.
 
-        Unsupported here (use :meth:`knn`): ELL-sparse blocks, custom
-        distance callables, ``min_votes``.  Sharded forests serve the
-        leaf-sharded grouped form through their own ``knn_grouped``
-        (``parallel/distributed.py``).
+        ELL-sparse blocks serve through the same tiling (one
+        ``(cols, vals)`` block fetch per tile; the contraction stays
+        gather-based), and ``min_votes`` applies as in :meth:`knn`.
+        Unsupported here (use :meth:`knn`): custom distance callables.
+        Sharded forests serve the leaf-sharded grouped form through
+        their own ``knn_grouped`` (``parallel/distributed.py``).
         """
         if self._packed is None:
             raise ValueError("pack_leaves() first: knn_grouped runs on "
                              "the leaf-blocked layout")
-        if isinstance(self._packed[0], EllBlocks):
-            raise ValueError("knn_grouped needs dense blocks; ELL-sparse "
-                             "datasets serve through knn()")
         if callable(metric):
             raise ValueError("knn_grouped supports builtin metrics only; "
                              "use knn() for distance callables")
@@ -1974,6 +1976,7 @@ class RPForest:
                 self.plan, self.arrays, x_leaf, sq_leaf, id_leaf, lens,
                 qb, int(k), budget, probes, metric, dedup, precision,
                 int(tile_m), cap, tc_eff, bucket_stop=bucket_stop,
+                min_votes=int(min_votes),
                 block_scale=getattr(self, "_block_scale", None),
                 block_center=self._block_center, sub=sub,
                 selection=selection)

@@ -54,6 +54,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .rerank import distances_from_dots
+from .sparse import EllBlocks
 
 __all__ = ["grouped_distances"]
 
@@ -77,7 +78,12 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
 
     Args:
       x_leaf/sq_leaf: packed dense blocks ``[G, lmax, D]`` / ``[G, lmax]``
-        (storage-row order).
+        (storage-row order), or sparse :class:`EllBlocks` (``cols``/``vals``
+        ``[G, lmax, K]``) -- each tile then fetches the (cols, vals) block
+        pair once and contracts by gathering the tile's DENSE query rows at
+        the stored column indices (the batched ``innerSD`` pointer walk,
+        reference ``Internal.hs:369-382``); the block-fetch saving is the
+        same, the contraction stays gather-based (no MXU for sparse rows).
       lens_of_block: ``int32[G_global]`` occupancy per GLOBAL block id
         (static plan lengths or the dynamic post-fold table).
       gsel/lsel: probe selection ``int32[B, P]`` (global block id / leaf
@@ -137,17 +143,36 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
     # measurably cheaper in isolation; BASELINE.md round-4); an explicit
     # "highest" is honored.  bf16 blocks keep the caller's knob, like
     # the per-pair scorer.
-    if x_leaf.dtype == jnp.float32 and precision != lax.Precision.HIGHEST:
+    is_ell = isinstance(x_leaf, EllBlocks)
+    if (not is_ell and x_leaf.dtype == jnp.float32
+            and precision != lax.Precision.HIGHEST):
         prec_eff = lax.Precision.HIGH
     else:
         prec_eff = precision
 
     def step(args):
         rows_i, tp_i, lens_i = args
-        blk = jnp.take(x_leaf, rows_i, axis=0)    # [tc, lmax, D]
         sqb = jnp.take(sq_leaf, rows_i, axis=0)   # [tc, lmax]
         qi = jnp.where(tp_i >= 0, tp_i // p, 0)
         qt = jnp.take(q, qi, axis=0)              # [tc, m, D]
+        if is_ell:
+            # sparse blocks: one (cols, vals) fetch per tile, query rows
+            # gathered at the stored columns (padding is col=0/val=0 and
+            # contributes nothing)
+            cols = jnp.take(x_leaf.cols, rows_i, axis=0)  # [tc, lmax, K]
+            vals = jnp.take(x_leaf.vals, rows_i, axis=0)
+            qg = jnp.take_along_axis(
+                qt[:, :, None, :], cols[:, None].astype(jnp.int32),
+                axis=-1)                          # [tc, m, lmax, K]
+            dots = jnp.sum(vals[:, None].astype(jnp.float32) * qg, axis=-1)
+            d = distances_from_dots(dots, sqb[:, None, :], qt, metric)
+            valid = (tp_i >= 0)[:, :, None] & (
+                jnp.arange(lmax, dtype=jnp.int32) < lens_i[:, None, None]
+            )
+            d = jnp.where(valid, d, jnp.inf)
+            tc = rows_i.shape[0]
+            return d.reshape(tc * tile_m, lmax)
+        blk = jnp.take(x_leaf, rows_i, axis=0)    # [tc, lmax, D]
         if blk.dtype == jnp.int8:
             bscale = jnp.take(block_scale, rows_i, axis=0)  # [tc]
             if mu is not None:

@@ -618,9 +618,6 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
         raise ValueError("pack_leaves(shard_by='leaf') first: the sharded "
                          "knn_grouped serves the leaf-sharded blocks; "
                          "other layouts serve through knn()")
-    if isinstance(f._packed[0], EllBlocks):
-        raise ValueError("knn_grouped needs dense blocks; ELL-sparse "
-                         "datasets serve through knn()")
     if callable(metric):
         raise ValueError("knn_grouped supports builtin metrics only; "
                          "use knn() for distance callables")

@@ -254,6 +254,11 @@ def test_data_parallel_ell_packed_serving():
     dh1, ih1 = map(np.asarray, single.knn_h(q, 5, budget=8))
     dh2, ih2 = map(np.asarray, f.knn_h(q, 5, budget=8))
     np.testing.assert_allclose(dh1, dh2, atol=1e-5)
+    # grouped rerank on the sharded sparse blocks (one (cols, vals)
+    # fetch per tile) matches the per-pair sharded path
+    dg, ig = map(np.asarray, f.knn_grouped(q, 5, budget=16))
+    np.testing.assert_allclose(d2, dg, atol=1e-5)
+    np.testing.assert_array_equal(i2, ig)
     # serve-only mode keeps working with the sharded sparse blocks
     f.drop_dataset()
     d3, i3 = map(np.asarray, f.knn(q, 5, budget=16))

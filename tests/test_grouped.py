@@ -142,6 +142,43 @@ def test_grouped_rejects_unsupported():
     _ = f3  # dense path fine; ELL rejection covered by construction below
 
 
+def test_grouped_ell_matches_knn():
+    """ELL-sparse blocks through the grouped tiling: parity with the
+    per-pair EllBlocks path (same probes, same candidates)."""
+    import rptree_tpu as rt
+    from rptree_tpu.ops.sparse import EllMatrix
+
+    rng = np.random.default_rng(SEED)
+    n, dim, nnz = 2048, 48, 6
+    cols = rng.integers(0, dim, size=(n, nnz)).astype(np.int32)
+    vals = rng.normal(size=(n, nnz)).astype(np.float32)
+    ell = EllMatrix(dim, jnp.asarray(cols), jnp.asarray(vals))
+    f = rt.forest_batch(SEED, 6, 24, 3, 1.0, ell).pack_leaves()
+    q = np.asarray(rt.ell_to_dense(ell))[:48] + np.float32(0.01)
+    dg, ig = map(np.asarray, f.knn_grouped(q, K, budget=4))
+    dp, ip = map(np.asarray, f.knn(q, K, budget=4))
+    np.testing.assert_allclose(dg, dp, rtol=1e-5, atol=1e-5)
+    for b in range(q.shape[0]):
+        assert set(ig[b].tolist()) == set(ip[b].tolist())
+    # bf16-valued sparse blocks run the same pipeline
+    f2 = rt.forest_batch(SEED, 6, 24, 3, 1.0, ell).pack_leaves(
+        dtype=jnp.bfloat16)
+    db, ib = map(np.asarray, f2.knn_grouped(q, K, budget=4))
+    db2, _ = map(np.asarray, f2.knn(q, K, budget=4))
+    np.testing.assert_allclose(db, db2, rtol=3e-2, atol=3e-2)
+
+
+def test_grouped_min_votes_matches_knn():
+    """min_votes voting filter through the grouped tail: parity with the
+    per-pair path."""
+    f, q = _mk()
+    for v in (2, 3):
+        dg, ig = map(np.asarray, f.knn_grouped(q, K, min_votes=v))
+        dp, ip = map(np.asarray, f.knn(q, K, min_votes=v))
+        np.testing.assert_allclose(dg, dp, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(ig, ip)
+
+
 def test_grouped_capacity_cache_policy():
     """An explicit nt must not poison the learned capacity cache, and an
     oversized cached capacity re-tightens (every tile costs fetch+matmul

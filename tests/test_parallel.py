@@ -542,6 +542,26 @@ def test_tune_on_sharded_forest(data, queries):
     assert best_m["frontier"][0].get("qps", 0) > 0
 
 
+def test_sharded_knn_grouped_2d_mesh(data, queries):
+    """Grouped rerank on the (tree x query) 2-D mesh: query batches split
+    over the query axis while each tree shard tiles its owned probes --
+    parity with the 1-D tree mesh and the single-device forest."""
+    f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(4, 2))
+    f.pack_leaves(shard_by="leaf")
+    single = rt.forest_batch(SEED, MAXD, MINL, T, PNZ, data)
+    single.pack_leaves()
+    d0, i0 = map(np.asarray, single.knn(queries, 5, budget=4))
+    dg, ig = map(np.asarray, f.knn_grouped(queries, 5, budget=4))
+    np.testing.assert_allclose(d0, dg, atol=1e-5)
+    np.testing.assert_array_equal(i0, ig)
+    # chunked (one-dispatch batched) form on the 2-D mesh
+    db, ib = map(np.asarray, f.knn_grouped(queries[:12], 5, budget=4,
+                                           chunk=3))
+    np.testing.assert_allclose(d0[:12], db, atol=1e-5)
+    np.testing.assert_array_equal(i0[:12], ib)
+
+
 def test_sharded_knn_grouped_matches_knn(data, queries):
     """Leaf-sharded query-grouped rerank: same results as the sharded
     per-pair path and as the single-device forest, including after fold
