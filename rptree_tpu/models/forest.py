@@ -612,17 +612,39 @@ def _knn_h_ids(plan, arrays, q, k, budget):
     return jnp.where(valid, ids, -1).reshape(b, -1)
 
 
+def _grouped_use_kernel(impl, x_leaf, metric, block_scale, block_center):
+    """Trace-time gate for the fused grouped tile kernel: dense f32/bf16
+    blocks (no int8 scales/centers), builtin l2/sql2, TPU backend.
+    ``impl``: "auto" (kernel when eligible -- it measured 499k -> ~670k
+    device QPS at the 1M clustered flagship), "xla", or "kernel"
+    (raise if ineligible)."""
+    if impl == "xla":
+        return False
+    from ..ops.grouped_kernel import grouped_kernel_ok
+
+    ok = (block_scale is None and block_center is None
+          and not callable(metric)
+          and grouped_kernel_ok(x_leaf, metric)
+          and jax.default_backend() == "tpu")
+    if impl == "kernel" and not ok:
+        raise ValueError(
+            "impl='kernel' needs dense f32/bf16 blocks, l2/sql2, and a "
+            "TPU backend; use impl='auto' to fall back silently")
+    return ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
                      "precision", "tile_m", "nt", "tile_chunk",
-                     "bucket_stop", "min_votes", "sub", "selection"),
+                     "bucket_stop", "min_votes", "sub", "selection",
+                     "impl"),
 )
 def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
                  budget, probes, metric, dedup, precision, tile_m, nt,
                  tile_chunk, bucket_stop=False, min_votes=1,
                  block_scale=None, block_center=None, sub=1,
-                 selection="sort"):
+                 selection="sort", impl="auto"):
     """Query-grouped block-resident rerank (see :mod:`..ops.grouped`):
     semantically :func:`_knn_packed`, restructured so each distinct probed
     block is fetched once per TILE of queries and scored with one MXU
@@ -631,17 +653,23 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
     sort, top-k merge) is the per-pair path's, unchanged.  Returns
     ``(dists, ids, needed_tiles)``; exact iff ``needed_tiles <= nt``
     (the caller retries with a bigger capacity)."""
-    from ..ops.grouped import grouped_distances
+    from ..ops.grouped import grouped_distances, grouped_distances_kernel
 
     gsel, lsel = _select_probes(plan, arrays, q, budget, probes, k=k,
                                 bucket_stop=bucket_stop,
                                 block_len=None if sub > 1 else lens_global)
     if sub > 1:
         gsel, lsel = _expand_sub_probes(gsel, lsel, sub)
-    d, needed = grouped_distances(
-        x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,
-        _prec(precision), tile_m, nt, tile_chunk,
-        block_scale=block_scale, block_center=block_center)
+    if _grouped_use_kernel(impl, x_leaf, metric, block_scale,
+                           block_center):
+        d, needed = grouped_distances_kernel(
+            x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,
+            _prec(precision), tile_m, nt)
+    else:
+        d, needed = grouped_distances(
+            x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,
+            _prec(precision), tile_m, nt, tile_chunk,
+            block_scale=block_scale, block_center=block_center)
     # selection tail shared with _score_blocks
     b, p = gsel.shape
     lmax = x_leaf.shape[-2]
@@ -1932,7 +1960,7 @@ class RPForest:
                     probes: Optional[int] = None, tile_m: int = 16,
                     nt: Optional[int] = None, tile_chunk: int = 2048,
                     bucket_stop: bool = False, min_votes: int = 1,
-                    selection: str = "sort"
+                    selection: str = "sort", impl: str = "auto"
                     ) -> Tuple[jax.Array, jax.Array]:
         """Query-grouped block-resident kNN: same results as :meth:`knn`
         on the packed path, restructured so queries probing the SAME leaf
@@ -1950,8 +1978,8 @@ class RPForest:
 
         ELL-sparse blocks serve through the same tiling (one
         ``(cols, vals)`` block fetch per tile; the contraction stays
-        gather-based), and ``min_votes`` applies as in :meth:`knn`.
-        Unsupported here (use :meth:`knn`): custom distance callables.
+        gather-based); ``min_votes`` and custom distance callables apply
+        as in :meth:`knn` (callables need dense f32/bf16 blocks).
         Sharded forests serve the leaf-sharded grouped form through
         their own ``knn_grouped`` (``parallel/distributed.py``).
         """
@@ -1959,8 +1987,16 @@ class RPForest:
             raise ValueError("pack_leaves() first: knn_grouped runs on "
                              "the leaf-blocked layout")
         if callable(metric):
-            raise ValueError("knn_grouped supports builtin metrics only; "
-                             "use knn() for distance callables")
+            # same dense-rows constraint as the per-pair scorer
+            if isinstance(self._packed[0], EllBlocks):
+                raise NotImplementedError(
+                    "custom distance callables need dense data rows "
+                    "(ELL-sparse datasets support the builtin metrics "
+                    "only)")
+            if self._packed[0].dtype == jnp.int8:
+                raise NotImplementedError(
+                    "custom distance callables are unsupported on int8-"
+                    "quantized blocks (pack with f32/bf16)")
         k = self._check_k(k)
         qb = _as_dense_queries(q, self.dim)
         budget = self._budget(budget)
@@ -1979,7 +2015,7 @@ class RPForest:
                 min_votes=int(min_votes),
                 block_scale=getattr(self, "_block_scale", None),
                 block_center=self._block_center, sub=sub,
-                selection=selection)
+                selection=selection, impl=impl)
             return (d, ids), needed
 
         d, ids = _grouped_auto_capacity(

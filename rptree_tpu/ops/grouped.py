@@ -56,9 +56,41 @@ from jax import lax
 from .rerank import distances_from_dots
 from .sparse import EllBlocks
 
-__all__ = ["grouped_distances"]
+__all__ = ["grouped_distances", "grouped_distances_kernel"]
 
 _BIG = 1 << 30  # sentinel block id for masked pairs (sorts to the end)
+
+
+def _tile_tables(gsel, lsel, tile_m: int, nt: int):
+    """Sort the batch's (query, probe) pairs by block id and chop equal-
+    block runs into tiles of at most ``tile_m`` pairs (pure sort +
+    cumulative ops, no gathers).  Returns ``(tb int32[nt], tp
+    int32[nt, tile_m], needed int32[])``: per-tile block id, per-slot
+    pair index (-1 = empty slot), and the tiles actually needed
+    (exact iff ``needed <= nt``; overflow pairs land in a dropped trash
+    tile)."""
+    b, p = gsel.shape
+    e = b * p
+    g_flat = jnp.where(lsel >= 0, gsel, _BIG).reshape(e)
+    pair = jnp.arange(e, dtype=jnp.int32)
+    g_s, pair_s = lax.sort((g_flat, pair), num_keys=1)
+    pos = jnp.arange(e, dtype=jnp.int32)
+    new = jnp.concatenate(
+        [jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
+    seg_start = lax.cummax(jnp.where(new, pos, 0))
+    rank = pos - seg_start
+    valid_s = g_s < _BIG
+    tile_start = (new | (rank % tile_m == 0)) & valid_s
+    tile_id = jnp.cumsum(tile_start.astype(jnp.int32)) - 1
+    needed = tile_id[-1] + 1
+    ok = valid_s & (tile_id >= 0) & (tile_id < nt)
+    tid = jnp.where(ok, tile_id, nt)  # capacity overflow -> trash tile
+    row = rank % tile_m
+    tile_block = jnp.zeros((nt + 1,), jnp.int32).at[tid].set(
+        jnp.where(ok, g_s, 0), mode="drop")
+    tile_pair = jnp.full((nt + 1, tile_m), -1, jnp.int32).at[tid, row].set(
+        jnp.where(ok, pair_s, -1), mode="drop")
+    return tile_block[:nt], tile_pair[:nt], needed
 
 
 def _quantize_rows(qrows):
@@ -103,32 +135,8 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
     e = b * p
     lmax = x_leaf.shape[-2]
 
-    # ---- sort pairs by block id, carrying the pair slot ------------------
-    g_flat = jnp.where(lsel >= 0, gsel, _BIG).reshape(e)
-    pair = jnp.arange(e, dtype=jnp.int32)
-    g_s, pair_s = lax.sort((g_flat, pair), num_keys=1)
-
-    # ---- tile assignment: new tile at every group boundary and every
-    # tile_m-th pair within a group (pure cumulative ops, no gathers) ------
-    pos = jnp.arange(e, dtype=jnp.int32)
-    new = jnp.concatenate(
-        [jnp.ones((1,), bool), g_s[1:] != g_s[:-1]])
-    seg_start = lax.cummax(jnp.where(new, pos, 0))
-    rank = pos - seg_start
-    valid_s = g_s < _BIG
-    tile_start = (new | (rank % tile_m == 0)) & valid_s
-    tile_id = jnp.cumsum(tile_start.astype(jnp.int32)) - 1
-    needed = tile_id[-1] + 1
-
-    ok = valid_s & (tile_id >= 0) & (tile_id < nt)
-    tid = jnp.where(ok, tile_id, nt)  # capacity overflow -> trash tile
-    row = rank % tile_m
-    tile_block = jnp.zeros((nt + 1,), jnp.int32).at[tid].set(
-        jnp.where(ok, g_s, 0), mode="drop")
-    tile_pair = jnp.full((nt + 1, tile_m), -1, jnp.int32).at[tid, row].set(
-        jnp.where(ok, pair_s, -1), mode="drop")
-    tb = tile_block[:nt]
-    tp = tile_pair[:nt]
+    # ---- pair sort + tile assignment (shared with the kernel path) -------
+    tb, tp, needed = _tile_tables(gsel, lsel, tile_m, nt)
     lens = jnp.take(lens_of_block, tb)
 
     # ---- score tile chunks (each materializes only tile_chunk blocks) ----
@@ -173,6 +181,20 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
             tc = rows_i.shape[0]
             return d.reshape(tc * tile_m, lmax)
         blk = jnp.take(x_leaf, rows_i, axis=0)    # [tc, lmax, D]
+        if callable(metric):
+            # user distance callable (the reference's distf,
+            # RPTree.hs:168) on the resident block vs the tile's query
+            # rows; the broadcast fuses into the callable's reduction
+            tc = rows_i.shape[0]
+            d = metric(
+                jnp.broadcast_to(
+                    blk[:, None].astype(jnp.float32),
+                    (tc, tile_m, blk.shape[-2], blk.shape[-1])),
+                qt[:, :, None, :])
+            valid = (tp_i >= 0)[:, :, None] & (
+                jnp.arange(lmax, dtype=jnp.int32) < lens_i[:, None, None]
+            )
+            return jnp.where(valid, d, jnp.inf).reshape(tc * tile_m, lmax)
         if blk.dtype == jnp.int8:
             bscale = jnp.take(block_scale, rows_i, axis=0)  # [tc]
             if mu is not None:
@@ -219,3 +241,45 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
     buf = jnp.full((e + 1, lmax), jnp.inf, jnp.float32).at[dest].set(
         d_all, mode="drop")
     return buf[:e].reshape(b, p, lmax), needed
+
+
+def grouped_distances_kernel(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
+                             metric, precision, tile_m: int, nt: int,
+                             tc_k: int = 16, row_of=None):
+    """Same contract as :func:`grouped_distances`, with the tile scoring
+    in the fused Pallas kernel (:mod:`.grouped_kernel`) and the pair
+    reorder as an inverse-permutation ROW GATHER instead of the row
+    scatter (both measured at the 1M clustered flagship, v5e, per
+    32768-query batch: score stage 27.4 -> 9.4 ms, reorder 6.4 -> 4.0 ms;
+    end-to-end 499k -> ~670k device QPS; BASELINE.md round-4+).
+
+    Numerics: f32 blocks contract at ``HIGHEST`` inside the kernel (the
+    single-pass default measured recall 0.860 vs 0.938 at the flagship --
+    same failure mode as the XLA einsum's DEFAULT -- and HIGHEST costs
+    only ~1.3 ms over it there); bf16 blocks run their native single
+    pass.  Dense f32/bf16 + l2/sql2 only (callers gate with
+    :func:`grouped_kernel_ok` and fall back to the XLA path).
+    """
+    from .grouped_kernel import grouped_score_tiles
+
+    b, p = gsel.shape
+    e = b * p
+    lmax = x_leaf.shape[-2]
+    nt = -(-int(nt) // tc_k) * tc_k  # grid walks tc_k-tile chunks
+    tb, tp, needed = _tile_tables(gsel, lsel, tile_m, nt)
+    rows_of = tb if row_of is None else jnp.take(row_of, tb)
+    lens_t = jnp.take(lens_of_block, tb)
+    qi = jnp.where(tp >= 0, tp // p, 0).reshape(-1)
+    qt = jnp.take(q, qi, axis=0)  # [nt * tile_m, D] in tile-slot order
+    prec = (lax.Precision.HIGHEST if x_leaf.dtype == jnp.float32
+            else None)
+    d_all = grouped_score_tiles(x_leaf, sq_leaf, rows_of, lens_t, qt,
+                                metric, tile_m, tc_k, precision=prec)
+    # pair reorder: empty tile slots (tp == -1) map nowhere; pairs not in
+    # any tile (capacity overflow / masked probes) read the +inf pad row
+    dest = jnp.where(tp >= 0, tp, e).reshape(-1)
+    posn = jnp.arange(nt * tile_m, dtype=jnp.int32)
+    inv = jnp.full((e + 1,), nt * tile_m, jnp.int32).at[dest].set(
+        posn, mode="drop")[:e]
+    pad = jnp.concatenate([d_all, jnp.full((1, lmax), jnp.inf)], axis=0)
+    return jnp.take(pad, inv, axis=0).reshape(b, p, lmax), needed

@@ -335,10 +335,13 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         kk = k_eff * t if dedup_eff else k_eff
         needed_out = None
         if grouped_cfg is not None:
-            from ..models.forest import _prec, _selection_tail
-            from ..ops.grouped import grouped_distances
+            from ..models.forest import (_grouped_use_kernel, _prec,
+                                         _selection_tail)
+            from ..ops.grouped import (grouped_distances,
+                                       grouped_distances_kernel)
 
-            tm_, nt_, tch_ = grouped_cfg
+            tm_, nt_, tch_ = grouped_cfg[:3]
+            impl_ = grouped_cfg[3] if len(grouped_cfg) > 3 else "auto"
             if bl_l is not None:
                 lens_rows = bl_l
             else:
@@ -351,10 +354,16 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                     g_rows < t * plan.n_leaves,
                     jnp.take(jnp.asarray(plan.leaf_len, jnp.int32),
                              g_rows % plan.n_leaves), 0)
-            d_g, needed_l = grouped_distances(
-                x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l, metric,
-                _prec(precision), tm_, nt_, tch_,
-                block_scale=scale_l, block_center=bc_l)
+            if _grouped_use_kernel(impl_, x_leaf_l, metric, scale_l,
+                                   bc_l):
+                d_g, needed_l = grouped_distances_kernel(
+                    x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l,
+                    metric, _prec(precision), tm_, nt_)
+            else:
+                d_g, needed_l = grouped_distances(
+                    x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l,
+                    metric, _prec(precision), tm_, nt_, tch_,
+                    block_scale=scale_l, block_center=bc_l)
             bq = rows.shape[0]
             d_l, i_l = _selection_tail(d_g.reshape(bq, -1), id_leaf_l,
                                        rows, k_eff, kk, dedup_eff)
@@ -606,7 +615,7 @@ def _serving_lens(f):
 
 def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
                          probes, probes_per_shard, min_votes, tile_m, nt,
-                         tile_chunk, chunk, axis):
+                         tile_chunk, chunk, axis, impl="auto"):
     """Shared wrapper for the sharded query-grouped rerank
     (DistributedForest / DataParallelForest): leaf-sharded packed dense
     blocks only; auto-sizes the PER-SHARD tile capacity exactly like the
@@ -654,7 +663,7 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
             block_len=bl_r, block_len_global=bl_g,
             block_center=getattr(f, "_block_center", None),
             sub=sub, axis=axis, chunk=chunk,
-            grouped_cfg=(int(tile_m), cap, tc_eff))
+            grouped_cfg=(int(tile_m), cap, tc_eff, impl))
         return (d, i), needed
 
     from ..models.forest import _grouped_auto_capacity
@@ -994,7 +1003,7 @@ class DistributedForest(RPForest):
                     probes_per_shard: Optional[int] = None,
                     min_votes: int = 1, tile_m: int = 16,
                     nt: Optional[int] = None, tile_chunk: int = 2048,
-                    chunk: Optional[int] = None):
+                    chunk: Optional[int] = None, impl: str = "auto"):
         """Query-grouped block-resident kNN on the LEAF-SHARDED packed
         layout: each shard tiles its owned (query, probe) pairs by block
         and scores one MXU matmul per tile (same results as :meth:`knn`);
@@ -1004,7 +1013,7 @@ class DistributedForest(RPForest):
         return _sharded_knn_grouped(self, q, k, metric, budget, dedup,
                                     precision, probes, probes_per_shard,
                                     min_votes, tile_m, nt, tile_chunk,
-                                    chunk, TREE_AXIS)
+                                    chunk, TREE_AXIS, impl=impl)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,

@@ -7,9 +7,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # override any ambient TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite wall clock is XLA:CPU compiles of hundreds of tiny-shape
+# programs on one core; backend optimization buys nothing at test shapes.
+# Measured: test_build 15.9s -> 9.1s, the heavy modules ~40% off.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -131,15 +131,18 @@ def test_grouped_explicit_nt_rounds_to_chunk():
     np.testing.assert_allclose(d, d0, rtol=1e-5, atol=1e-5)
 
 
-def test_grouped_rejects_unsupported():
+def test_grouped_custom_metric_matches_knn():
+    """User distance callables (the reference distf) through the grouped
+    tiles: parity with the per-pair path; int8 blocks still reject."""
+    l1 = lambda rows, qq: jnp.sum(jnp.abs(rows - qq), -1)  # noqa: E731
     f, q = _mk()
-    with pytest.raises(ValueError):
-        f.knn_grouped(q, K, metric=lambda rows, qq: jnp.sum(
-            jnp.abs(rows - qq), -1))
-    from rptree_tpu.ops.sparse import EllMatrix
-    f3 = forest_batch(SEED, 3, 8, 2, 1.0, np.eye(64, dtype=np.float32))
-    f3.pack_leaves()
-    _ = f3  # dense path fine; ELL rejection covered by construction below
+    dg, ig = map(np.asarray, f.knn_grouped(q, K, metric=l1))
+    dp, ip = map(np.asarray, f.knn(q, K, metric=l1))
+    np.testing.assert_allclose(dg, dp, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(ig, ip)
+    fi, _ = _mk(dtype=jnp.int8)
+    with pytest.raises(NotImplementedError):
+        fi.knn_grouped(q, K, metric=l1)
 
 
 def test_grouped_ell_matches_knn():
