@@ -497,5 +497,9 @@ def test_dp_knn_grouped_matches_knn(single, data):
         q = data[:8] + 0.01
         d0, i0 = map(np.asarray, f.knn(q, 5, budget=8))
         dg, ig = map(np.asarray, f.knn_grouped(q, 5, budget=8))
-        np.testing.assert_allclose(d0, dg, atol=1e-5)
+        # near-zero self-distances amplify summation-order noise through
+        # the sqrt of |x|^2 - 2 x.q + |q|^2 (cancellation of ~|x|^2-sized
+        # terms: delta_d ~ eps*|x|^2 / d), so the tolerance is looser than
+        # the ids contract, which stays exact
+        np.testing.assert_allclose(d0, dg, atol=2e-4)
         np.testing.assert_array_equal(i0, ig)
