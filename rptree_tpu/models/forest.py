@@ -165,7 +165,8 @@ def _sub_order_kmeans(rows, valid, r_sub, sub):
     return order
 
 
-def _grouped_auto_capacity(f, key, e, tile_m, tile_chunk, nt, run):
+def _grouped_auto_capacity(f, key, e, tile_m, tile_chunk, nt, run,
+                           check=True):
     """Shared tile-capacity auto-sizing for the grouped rerank (single
     source for the single-device and sharded wrappers): start from the
     cached capacity for this shape (else 2.25x pairs/tile_m -- the
@@ -178,7 +179,18 @@ def _grouped_auto_capacity(f, key, e, tile_m, tile_chunk, nt, run):
     -- each tile costs fetch+matmul work whether or not it is needed),
     and an auto run re-tightens a cached capacity that is > 2x the
     needed tiles (one recompile buys back the per-call waste; within
-    [1x..2x] the cache is left alone for batch-to-batch stability)."""
+    [1x..2x] the cache is left alone for batch-to-batch stability).
+
+    ``check=False`` (steady-state serving): once a capacity is known --
+    from the cache (a previous CHECKED call at this shape key) or an
+    explicit ``nt`` -- skip the ``int(needed)`` device->host fetch
+    entirely, so the call chain stays free of host syncs (through a
+    tunneled backend that fetch is a full ~25ms round trip per batch).
+    The first auto call at a new shape key still validates and caches.
+    Overflow beyond the capacity then degrades softly (overflow pairs
+    are masked to +inf -- candidates silently dropped, never wrong
+    distances), which a stationary query stream's 12.5% cached headroom
+    is sized to avoid."""
     tc = max(1, int(tile_chunk))
     cap_max = -(-e // tc) * tc  # every pair its own tile
 
@@ -189,6 +201,10 @@ def _grouped_auto_capacity(f, key, e, tile_m, tile_chunk, nt, run):
 
     if not hasattr(f, "_grouped_nt"):
         f._grouped_nt = {}
+    if not check and (nt is not None or key in f._grouped_nt):
+        cap = _bucket(int(nt)) if nt is not None else f._grouped_nt[key]
+        out, _ = run(cap, min(tc, cap))  # needed stays on device
+        return out
     cap = _bucket(int(nt)) if nt is not None else f._grouped_nt.get(
         key, _bucket(2 * e // int(tile_m) + e // (4 * int(tile_m))))
     while True:
@@ -1960,7 +1976,8 @@ class RPForest:
                     probes: Optional[int] = None, tile_m: int = 16,
                     nt: Optional[int] = None, tile_chunk: int = 2048,
                     bucket_stop: bool = False, min_votes: int = 1,
-                    selection: str = "sort", impl: str = "auto"
+                    selection: str = "sort", impl: str = "auto",
+                    check: bool = True
                     ) -> Tuple[jax.Array, jax.Array]:
         """Query-grouped block-resident kNN: same results as :meth:`knn`
         on the packed path, restructured so queries probing the SAME leaf
@@ -1982,6 +1999,15 @@ class RPForest:
         as in :meth:`knn` (callables need dense f32/bf16 blocks).
         Sharded forests serve the leaf-sharded grouped form through
         their own ``knn_grouped`` (``parallel/distributed.py``).
+
+        ``check=False`` is the steady-state serving mode: once this
+        batch shape's capacity is known (one earlier checked call, or an
+        explicit ``nt``) the per-call device->host capacity fetch is
+        skipped, keeping the call free of host syncs (a ~25ms round trip
+        per batch through tunneled backends).  If a later batch at this
+        shape needs more tiles than the cached capacity + 12.5% headroom,
+        its overflow pairs are silently masked (+inf) -- a recall dip,
+        never a wrong distance.
         """
         if self._packed is None:
             raise ValueError("pack_leaves() first: knn_grouped runs on "
@@ -2020,7 +2046,8 @@ class RPForest:
 
         d, ids = _grouped_auto_capacity(
             self, (qb.shape[0], probes, int(tile_m), sub),
-            qb.shape[0] * probes * sub, tile_m, tile_chunk, nt, run)
+            qb.shape[0] * probes * sub, tile_m, tile_chunk, nt, run,
+            check=check)
         return self._apply_update_hooks(qb, d, ids, int(k), metric,
                                         precision)
 

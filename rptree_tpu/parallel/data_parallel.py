@@ -753,7 +753,8 @@ class DataParallelForest(RPForest):
                     probes_per_shard: Optional[int] = None,
                     min_votes: int = 1, tile_m: int = 16,
                     nt: Optional[int] = None, tile_chunk: int = 2048,
-                    chunk: Optional[int] = None, impl: str = "auto"):
+                    chunk: Optional[int] = None, impl: str = "auto",
+                    check: bool = True):
         """Query-grouped block-resident kNN on the leaf-sharded packed
         blocks of the data mesh (see
         :meth:`rptree_tpu.parallel.DistributedForest.knn_grouped`)."""
@@ -762,7 +763,8 @@ class DataParallelForest(RPForest):
         return _sharded_knn_grouped(self, q, k, metric, budget, dedup,
                                     precision, probes, probes_per_shard,
                                     min_votes, tile_m, nt, tile_chunk,
-                                    chunk, DATA_AXIS, impl=impl)
+                                    chunk, DATA_AXIS, impl=impl,
+                                    check=check)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,

@@ -615,7 +615,7 @@ def _serving_lens(f):
 
 def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
                          probes, probes_per_shard, min_votes, tile_m, nt,
-                         tile_chunk, chunk, axis, impl="auto"):
+                         tile_chunk, chunk, axis, impl="auto", check=True):
     """Shared wrapper for the sharded query-grouped rerank
     (DistributedForest / DataParallelForest): leaf-sharded packed dense
     blocks only; auto-sizes the PER-SHARD tile capacity exactly like the
@@ -672,7 +672,7 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
            chunk if chunk is not None else 0)
     d, i = _grouped_auto_capacity(
         f, key, b_local * int(probes_per_shard) * sub, tile_m,
-        tile_chunk, nt, run)
+        tile_chunk, nt, run, check=check)
     return f._apply_update_hooks(qb[:b], d[:b], i[:b], int(k), metric,
                                  precision)
 
@@ -1003,17 +1003,20 @@ class DistributedForest(RPForest):
                     probes_per_shard: Optional[int] = None,
                     min_votes: int = 1, tile_m: int = 16,
                     nt: Optional[int] = None, tile_chunk: int = 2048,
-                    chunk: Optional[int] = None, impl: str = "auto"):
+                    chunk: Optional[int] = None, impl: str = "auto",
+                    check: bool = True):
         """Query-grouped block-resident kNN on the LEAF-SHARDED packed
         layout: each shard tiles its owned (query, probe) pairs by block
         and scores one MXU matmul per tile (same results as :meth:`knn`);
         the cross-shard top-k merge is unchanged.  See
         :meth:`rptree_tpu.RPForest.knn_grouped` for the capacity
-        semantics (``nt`` here is PER SHARD)."""
+        semantics (``nt`` here is PER SHARD) and the ``check=False``
+        steady-state serving mode (skips the per-call capacity fetch)."""
         return _sharded_knn_grouped(self, q, k, metric, budget, dedup,
                                     precision, probes, probes_per_shard,
                                     min_votes, tile_m, nt, tile_chunk,
-                                    chunk, TREE_AXIS, impl=impl)
+                                    chunk, TREE_AXIS, impl=impl,
+                                    check=check)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,

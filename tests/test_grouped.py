@@ -77,6 +77,27 @@ def test_grouped_capacity_retry_and_cache():
     assert np.isfinite(np.asarray(d3)).any()
 
 
+def test_grouped_check_false_serving_mode():
+    f, q = _mk()
+    de, ie = map(np.asarray, f.knn(q, K))
+    # no cached capacity yet: check=False still validates the first call
+    d1, i1 = map(np.asarray, f.knn_grouped(q, K, check=False))
+    np.testing.assert_allclose(d1, de, rtol=1e-5, atol=1e-5)
+    assert f._grouped_nt  # ...and caches
+    cap = dict(f._grouped_nt)
+    # steady state: the cached capacity is reused without the host fetch
+    # (observable: the cache is not re-tightened/touched) and results
+    # stay exact
+    d2, i2 = map(np.asarray, f.knn_grouped(q, K, check=False))
+    np.testing.assert_allclose(d2, de, rtol=1e-5, atol=1e-5)
+    assert f._grouped_nt == cap
+    np.testing.assert_array_equal(i1, i2)
+    # explicit nt + check=False: runs without any capacity fetch; a
+    # too-small capacity masks (soft degradation), never crashes
+    d3, _ = f.knn_grouped(q, K, nt=8, tile_chunk=8, check=False)
+    assert np.isfinite(np.asarray(d3)).any()
+
+
 def test_grouped_probes_cap_and_budget():
     f, q = _mk()
     _assert_same(f, q, {"probes": 3, "budget": 2}, {"probes": 3, "budget": 2})

@@ -93,11 +93,15 @@ def test_two_process_data_parallel_build(tmp_path):
     rng = np.random.default_rng(55)
     x = rng.normal(size=(1600, 16)).astype(np.float32)
     # same mesh shape in ONE process (the conftest 8-virtual-device CPU
-    # mesh): identical shard-local GEMMs => exact agreement
+    # mesh): identical shard-local partitioning => identical STRUCTURE
     single = forest_batch_data_parallel(7, 6, 16, 2, 1.0, x,
                                         mesh=data_mesh(8))
     got = np.load(out)
     np.testing.assert_array_equal(got["perm"],
                                   np.asarray(single.arrays.perm))
     d1, i1 = map(np.asarray, single.knn(x[:4] + 0.01, 3))
-    np.testing.assert_allclose(got["dists"], d1, atol=1e-5)
+    # distances via the factored |x|^2 - 2 x.q + |q|^2 form cancel
+    # catastrophically at near-self distances (~0.04 here vs |x|^2 ~ 16),
+    # and the 2-process GEMM partitioning accumulates in a different
+    # order -- observed drift up to ~1e-4 absolute on those entries
+    np.testing.assert_allclose(got["dists"], d1, atol=5e-4)
