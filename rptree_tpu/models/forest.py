@@ -1237,6 +1237,53 @@ class RPForest:
             raise ValueError(f"k must be >= 1, got {k}")
         return k
 
+    def _same_pack(self, dtype, slack, centered, sub_block,
+                   sub_split, shard_by=None) -> bool:
+        """Whether the requested pack layout matches the one in place
+        (``_pack_cfg`` + slack + sharded mode) -- the idempotent-no-op
+        test shared by every packer."""
+        s_req = int(sub_block) if sub_block else 1
+        if isinstance(self.x, EllMatrix):
+            want = {"dtype": (jnp.bfloat16 if dtype is not None
+                              and jnp.dtype(dtype) == jnp.bfloat16
+                              else None)}
+        else:
+            want = {"dtype": _DTYPE_OF[_dtype_str(dtype)],
+                    "centered": bool(centered), "sub_block": s_req,
+                    "sub_split": _sub_split_of(sub_split, s_req)}
+        mode_ok = (shard_by is None
+                   or getattr(self, "_packed_mode", None) == shard_by)
+        return (mode_ok and getattr(self, "_pack_cfg", None) == want
+                and getattr(self, "_pack_slack", 0) == int(slack))
+
+    def _clear_pack_for_repack(self) -> None:
+        """Drop the packed serving layout so :meth:`pack_leaves` can build
+        a different one.  Folded rows block the repack (they live only in
+        the packed blocks' slack slots; the dataset alone cannot
+        reproduce them) and a serve-only forest has nothing to repack
+        from."""
+        if self.x is None:
+            raise ValueError("cannot repack a serve-only forest "
+                             "(drop_dataset was called); the packed "
+                             "blocks are the only copy of the data")
+        if self.n_folded or self._block_len is not None:
+            raise ValueError("cannot repack with folded rows in the "
+                             "blocks (they live only in the packed slack "
+                             "slots); rebuild() first")
+        self._packed = None
+        self._packed_mode = None
+        self._small = None
+        self._block_scale = None
+        self._block_center = None
+        self._sub_block = 1
+        self._sub_len_dev = None
+        self._sub_len_rows_dev = None
+        self._lens_global_dev = None
+        # learned tile capacities are a function of the layout (sub
+        # multiplies the pair count); stale entries would silently mask
+        # pairs under check=False
+        self._grouped_nt = {}
+
     def pack_leaves(self, dtype=None, slack: int = 0,
                     centered: bool = False,
                     sub_block: int = 1,
@@ -1285,12 +1332,27 @@ class RPForest:
         ELL-sparse datasets pack into :class:`EllBlocks` (leaf-blocked
         padded cols/vals) and serve through the same probe-compacted
         block path.
+
+        Calling again with the SAME layout is an idempotent no-op; a
+        DIFFERENT layout repacks from the dataset (raises if the forest
+        holds folded rows -- they live only in the packed blocks' slack
+        slots, ``rebuild()`` first -- or if the dataset was dropped).
         """
         if centered and isinstance(self.x, EllMatrix):
             raise ValueError("centered quantization applies to dense "
                              "blocks only")
         if int(sub_block) > 1 and isinstance(self.x, EllMatrix):
             raise ValueError("sub_block applies to dense blocks only")
+        if self._packed is not None:
+            # already packed: the SAME requested layout is an idempotent
+            # no-op; a DIFFERENT one repacks (silently keeping the old
+            # layout -- e.g. int8 blocks after a pack_leaves() asking for
+            # f32 -- was a footgun: the serving dtype quietly disagreed
+            # with what the caller asked for)
+            if self._same_pack(dtype, slack, centered, sub_block,
+                               sub_split):
+                return self
+            self._clear_pack_for_repack()
         if self._packed is None and isinstance(self.x, EllMatrix):
             plan = self.plan
             self._pack_slack = int(slack)

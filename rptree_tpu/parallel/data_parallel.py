@@ -964,7 +964,12 @@ class DataParallelForest(RPForest):
             raise ValueError("DataParallelForest packs shard_by='leaf' "
                              "only (the memory-complete layout)")
         if self._packed is not None:
-            return self
+            # same layout -> idempotent no-op; different -> repack (see
+            # RPForest.pack_leaves)
+            if self._same_pack(dtype, slack, centered, sub_block,
+                               sub_split, shard_by=shard_by):
+                return self
+            self._clear_pack_for_repack()
         from ..models.forest import _dtype_str
 
         s_blk = int(sub_block) if sub_block else 1

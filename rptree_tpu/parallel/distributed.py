@@ -744,6 +744,13 @@ class DistributedForest(RPForest):
         sub_split = _sub_split_of(sub_split, s_blk)
         if s_blk > 1 and isinstance(self.x, EllMatrix):
             raise ValueError("sub_block applies to dense blocks only")
+        if self._packed is not None:
+            # same layout (incl. shard mode) -> idempotent no-op;
+            # different -> repack (see RPForest.pack_leaves)
+            if self._same_pack(dtype, slack, centered, sub_block,
+                               sub_split, shard_by=shard_by):
+                return self
+            self._clear_pack_for_repack()
         if self._packed is None:
             if isinstance(self.x, EllMatrix):
                 # sparse (EllBlocks) packing, sharded over the tree axis:
