@@ -417,6 +417,28 @@ def main():
     ref_qps_1m = 8 / (time.process_time() - t0)
     del f1, x1
 
+    # ---- corruption sanity gate -----------------------------------------
+    # A contended/crashed run can corrupt the persistent compile cache so
+    # that a later run silently executes a WRONG program (observed: the
+    # headline recall read 0.0146 vs the stable 0.123 while QPS looked
+    # normal; clearing the cache restored it).  The CPU oracle recall is
+    # immune, so structurally-impossible device-side recalls mean a
+    # poisoned executable, not a regression -- raise into the self-heal
+    # handler (clears the cache, re-execs once) instead of recording
+    # garbage.
+    oracle_rec = float(np.mean(ref_recalls))
+    checks = [
+        ("headline recall vs oracle parity", recall >= 0.5 * oracle_rec),
+        ("exact-scan recall@target", recall_at_target >= 0.8),
+        ("clustered tree recall", tree_recall_c >= 0.8),
+        ("1m fastest-scan recall", recall_1m >= 0.8),
+    ]
+    bad = [name for name, ok in checks if not ok]
+    if bad:
+        raise RuntimeError(
+            "implausible device-side results (suspected corrupted "
+            f"compile cache): {', '.join(bad)}")
+
     print(json.dumps({
         "metric": "knn_qps",
         "value": round(qps, 1),

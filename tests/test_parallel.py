@@ -555,6 +555,12 @@ def test_sharded_knn_grouped_2d_mesh(data, queries):
     dg, ig = map(np.asarray, f.knn_grouped(queries, 5, budget=4))
     np.testing.assert_allclose(d0, dg, atol=1e-5)
     np.testing.assert_array_equal(i0, ig)
+    # steady-state serving mode: the cached per-shard capacity is reused
+    # without the per-batch capacity fetch, results unchanged
+    dc, ic = map(np.asarray, f.knn_grouped(queries, 5, budget=4,
+                                           check=False))
+    np.testing.assert_allclose(d0, dc, atol=1e-5)
+    np.testing.assert_array_equal(i0, ic)
     # chunked (one-dispatch batched) form on the 2-D mesh
     db, ib = map(np.asarray, f.knn_grouped(queries[:12], 5, budget=4,
                                            chunk=3))
