@@ -236,8 +236,14 @@ def main():
     # @ 0.929 (vs scan 40.2k @ 0.899); ml=256 -> 52.1k @ 0.975
     NC, CC, SIGC = 1_000_000, 4_000, 0.15
     MLC, TC, BC, PC = 128, 8, 1, 8
-    BCQ = 32768  # amortizes the tunneled dispatch RTT (~25ms/call); the
-    #              device-side pipeline measures ~334k QPS at this config
+    BCQ = 131072  # giant serving batch: the wall is DISPATCH-bound (~40ms
+    #               of host RPC per call through the tunnel; pipelining
+    #               does not help -- examples/serving_loop.py), so the
+    #               batch runs as lax.map chunks of CHC inside ONE
+    #               dispatch (the Pallas kernel's SMEM tile tables cap a
+    #               single chunk at ~100k tiles anyway).  Measured wall:
+    #               351k (B=32k) -> 541k (B=131k, chunk=32k)
+    CHC = 32768
 
     @jax.jit
     def _gen_clustered(key):
@@ -315,7 +321,7 @@ def main():
             # (~25ms) through the tunnel that is dispatch, not engine
             _, ids = fc.knn_grouped(qc, K, budget=BC, probes=PC,
                                     precision="default", tile_m=8,
-                                    check=check)
+                                    chunk=CHC, check=check)
             return ids
 
         ids_g = np.asarray(sweep_c()[:1024])  # capacity + compile + warm
@@ -336,16 +342,23 @@ def main():
 
     xl_c, sl_c, il_c = fc._packed
     lens_c = fc._lens_global()
-    ntc = fc._grouped_nt[(BCQ, PC, 8, 1)]  # (B, probes, tile_m, sub)
+    # per-CHUNK capacity (5-tuple key for chunked batches)
+    ntc = fc._grouped_nt[(BCQ, PC, 8, 1, CHC)]
     from rptree_tpu.models.forest import _knn_grouped
+
+    # device-side: ONE chunk through the unchunked pipeline (same
+    # per-chunk program the lax.map runs; the marginal fori_loop method
+    # needs the single-call form)
+    qc_dev = qc[:CHC]
 
     def dev_step_c(qx, xl, sl, il, ln):
         return _knn_grouped(fc.plan, fc.arrays, xl, sl, il, ln, qx, K,
                             BC, PC, "l2", True, "default", 8, ntc,
                             2048)[0]
 
-    tree_qps_c_device = BCQ / max(
-        device_time(dev_step_c, qc, xl_c, sl_c, il_c, lens_c, reps=4),
+    tree_qps_c_device = CHC / max(
+        device_time(dev_step_c, qc_dev, xl_c, sl_c, il_c, lens_c,
+                    reps=4),
         1e-9)
     tree_recall_c = recall_probe  # measured on the serving path above
 
@@ -477,6 +490,7 @@ def main():
         "clustered_config": {"n": NC, "centers": CC, "sigma": SIGC,
                              "trees": TC, "min_leaf": MLC, "budget": BC,
                              "probes": PC, "blocks": "f32",
+                             "batch": BCQ, "chunk": CHC,
                              "tuned": True,  # min_leaf/probes from
                              #                 tune_build on a subsample
                              "tuner_subsample": SUBC,

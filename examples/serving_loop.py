@@ -13,6 +13,15 @@ This script measures the same flagship serving three ways:
   sync        -- dispatch, fetch, repeat (what bench.py's wall loop does)
   depth=d     -- keep d batches in flight, fetch the oldest when the
                  window fills (bounded staleness / memory)
+  chunked     -- accumulate 4 batches and serve them as ONE dispatch of
+                 ``knn_grouped(chunk=BQ)`` (lax.map over chunks inside
+                 the jit; per-chunk peak memory)
+
+MEASURED (v5e, 1M flagship): pipelining buys ~nothing (the ~40ms/call
+is synchronous host-side dispatch RPC, not result latency), chunked
+batching converts it to ~40ms per 4 batches: 351k -> 541k QPS wall.
+The production recipe is therefore: batch as large as latency allows,
+serve with ``chunk=32768``, ``check=False``.
 
 Run: ``python examples/serving_loop.py [n] [centers] [depth...]``
 Reference analogue: the reference library serves one query at a time
@@ -102,8 +111,27 @@ def main(n=N_DEFAULT, c=C_DEFAULT, depths=(2, 4)):
         results[f"depth={depth}"] = REPS * BQ / dt
         print(f"depth={depth}: {results[f'depth={depth}']:10.0f} QPS wall")
 
+    # chunked giant batch: 4 batches, ONE dispatch (lax.map over chunks)
+    qbig = jnp.concatenate(qs[:4], axis=0)
+
+    def serve_big(check=False):
+        return f.knn_grouped(qbig, K, budget=BUDGET, probes=PROBES,
+                             precision="default", tile_m=8, chunk=BQ,
+                             check=check)
+
+    fetch(serve_big(check=True))  # capacity + compile at this shape
+    fetch(serve_big())
+    t0 = time.perf_counter()
+    for _ in range(max(1, REPS // 4)):
+        fetch(serve_big())
+    dt = time.perf_counter() - t0
+    results["chunked"] = max(1, REPS // 4) * 4 * BQ / dt
+    print(f"chunked: {results['chunked']:10.0f} QPS wall "
+          f"(4 batches / dispatch)")
+
     best = max(results.values())
-    print(f"\npipelining gain: {best / results['sync']:.2f}x over sync")
+    print(f"\nbest over sync: {best / results['sync']:.2f}x "
+          f"({max(results, key=results.get)})")
     return results
 
 

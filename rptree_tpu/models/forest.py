@@ -700,6 +700,45 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
+                     "precision", "tile_m", "nt", "tile_chunk",
+                     "bucket_stop", "min_votes", "sub", "selection",
+                     "impl", "chunk"),
+)
+def _knn_grouped_many(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global,
+                      q, k, budget, probes, metric, dedup, precision,
+                      tile_m, nt, tile_chunk, chunk, bucket_stop=False,
+                      min_votes=1, block_scale=None, block_center=None,
+                      sub=1, selection="sort", impl="auto"):
+    """One-dispatch chunked grouped batch (the grouped form of
+    :func:`_knn_packed_many`): ``lax.map`` over query chunks of the
+    query-grouped pipeline.  ``nt`` is the PER-CHUNK tile capacity --
+    the Pallas kernel's per-tile tables are scalar-prefetched into SMEM,
+    which bounds a single call to ~100k tiles (measured: nt=147456
+    fails to compile), so chunking both respects that bound and
+    amortizes the host dispatch over the whole batch (the wall cost of
+    a dispatch through the tunneled backend is ~40ms; see
+    ``examples/serving_loop.py``).  Returned ``needed`` is the max over
+    chunks."""
+    b = q.shape[0]
+    nc = b // chunk
+    qc = q.reshape(nc, chunk, q.shape[-1])
+
+    def one(qi):
+        return _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf,
+                            lens_global, qi, k, budget, probes, metric,
+                            dedup, precision, tile_m, nt, tile_chunk,
+                            bucket_stop=bucket_stop, min_votes=min_votes,
+                            block_scale=block_scale,
+                            block_center=block_center, sub=sub,
+                            selection=selection, impl=impl)
+
+    d, ids, needed = lax.map(one, qc)
+    return d.reshape(b, -1), ids.reshape(b, -1), jnp.max(needed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
                      "precision", "bucket_stop", "min_votes", "chunk",
                      "sub", "selection"),
 )
@@ -2039,7 +2078,7 @@ class RPForest:
                     nt: Optional[int] = None, tile_chunk: int = 2048,
                     bucket_stop: bool = False, min_votes: int = 1,
                     selection: str = "sort", impl: str = "auto",
-                    check: bool = True
+                    check: bool = True, chunk: Optional[int] = None
                     ) -> Tuple[jax.Array, jax.Array]:
         """Query-grouped block-resident kNN: same results as :meth:`knn`
         on the packed path, restructured so queries probing the SAME leaf
@@ -2070,6 +2109,14 @@ class RPForest:
         shape needs more tiles than the cached capacity + 12.5% headroom,
         its overflow pairs are silently masked (+inf) -- a recall dip,
         never a wrong distance.
+
+        ``chunk`` runs the pipeline as a ``lax.map`` over query chunks
+        INSIDE the one dispatch (the grouped form of
+        :meth:`knn_batched`): giant batches amortize the per-dispatch
+        host cost while per-chunk peak memory (and the Pallas kernel's
+        SMEM-resident tile tables, which cap a single call at ~100k
+        tiles) stays bounded.  ``nt``/the cached capacity are then PER
+        CHUNK.
         """
         if self._packed is None:
             raise ValueError("pack_leaves() first: knn_grouped runs on "
@@ -2094,24 +2141,42 @@ class RPForest:
         sub = getattr(self, "_sub_block", 1)
         x_leaf, sq_leaf, id_leaf = self._packed
         lens = self._lens_global()
+        b = qb.shape[0]
+        if chunk is not None:
+            chunk = max(1, min(int(chunk), b))
+            pad = (-b) % chunk
+            if pad:
+                qb = jnp.concatenate(
+                    [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
 
         def run(cap, tc_eff):
-            d, ids, needed = _knn_grouped(
-                self.plan, self.arrays, x_leaf, sq_leaf, id_leaf, lens,
-                qb, int(k), budget, probes, metric, dedup, precision,
-                int(tile_m), cap, tc_eff, bucket_stop=bucket_stop,
-                min_votes=int(min_votes),
-                block_scale=getattr(self, "_block_scale", None),
-                block_center=self._block_center, sub=sub,
-                selection=selection, impl=impl)
+            if chunk is not None:
+                d, ids, needed = _knn_grouped_many(
+                    self.plan, self.arrays, x_leaf, sq_leaf, id_leaf,
+                    lens, qb, int(k), budget, probes, metric, dedup,
+                    precision, int(tile_m), cap, tc_eff, chunk,
+                    bucket_stop=bucket_stop, min_votes=int(min_votes),
+                    block_scale=getattr(self, "_block_scale", None),
+                    block_center=self._block_center, sub=sub,
+                    selection=selection, impl=impl)
+            else:
+                d, ids, needed = _knn_grouped(
+                    self.plan, self.arrays, x_leaf, sq_leaf, id_leaf,
+                    lens, qb, int(k), budget, probes, metric, dedup,
+                    precision, int(tile_m), cap, tc_eff,
+                    bucket_stop=bucket_stop, min_votes=int(min_votes),
+                    block_scale=getattr(self, "_block_scale", None),
+                    block_center=self._block_center, sub=sub,
+                    selection=selection, impl=impl)
             return (d, ids), needed
 
+        key = ((qb.shape[0], probes, int(tile_m), sub) if chunk is None
+               else (qb.shape[0], probes, int(tile_m), sub, chunk))
         d, ids = _grouped_auto_capacity(
-            self, (qb.shape[0], probes, int(tile_m), sub),
-            qb.shape[0] * probes * sub, tile_m, tile_chunk, nt, run,
-            check=check)
-        return self._apply_update_hooks(qb, d, ids, int(k), metric,
-                                        precision)
+            self, key, (chunk or qb.shape[0]) * probes * sub, tile_m,
+            tile_chunk, nt, run, check=check)
+        return self._apply_update_hooks(qb[:b], d[:b], ids[:b], int(k),
+                                        metric, precision)
 
     def knn_pq(self, q, k: int, metric: str = "l2",
                budget: Optional[int] = None, precision: str = "highest"):

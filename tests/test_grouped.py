@@ -98,6 +98,34 @@ def test_grouped_check_false_serving_mode():
     assert np.isfinite(np.asarray(d3)).any()
 
 
+def test_grouped_chunked_one_dispatch():
+    f, q = _mk()
+    de, ie = map(np.asarray, f.knn(q, K))
+    # chunk divides the batch
+    d1, i1 = map(np.asarray, f.knn_grouped(q, K, chunk=16))
+    np.testing.assert_allclose(d1, de, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i1, ie)
+    # chunk does NOT divide the batch: zero-padded, sliced back
+    d2, i2 = map(np.asarray, f.knn_grouped(q[:50], K, chunk=16))
+    np.testing.assert_allclose(d2, de[:50], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i2, ie[:50])
+    # per-chunk capacity key is distinct from the unchunked one and the
+    # steady-state mode composes
+    assert (64, f.n_trees * 4, 16, 1, 16) in f._grouped_nt \
+        or any(len(k) == 5 for k in f._grouped_nt)
+    d3, i3 = map(np.asarray, f.knn_grouped(q, K, chunk=16, check=False))
+    np.testing.assert_allclose(d3, de, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i3, ie)
+
+
+def test_grouped_chunked_capacity_retry():
+    f, q = _mk()
+    de, _ = map(np.asarray, f.knn(q, K))
+    # tiny tile_chunk forces a low first guess -> auto-retry per chunk
+    d1, _ = map(np.asarray, f.knn_grouped(q, K, chunk=8, tile_chunk=8))
+    np.testing.assert_allclose(d1, de, rtol=1e-5, atol=1e-5)
+
+
 def test_grouped_probes_cap_and_budget():
     f, q = _mk()
     _assert_same(f, q, {"probes": 3, "budget": 2}, {"probes": 3, "budget": 2})
