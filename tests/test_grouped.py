@@ -126,6 +126,14 @@ def test_grouped_chunked_capacity_retry():
     np.testing.assert_allclose(d1, de, rtol=1e-5, atol=1e-5)
 
 
+def test_grouped_chunked_min_votes():
+    f, q = _mk()
+    d0, i0 = map(np.asarray, f.knn_grouped(q, K, min_votes=2))
+    d1, i1 = map(np.asarray, f.knn_grouped(q, K, min_votes=2, chunk=16))
+    np.testing.assert_allclose(d1, d0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(i1, i0)
+
+
 def test_grouped_probes_cap_and_budget():
     f, q = _mk()
     _assert_same(f, q, {"probes": 3, "budget": 2}, {"probes": 3, "budget": 2})
