@@ -1276,11 +1276,42 @@ class RPForest:
             raise ValueError(f"k must be >= 1, got {k}")
         return k
 
+    def _validate_pack_args(self, dtype, slack, centered, sub_block,
+                            sub_split) -> None:
+        """Reject invalid pack-layout requests BEFORE any state changes
+        (shared by every packer).  Ordering matters: a repack first drops
+        the old layout, so argument errors must fire while it is still
+        intact -- an invalid call must never destroy the serving state."""
+        s = int(sub_block) if sub_block else 1
+        if isinstance(self.x, EllMatrix):
+            if centered:
+                raise ValueError("centered quantization applies to dense "
+                                 "blocks only")
+            if s > 1:
+                raise ValueError("sub_block applies to dense blocks only")
+            if dtype is not None and jnp.dtype(dtype) == jnp.int8:
+                raise ValueError("int8 quantization applies to dense "
+                                 "blocks; ELL blocks pack f32/bf16 "
+                                 "values")
+        else:
+            if s > 1 and slack:
+                raise ValueError("sub_block and slack are mutually "
+                                 "exclusive (fold() addresses whole-leaf "
+                                 "blocks)")
+            if centered and (dtype is None
+                             or jnp.dtype(dtype) != jnp.int8):
+                raise ValueError("centered=True applies to int8 blocks "
+                                 "(pass dtype=jnp.int8)")
+            _dtype_str(dtype)  # rejects unsupported block dtypes
+        _sub_split_of(sub_split, s)  # rejects unknown ordering modes
+
     def _same_pack(self, dtype, slack, centered, sub_block,
                    sub_split, shard_by=None) -> bool:
         """Whether the requested pack layout matches the one in place
         (``_pack_cfg`` + slack + sharded mode) -- the idempotent-no-op
-        test shared by every packer."""
+        test shared by every packer.  Only layout-RELEVANT fields
+        compare: at ``sub_block=1`` the ``sub_split`` mode has no effect
+        on the blocks, so it is canonicalized away."""
         s_req = int(sub_block) if sub_block else 1
         if isinstance(self.x, EllMatrix):
             want = {"dtype": (jnp.bfloat16 if dtype is not None
@@ -1289,10 +1320,16 @@ class RPForest:
         else:
             want = {"dtype": _DTYPE_OF[_dtype_str(dtype)],
                     "centered": bool(centered), "sub_block": s_req,
-                    "sub_split": _sub_split_of(sub_split, s_req)}
+                    "sub_split": (_sub_split_of(sub_split, s_req)
+                                  if s_req > 1 else None)}
+        have = getattr(self, "_pack_cfg", None)
+        if have is not None and "sub_split" in have:
+            have = dict(have)
+            if have.get("sub_block", 1) == 1:
+                have["sub_split"] = None
         mode_ok = (shard_by is None
                    or getattr(self, "_packed_mode", None) == shard_by)
-        return (mode_ok and getattr(self, "_pack_cfg", None) == want
+        return (mode_ok and have == want
                 and getattr(self, "_pack_slack", 0) == int(slack))
 
     def _clear_pack_for_repack(self) -> None:
@@ -1377,11 +1414,8 @@ class RPForest:
         holds folded rows -- they live only in the packed blocks' slack
         slots, ``rebuild()`` first -- or if the dataset was dropped).
         """
-        if centered and isinstance(self.x, EllMatrix):
-            raise ValueError("centered quantization applies to dense "
-                             "blocks only")
-        if int(sub_block) > 1 and isinstance(self.x, EllMatrix):
-            raise ValueError("sub_block applies to dense blocks only")
+        self._validate_pack_args(dtype, slack, centered, sub_block,
+                                 sub_split)
         if self._packed is not None:
             # already packed: the SAME requested layout is an idempotent
             # no-op; a DIFFERENT one repacks (silently keeping the old
@@ -1919,6 +1953,10 @@ class RPForest:
         # which rebuild() just replaced -- a stale table silently masks or
         # unmasks rows in knn_grouped
         self._lens_global_dev = None
+        # learned grouped tile capacities are a function of the plan's
+        # block structure too; a stale undersized capacity would silently
+        # mask pairs under knn_grouped(check=False) after the rebuild
+        self._grouped_nt = {}
         if self._packed is not None:
             # replay the remembered pack configuration (dtype / centered /
             # sub_block), not just the slack -- rebuild must not silently

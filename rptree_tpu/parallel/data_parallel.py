@@ -876,6 +876,10 @@ class DataParallelForest(RPForest):
         self._block_len_dev = None
         self._block_len_rows_dev = None
         self._lens_global_dev = None
+        # learned grouped tile capacities are a function of the plan's
+        # block structure (stale ones silently mask pairs under
+        # knn_grouped(check=False))
+        self._grouped_nt = {}
         if self._packed is not None:
             # replay the remembered pack configuration
             # (dtype/centered/sub_block)
@@ -960,9 +964,14 @@ class DataParallelForest(RPForest):
         ``sub_block=s > 1`` (dense only, exclusive with ``slack``) forms
         each leaf's projection-ordered sub-blocks locally on the leaf's
         owner shard after assembly."""
-        if shard_by != "leaf":
+        if shard_by not in (None, "leaf"):
             raise ValueError("DataParallelForest packs shard_by='leaf' "
                              "only (the memory-complete layout)")
+        shard_by = "leaf"
+        # validate BEFORE any state changes (see RPForest.pack_leaves):
+        # an invalid call must never destroy the serving layout
+        self._validate_pack_args(dtype, slack, centered, sub_block,
+                                 sub_split)
         if self._packed is not None:
             # same layout -> idempotent no-op; different -> repack (see
             # RPForest.pack_leaves)
@@ -973,19 +982,11 @@ class DataParallelForest(RPForest):
         from ..models.forest import _dtype_str
 
         s_blk = int(sub_block) if sub_block else 1
-        if s_blk > 1 and slack:
-            raise ValueError("sub_block and slack are mutually exclusive "
-                             "(fold() addresses whole-leaf blocks)")
-        if s_blk > 1 and isinstance(self.x, EllMatrix):
-            raise ValueError("sub_block applies to dense blocks only")
         from ..models.forest import _sub_split_of
 
         sub_split = _sub_split_of(sub_split, s_blk)
         self._pack_slack = int(slack)
         lmax_ = max(self.plan.max_leaf_len, 1) + int(slack)
-        if isinstance(self.x, EllMatrix) and centered:
-            raise ValueError("centered quantization applies to dense "
-                             "blocks only")
         if not isinstance(self.x, EllMatrix):
             # tile-align the slot axis (same measured policy as the
             # single-device pack; _tile_align)

@@ -715,7 +715,7 @@ class DistributedForest(RPForest):
                                                 qb.dtype)], axis=0)
         return qb, b
 
-    def pack_leaves(self, dtype=None, shard_by: str = "tree",
+    def pack_leaves(self, dtype=None, shard_by: Optional[str] = None,
                     slack: int = 0, centered: bool = False,
                     sub_block: int = 1,
                     sub_split: str = "kmeans") -> "DistributedForest":
@@ -734,16 +734,29 @@ class DistributedForest(RPForest):
         per-sub quantization state, exactly as in
         :meth:`RPForest.pack_leaves`; on the leaf-sharded layout a leaf's
         ``s`` sub-blocks stay contiguous on the leaf's owner shard.
+
+        ``shard_by=None`` (the default) keeps the CURRENT shard mode when
+        already packed (so a dtype-only repack never silently converts a
+        memory-complete leaf-sharded layout into the T_local-x-dataset
+        tree layout) and means ``"tree"`` on a first pack.
         """
+        # validate EVERYTHING before any state changes: a repack drops
+        # the old layout first, so argument errors must fire while the
+        # serving state is still intact
+        if shard_by is None:
+            if self._packed is not None:
+                shard_by = getattr(self, "_packed_mode", None)
+            shard_by = shard_by or "tree"
+        if shard_by not in ("tree", "leaf"):
+            raise ValueError("shard_by must be 'tree' or 'leaf'")
+        if isinstance(self.x, EllMatrix) and shard_by != "tree":
+            raise ValueError("sparse blocks shard by tree only")
+        self._validate_pack_args(dtype, slack, centered, sub_block,
+                                 sub_split)
         s_blk = int(sub_block) if sub_block else 1
-        if s_blk > 1 and slack:
-            raise ValueError("sub_block and slack are mutually exclusive "
-                             "(fold() addresses whole-leaf blocks)")
         from ..models.forest import _sub_split_of
 
         sub_split = _sub_split_of(sub_split, s_blk)
-        if s_blk > 1 and isinstance(self.x, EllMatrix):
-            raise ValueError("sub_block applies to dense blocks only")
         if self._packed is not None:
             # same layout (incl. shard mode) -> idempotent no-op;
             # different -> repack (see RPForest.pack_leaves)
@@ -1107,6 +1120,10 @@ class DistributedForest(RPForest):
         self._block_len_dev = None
         self._block_len_rows_dev = None
         self._lens_global_dev = None
+        # learned grouped tile capacities are a function of the plan's
+        # block structure (stale ones silently mask pairs under
+        # knn_grouped(check=False))
+        self._grouped_nt = {}
         if self._packed is not None:
             mode = getattr(self, "_packed_mode", "tree")
             # replay the remembered pack configuration (dtype/centered/

@@ -88,6 +88,50 @@ def test_repack_refuses_serve_only():
         f.pack_leaves(dtype=jnp.bfloat16)
 
 
+def test_invalid_args_never_destroy_pack():
+    """Argument validation fires BEFORE the repack clears state: a bad
+    call on a packed forest must leave the serving layout intact."""
+    f, q = _mk()
+    f.pack_leaves(dtype=jnp.int8)
+    blocks = f._packed
+    with pytest.raises(ValueError, match="centered"):
+        f.pack_leaves(centered=True)  # centered needs int8 dtype arg
+    with pytest.raises(ValueError, match="exclusive"):
+        f.pack_leaves(sub_block=2, slack=4)
+    with pytest.raises(ValueError, match="sub_split"):
+        f.pack_leaves(sub_block=2, sub_split="nope")
+    assert f._packed is blocks  # untouched by any of the failures
+    d, _ = f.knn(q, K)
+    assert np.isfinite(np.asarray(d)).any()
+
+
+def test_rebuild_clears_grouped_capacity_cache():
+    """rebuild() replaces the plan; learned grouped tile capacities are a
+    function of the old block structure and would silently mask pairs
+    under check=False."""
+    f, q = _mk()
+    f.pack_leaves()
+    f.knn_grouped(q, K)
+    assert f._grouped_nt
+    f.add(np.random.default_rng(0).normal(size=(64, 16)).astype(np.float32))
+    f.rebuild()
+    assert f._grouped_nt == {}
+    d, _ = f.knn_grouped(q, K)  # re-learns cleanly on the new plan
+    assert np.isfinite(np.asarray(d)).any()
+
+
+def test_sub_split_irrelevant_at_sub1():
+    """At sub_block=1 the sub_split mode has no effect on the layout, so
+    it must not break the same-layout no-op contract (e.g. after fold,
+    where a spurious repack would raise)."""
+    f, _ = _mk()
+    f.pack_leaves(slack=4, sub_split="proj")
+    f.add(np.random.default_rng(1).normal(size=(4, 16)).astype(np.float32))
+    f.fold()
+    f.pack_leaves(slack=4)  # default sub_split="kmeans": SAME layout
+    assert f.n_folded > 0  # still intact
+
+
 def test_repack_ell_dtype():
     rng = np.random.default_rng(SEED)
     vs = [from_list_sv(16, [(int(j), float(rng.normal()))
@@ -100,6 +144,12 @@ def test_repack_ell_dtype():
     assert f._packed[0].vals.dtype == jnp.float32
     f.pack_leaves(dtype=jnp.bfloat16)
     assert f._packed[0].vals.dtype == jnp.bfloat16
+    # invalid layouts raise instead of silently matching the f32 cfg
+    with pytest.raises(ValueError, match="dense"):
+        f.pack_leaves(dtype=jnp.int8)
+    with pytest.raises(ValueError, match="dense"):
+        f.pack_leaves(sub_block=2)
+    assert f._packed[0].vals.dtype == jnp.bfloat16  # intact
 
 
 def test_repack_distributed_mode_switch():
@@ -114,6 +164,17 @@ def test_repack_distributed_mode_switch():
     assert fd._packed[0].dtype == jnp.float32
     d, i = fd.knn(q, K)
     assert np.isfinite(np.asarray(d)).any()
+    # shard_by=None (default) KEEPS the current mode on a dtype-only
+    # repack -- it must not silently convert the memory-complete leaf
+    # layout back to the tree layout
+    fd.pack_leaves(dtype=jnp.bfloat16)
+    assert fd._packed_mode == "leaf"
+    assert fd._packed[0].dtype == jnp.bfloat16
+    # an invalid shard mode raises BEFORE touching the serving state
+    blocks = fd._packed
+    with pytest.raises(ValueError, match="shard_by"):
+        fd.pack_leaves(shard_by="lead")
+    assert fd._packed is blocks
 
 
 def test_repack_data_parallel_dtype():
