@@ -40,7 +40,7 @@ from ..ops.rerank import (
     rerank_top_k,
 )
 from ..ops.sparse import EllBlocks, EllMatrix, ell_sq_norms, ell_to_dense
-from ..ops.traverse import traverse_tree
+from ..ops.traverse import build_b1_tables, traverse_tree
 from ..utils import gen as rgen
 from .plan import TreePlan, make_plan
 
@@ -310,8 +310,13 @@ def _as_dense_queries(q, dim: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("plan", "budget"))
-def _traverse_forest(plan: TreePlan, arrays: TreeArrays, q: jax.Array, budget: int):
-    """All-tree traversal: returns (leaf_ids int32[T, B, F], prio f32[T, B, F])."""
+def _traverse_forest(plan: TreePlan, arrays: TreeArrays, q: jax.Array,
+                     budget: int, tabs=None):
+    """All-tree traversal: returns (leaf_ids int32[T, B, F], prio f32[T, B, F]).
+
+    ``tabs``: optional prebuilt :func:`_b1_forest_tables` output -- pass it
+    when traversing inside a ``lax.map`` chunk loop so the budget=1
+    superlevel tables hoist out of the loop as closure constants."""
     nl = plan.n_levels
     r_used = arrays.r[:, :nl, :]  # [T, L, D]
     projq = jnp.einsum("bd,tld->tbl", q, r_used,
@@ -319,9 +324,26 @@ def _traverse_forest(plan: TreePlan, arrays: TreeArrays, q: jax.Array, budget: i
                        precision=jax.lax.Precision.HIGHEST)
     # profiler region named after the reference's SCC ({-# SCC candidates #-})
     with jax.named_scope("rpt_candidates"):
+        if tabs is None:
+            return jax.vmap(
+                lambda th, lo, hi, pq:
+                    traverse_tree(plan, th, lo, hi, pq, budget)
+            )(arrays.thr, arrays.mgl, arrays.mgh, projq)
         return jax.vmap(
-            lambda th, lo, hi, pq: traverse_tree(plan, th, lo, hi, pq, budget)
-        )(arrays.thr, arrays.mgl, arrays.mgh, projq)
+            lambda th, lo, hi, pq, tb:
+                traverse_tree(plan, th, lo, hi, pq, budget, tabs=tb)
+        )(arrays.thr, arrays.mgl, arrays.mgh, projq, tabs)
+
+
+def _b1_forest_tables(plan, arrays, budget):
+    """Superlevel traversal tables for all trees (``None`` unless the
+    budget=1 fast path applies); build once per dispatch and thread into
+    the per-chunk traversals."""
+    if budget != 1:
+        return None
+    return jax.vmap(
+        lambda th, lo, hi: build_b1_tables(plan, th, lo, hi)
+    )(arrays.thr, arrays.mgl, arrays.mgh)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "budget"))
@@ -355,7 +377,7 @@ def _knn(plan, arrays, x, sq_norms, q, k, budget, metric, dedup,
 
 
 def _select_probes(plan, arrays, q, budget, probes, k=None,
-                   bucket_stop=False, block_len=None):
+                   bucket_stop=False, block_len=None, tabs=None):
     """Traverse and compact the forest's candidate buckets to the
     ``probes`` lowest-margin-priority leaves per query.
 
@@ -364,7 +386,8 @@ def _select_probes(plan, arrays, q, budget, probes, k=None,
     (-1 where masked).  With ``bucket_stop`` the reference knnH cumulative
     stop rule masks buckets beyond the first ``k`` collected points.
     """
-    leaf_ids, prio = _traverse_forest(plan, arrays, q, budget)  # [T, B, F]
+    leaf_ids, prio = _traverse_forest(plan, arrays, q, budget,
+                                      tabs=tabs)  # [T, B, F]
     t, b, f = leaf_ids.shape
     nl = plan.n_leaves
     gid = leaf_ids + jnp.arange(t, dtype=jnp.int32)[:, None, None] * nl
@@ -420,7 +443,18 @@ def _selection_tail(d, id_leaf, rows_sel, k, kk, dedup, min_votes=1,
     kk = min(kk, probes * lmax)
     ids_blk = jnp.take(id_leaf, rows_sel, axis=0)  # [B, P, lmax]
     ids_flat = ids_blk.reshape(b, probes * lmax)
-    if selection == "approx" and min_votes == 1 and kk < probes * lmax:
+    return _selection_tail_ids(d, ids_flat, k, kk, dedup,
+                               min_votes=min_votes, selection=selection)
+
+
+def _selection_tail_ids(d, ids_flat, k, kk, dedup, min_votes=1,
+                        selection="sort"):
+    """Candidate-id variant of :func:`_selection_tail` for scorers that
+    already carry per-candidate POINT IDS (the fused top-k' kernel emits
+    them straight from the tile DMA)."""
+    w = d.shape[1]
+    kk = min(kk, w)
+    if selection == "approx" and min_votes == 1 and kk < w:
         # hardware top-k (lax.approx_max_k lowers to the TPU PartialReduce
         # op): 25us vs the payload sort's 460us per 1024q at the clustered
         # flagship selection shape [1024, 8*128] -> 80 in ISOLATION, but
@@ -433,8 +467,9 @@ def _selection_tail(d, id_leaf, rows_sel, k, kk, dedup, min_votes=1,
         d_top = -neg
         ids_top = jnp.take_along_axis(ids_flat, sel_idx, axis=-1)
     else:
-        # (per-probe pre-reduction to k' was measured 5x slower -- many
-        # short minor-axis sorts)
+        # (per-probe pre-reduction to k' via XLA was measured 5x slower
+        # -- many short minor-axis sorts; the fused kernel's in-VMEM
+        # extraction is the form that works, see grouped_topk_kernel)
         d_sorted, ids_sorted = lax.sort((d, ids_flat), num_keys=1)
         d_top, ids_top = d_sorted[:, :kk], ids_sorted[:, :kk]
     ids_top = jnp.where(jnp.isinf(d_top), -1, ids_top)
@@ -559,7 +594,7 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                 probes, metric, dedup, precision="highest",
                 bucket_stop=False, min_votes=1, block_scale=None,
                 block_len=None, block_center=None, sub=1,
-                selection="sort"):
+                selection="sort", tabs=None):
     """Leaf-blocked forest kNN: semantically the candidate-union +
     exact-rerank + top-k of :func:`_knn`, restructured for the TPU gather
     unit, whose cost scales with the NUMBER OF GATHER INDICES (~ns each),
@@ -575,7 +610,8 @@ def _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     # dynamic block_len only applies at leaf granularity when sub == 1)
     gsel, lsel = _select_probes(plan, arrays, q, budget, probes, k=k,
                                 bucket_stop=bucket_stop,
-                                block_len=None if sub > 1 else block_len)
+                                block_len=None if sub > 1 else block_len,
+                                tabs=tabs)
     if sub > 1:
         gsel, lsel = _expand_sub_probes(gsel, lsel, sub)
     kk = k * t if dedup else k
@@ -642,7 +678,7 @@ def _grouped_use_kernel(impl, x_leaf, metric, block_scale, block_center):
           and not callable(metric)
           and grouped_kernel_ok(x_leaf, metric)
           and jax.default_backend() == "tpu")
-    if impl == "kernel" and not ok:
+    if impl in ("kernel", "kernel_full", "kernel_topk") and not ok:
         raise ValueError(
             "impl='kernel' needs dense f32/bf16 blocks, l2/sql2, and a "
             "TPU backend; use impl='auto' to fall back silently")
@@ -660,7 +696,7 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
                  budget, probes, metric, dedup, precision, tile_m, nt,
                  tile_chunk, bucket_stop=False, min_votes=1,
                  block_scale=None, block_center=None, sub=1,
-                 selection="sort", impl="auto"):
+                 selection="sort", impl="auto", tabs=None):
     """Query-grouped block-resident rerank (see :mod:`..ops.grouped`):
     semantically :func:`_knn_packed`, restructured so each distinct probed
     block is fetched once per TILE of queries and scored with one MXU
@@ -669,15 +705,43 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
     sort, top-k merge) is the per-pair path's, unchanged.  Returns
     ``(dists, ids, needed_tiles)``; exact iff ``needed_tiles <= nt``
     (the caller retries with a bigger capacity)."""
-    from ..ops.grouped import grouped_distances, grouped_distances_kernel
+    from ..ops.grouped import (grouped_distances,
+                               grouped_distances_kernel,
+                               grouped_topk_kernel)
 
     gsel, lsel = _select_probes(plan, arrays, q, budget, probes, k=k,
                                 bucket_stop=bucket_stop,
-                                block_len=None if sub > 1 else lens_global)
+                                block_len=None if sub > 1 else lens_global,
+                                tabs=tabs)
     if sub > 1:
         gsel, lsel = _expand_sub_probes(gsel, lsel, sub)
+    b, p = gsel.shape
+    lmax = x_leaf.shape[-2]
+    t = arrays.perm.shape[0]
+    kk = k * t if dedup else k
     if _grouped_use_kernel(impl, x_leaf, metric, block_scale,
                            block_center):
+        # per-pair top-k' inside the kernel (impl="kernel_topk",
+        # OPT-IN): the candidate ids ride the tile DMA block-granular,
+        # shrinking the tail sort from probes * lmax to probes * kp wide
+        # with no per-element id gather.  EXACT for the final top-k at
+        # kp >= k (a globally top-k candidate is top-k within every
+        # block containing it) -- device-verified bit-equal to the full
+        # kernel at the 1M clustered flagship -- but the in-VMEM serial
+        # extraction measured SLOWER end-to-end there (48.4 vs 44.8 ms
+        # per 32768q), so auto keeps the full kernel + payload-sort
+        # tail.  min_votes > 1 needs the full per-block lists and the
+        # approx selection knob the full width; both raise here.
+        kp = -(-max(int(k), 8) // 8) * 8
+        if (impl == "kernel_topk" and min_votes == 1
+                and selection == "sort" and 2 * kp <= lmax):
+            d_t, i_t, needed = grouped_topk_kernel(
+                x_leaf, sq_leaf, id_leaf, lens_global, gsel, lsel, q,
+                metric, _prec(precision), tile_m, nt, kp)
+            d_out, i_out = _selection_tail_ids(
+                d_t.reshape(b, p * kp), i_t.reshape(b, p * kp), k,
+                min(kk, p * kp), dedup)
+            return d_out, i_out, needed
         d, needed = grouped_distances_kernel(
             x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,
             _prec(precision), tile_m, nt)
@@ -687,10 +751,6 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
             _prec(precision), tile_m, nt, tile_chunk,
             block_scale=block_scale, block_center=block_center)
     # selection tail shared with _score_blocks
-    b, p = gsel.shape
-    lmax = x_leaf.shape[-2]
-    t = arrays.perm.shape[0]
-    kk = k * t if dedup else k
     d_out, i_out = _selection_tail(d.reshape(b, p * lmax), id_leaf, gsel,
                                    k, kk, dedup, min_votes=min_votes,
                                    selection=selection)
@@ -722,6 +782,9 @@ def _knn_grouped_many(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global,
     b = q.shape[0]
     nc = b // chunk
     qc = q.reshape(nc, chunk, q.shape[-1])
+    # budget=1 superlevel tables: built ONCE here; the chunk body closes
+    # over them, so lax.map carries them as loop constants
+    tabs = _b1_forest_tables(plan, arrays, budget)
 
     def one(qi):
         return _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf,
@@ -730,7 +793,7 @@ def _knn_grouped_many(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global,
                             bucket_stop=bucket_stop, min_votes=min_votes,
                             block_scale=block_scale,
                             block_center=block_center, sub=sub,
-                            selection=selection, impl=impl)
+                            selection=selection, impl=impl, tabs=tabs)
 
     d, ids, needed = lax.map(one, qc)
     return d.reshape(b, -1), ids.reshape(b, -1), jnp.max(needed)
@@ -754,6 +817,7 @@ def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     b = q.shape[0]
     nc = b // chunk
     qc = q.reshape(nc, chunk, q.shape[-1])
+    tabs = _b1_forest_tables(plan, arrays, budget)
 
     def one(qi):
         return _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, qi, k,
@@ -761,7 +825,7 @@ def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
                            bucket_stop=bucket_stop, min_votes=min_votes,
                            block_scale=block_scale, block_len=block_len,
                            block_center=block_center, sub=sub,
-                           selection=selection)
+                           selection=selection, tabs=tabs)
 
     d, ids = lax.map(one, qc)
     return d.reshape(b, -1), ids.reshape(b, -1)

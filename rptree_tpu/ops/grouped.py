@@ -56,7 +56,8 @@ from jax import lax
 from .rerank import distances_from_dots
 from .sparse import EllBlocks
 
-__all__ = ["grouped_distances", "grouped_distances_kernel"]
+__all__ = ["grouped_distances", "grouped_distances_kernel",
+           "grouped_topk_kernel"]
 
 _BIG = 1 << 30  # sentinel block id for masked pairs (sorts to the end)
 
@@ -241,6 +242,49 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
     buf = jnp.full((e + 1, lmax), jnp.inf, jnp.float32).at[dest].set(
         d_all, mode="drop")
     return buf[:e].reshape(b, p, lmax), needed
+
+
+def grouped_topk_kernel(x_leaf, sq_leaf, id_leaf, lens_of_block, gsel,
+                        lsel, q, metric, precision, tile_m: int, nt: int,
+                        kp: int, tc_k: int = 16, row_of=None):
+    """Per-pair top-``kp`` candidates via the fused kernel: same tiling as
+    :func:`grouped_distances_kernel`, but each tile slot returns only its
+    ``kp`` nearest (distance, POINT ID) in-block candidates -- the ids ride
+    the tile DMA block-granular, so the caller's selection tail shrinks
+    from ``probes * lmax`` wide to ``probes * kp`` with no per-element id
+    gather (see :func:`..grouped_kernel.grouped_score_topk` for the
+    exactness argument: kp >= k suffices for the final per-query top-k;
+    ``min_votes > 1`` callers need the full lists and keep the full
+    kernel).
+
+    Returns ``(d f32[B, P, kp], ids int32[B, P, kp], needed)``: masked /
+    overflow slots carry (+inf, -1); exact iff ``needed <= nt``.
+    """
+    from .grouped_kernel import grouped_score_topk
+
+    b, p = gsel.shape
+    e = b * p
+    nt = -(-int(nt) // tc_k) * tc_k
+    tb, tp, needed = _tile_tables(gsel, lsel, tile_m, nt)
+    rows_of = tb if row_of is None else jnp.take(row_of, tb)
+    lens_t = jnp.take(lens_of_block, tb)
+    qi = jnp.where(tp >= 0, tp // p, 0).reshape(-1)
+    qt = jnp.take(q, qi, axis=0)
+    prec = (lax.Precision.HIGHEST if x_leaf.dtype == jnp.float32
+            else None)
+    d_all, i_all = grouped_score_topk(x_leaf, sq_leaf, id_leaf, rows_of,
+                                      lens_t, qt, metric, tile_m, tc_k,
+                                      kp, precision=prec)
+    dest = jnp.where(tp >= 0, tp, e).reshape(-1)
+    posn = jnp.arange(nt * tile_m, dtype=jnp.int32)
+    inv = jnp.full((e + 1,), nt * tile_m, jnp.int32).at[dest].set(
+        posn, mode="drop")[:e]
+    d_pad = jnp.concatenate([d_all, jnp.full((1, kp), jnp.inf)], axis=0)
+    i_pad = jnp.concatenate([i_all, jnp.full((1, kp), -1, jnp.int32)],
+                            axis=0)
+    d = jnp.take(d_pad, inv, axis=0).reshape(b, p, kp)
+    ids = jnp.take(i_pad, inv, axis=0).reshape(b, p, kp)
+    return d, ids, needed
 
 
 def grouped_distances_kernel(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,

@@ -34,7 +34,8 @@ try:  # pallas TPU backend (absent on some CPU-only installs)
 except Exception:  # pragma: no cover
     pltpu = None
 
-__all__ = ["grouped_score_tiles", "grouped_kernel_ok"]
+__all__ = ["grouped_score_tiles", "grouped_score_topk",
+           "grouped_kernel_ok"]
 
 
 def grouped_kernel_ok(x_leaf, metric, precision=None) -> bool:
@@ -125,3 +126,113 @@ def grouped_score_tiles(x_leaf, sq_leaf, tb, lens_t, qt, metric, tile_m,
     )(tb.astype(jnp.int32), lens_t.astype(jnp.int32),
       *([x_leaf] * tc_k), *([sq_leaf[:, None, :]] * tc_k), qt)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "tile_m", "tc_k", "kp", "interpret",
+                     "precision"),
+)
+def grouped_score_topk(x_leaf, sq_leaf, id_leaf, tb, lens_t, qt, metric,
+                       tile_m, tc_k, kp, precision=None, interpret=False):
+    """:func:`grouped_score_tiles` fused with a per-slot top-``kp``
+    extraction: returns ``(d f32[nt * tile_m, kp], ids int32[nt * tile_m,
+    kp])`` -- each tile slot's ``kp`` nearest in-block candidates in
+    ascending distance order, with the candidate's POINT ID read from the
+    id block that rides the same tile DMA.
+
+    Why: the selection tail's full ``[B, probes * lmax]`` payload sort is
+    the serving pipeline's largest stage once scoring is fused (measured
+    ~17 ms of a ~41 ms 32768-query flagship batch), and every previous
+    attempt to shrink it (``approx_max_k``, per-probe XLA sorts) lost on
+    the id-payload gather economics (~8 ns per element-granular index).
+    Here the ids arrive BLOCK-granular inside the kernel (one extra
+    ``lmax``-int row per tile on a 64 KB block DMA), so the tail shrinks
+    to ``probes * kp`` wide with no per-element id gather.  EXACT for the
+    final per-query top-k whenever ``kp >= k``: a query's globally k-th
+    nearest candidate is beaten by < k candidates overall, hence by < k
+    within any single block that contains it.  (``min_votes > 1`` needs
+    the full per-block lists -- callers keep the full kernel there.)
+
+    Tie handling matches the payload sort bit-for-bit: equal distances
+    extract in ascending slot order (``lax.sort`` is stable over the
+    slot-ordered flat layout).
+    """
+    g, lmax, d = x_leaf.shape
+    nt = tb.shape[0]
+    assert nt % tc_k == 0, (nt, tc_k)
+    dt = x_leaf.dtype
+    prec = precision
+
+    def kern(tb_ref, lens_ref, *refs):
+        x_refs = refs[:tc_k]
+        s_refs = refs[tc_k:2 * tc_k]
+        i_refs = refs[2 * tc_k:3 * tc_k]
+        qt_ref = refs[3 * tc_k]
+        od_ref = refs[3 * tc_k + 1]
+        oi_ref = refs[3 * tc_k + 2]
+        i = pl.program_id(0)
+        for j in range(tc_k):
+            xb = x_refs[j][0]                            # [lmax, D]
+            qm = qt_ref[j * tile_m:(j + 1) * tile_m, :]  # [m, D]
+            dots = jax.lax.dot_general(
+                qm.astype(dt), xb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )                                            # [m, lmax]
+            sq = s_refs[j][0, 0][None, :]
+            sqq = jnp.sum(qm * qm, axis=1, keepdims=True)
+            dd = jnp.maximum(sq - 2.0 * dots + sqq, 0.0)
+            if metric == "l2":
+                dd = jnp.sqrt(dd)
+            ln = lens_ref[i * tc_k + j]
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, lmax), 1)
+            dd = jnp.where(col < ln, dd, jnp.inf)
+            ids_b = jnp.broadcast_to(i_refs[j][0, 0][None, :],
+                                     (tile_m, lmax))
+            dcols, icols = [], []
+            for _ in range(kp):
+                mval = jnp.min(dd, axis=1)               # [m]
+                # lowest slot index among the minima (stable-sort ties)
+                idx = jnp.min(
+                    jnp.where(dd == mval[:, None], col, lmax), axis=1)
+                is_sel = col == idx[:, None]
+                dcols.append(mval)
+                icols.append(jnp.sum(jnp.where(is_sel, ids_b, 0), axis=1))
+                dd = jnp.where(is_sel, jnp.inf, dd)
+            od_ref[j * tile_m:(j + 1) * tile_m, :] = jnp.stack(dcols, 1)
+            oi_ref[j * tile_m:(j + 1) * tile_m, :] = jnp.stack(icols, 1)
+
+    def x_map(j):
+        return lambda i, tb_ref, lens_ref: (tb_ref[i * tc_k + j], 0, 0)
+
+    in_specs = (
+        [pl.BlockSpec((1, lmax, d), x_map(j)) for j in range(tc_k)]
+        + [pl.BlockSpec((1, 1, lmax), x_map(j)) for j in range(tc_k)]
+        + [pl.BlockSpec((1, 1, lmax), x_map(j)) for j in range(tc_k)]
+        + [pl.BlockSpec((tc_k * tile_m, d),
+                        lambda i, tb_ref, lens_ref: (i, 0))]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt // tc_k,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tc_k * tile_m, kp),
+                         lambda i, tb_ref, lens_ref: (i, 0)),
+            pl.BlockSpec((tc_k * tile_m, kp),
+                         lambda i, tb_ref, lens_ref: (i, 0)),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt * tile_m, kp), jnp.float32),
+            jax.ShapeDtypeStruct((nt * tile_m, kp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tb.astype(jnp.int32), lens_t.astype(jnp.int32),
+      *([x_leaf] * tc_k), *([sq_leaf[:, None, :]] * tc_k),
+      *([id_leaf[:, None, :]] * tc_k), qt)
+    return out_d, out_i

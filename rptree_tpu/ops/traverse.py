@@ -36,7 +36,8 @@ leaf as ``-(leaf_id + 1)``, and ``INVALID`` (int32 min) is an empty slot.
 
 from __future__ import annotations
 
-from typing import Tuple
+import dataclasses
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,8 @@ import numpy as np
 
 from ..models.plan import TreePlan
 
-__all__ = ["traverse_tree", "INVALID_ENC", "VALID_PRIO_CAP", "bitonic_sort_kv"]
+__all__ = ["traverse_tree", "INVALID_ENC", "VALID_PRIO_CAP", "bitonic_sort_kv",
+           "build_b1_tables"]
 
 INVALID_ENC = jnp.iinfo(jnp.int32).min
 # priorities of live entries are capped at a large finite value so that empty
@@ -156,6 +158,7 @@ def traverse_tree(
     mgh: jax.Array,
     projq: jax.Array,
     budget: int,
+    tabs=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Traverse one tree with a batch of queries.
 
@@ -165,11 +168,28 @@ def traverse_tree(
         ``l`` uses entries ``[0, n_segs_l)``; the padded tail is unread).
       projq: ``f32[B, L]`` query projections (``q . r_l`` per level).
       budget: frontier width F (>= 1).  ``F >= plan.n_leaves`` is exact.
+      tabs: optional prebuilt :func:`build_b1_tables` output (budget=1
+        only); pass it when traversing inside a ``lax.map`` chunk loop so
+        the superlevel tables hoist out of the loop as closure constants.
 
     Returns:
       ``(leaf_ids int32[B, F]`` with ``-1`` for empty slots,
       ``prio f32[B, F]`` -- the reference's ``candidatesH`` margin priority).
     """
+    if int(budget) == 1:
+        return _traverse_b1(plan, thr, mgl, mgh, projq, tabs)
+    return _traverse_frontier(plan, thr, mgl, mgh, projq, budget)
+
+
+def _traverse_frontier(
+    plan: TreePlan,
+    thr: jax.Array,
+    mgl: jax.Array,
+    mgh: jax.Array,
+    projq: jax.Array,
+    budget: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """The general fixed-frontier traversal (any budget F >= 1)."""
     b = projq.shape[0]
     f = int(budget)
     projq = projq.T  # [L, B]: queries on lanes
@@ -222,3 +242,191 @@ def traverse_tree(
 
     leaf_ids = jnp.where(fenc == INVALID_ENC, -1, -(fenc + 1))
     return leaf_ids.T, fpri.T
+
+
+# ---------------------------------------------------------------------------
+# budget=1 superlevel fast path
+# ---------------------------------------------------------------------------
+#
+# With a frontier of ONE the per-level compaction degenerates to picking the
+# lexicographic (priority, enc) minimum of the <=2 children -- a pure scalar
+# descent per query.  That removes the bitonic network, and (the actual win)
+# lets the deep levels' node-table lookups be fetched as whole SUBTREES: one
+# row gather per ~6 levels instead of one per level.  TPU gathers cost ~8ns
+# per INDEX regardless of payload, so packing a k-level subtree (2^k - 1
+# nodes x 5 values) into one table row divides the traversal's gather count
+# by k; the in-register descent over the fetched row is one-hot select-sums
+# (full-lane VPU ops) whose cost (~sum 2^i * 5 per block) is negligible.
+# Semantics are pinned to `_traverse_frontier(budget=1)` exactly, including
+# the (pri, enc) lexicographic fork tie-break (test_traverse_fast.py).
+
+# cap on levels per superlevel block: row width (2^k - 1) * 5 f32 and the
+# last sub-step's one-hot width 2^(k-1) both grow exponentially; 6 keeps the
+# row at 315 f32 (~1.3 KB) and the widest one-hot at 32 lanes of selects
+_B1_MAX_DEPTH = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class _B1Block:
+    """Static maps for one superlevel block of ``kd`` levels from ``l0``.
+
+    ``flat_pos [S0, P-1]``: gather index into the flattened ``[L * S_max]``
+    threshold arrays for the node at heap position ``p`` (column ``p - 1``;
+    position 1 is the block-top segment itself, children of ``p`` are
+    ``2p``/``2p+1``).  ``lcrc [S0, P-1, 2]``: the node's static child
+    encodings.  Dead positions (below a leaf) are clipped to index 0 and
+    never read live."""
+
+    l0: int
+    kd: int
+    s0: int
+    flat_pos: np.ndarray
+    lcrc: np.ndarray
+
+
+def _b1_build_blocks(plan: TreePlan, s_max: int) -> List[_B1Block]:
+    blocks: List[_B1Block] = []
+    l = 0
+    while l < plan.n_levels:
+        if plan.levels[l].n_segs <= _ONEHOT_MAX:
+            l += 1
+            continue
+        kd = min(_B1_MAX_DEPTH, plan.n_levels - l)
+        s0 = plan.levels[l].n_segs
+        p = 1 << kd
+        flat_pos = np.zeros((s0, p - 1), np.int32)
+        lcrc = np.zeros((s0, p - 1, 2), np.int32)
+        # enc of every node in layer i (positions 2^i .. 2^(i+1)-1), walked
+        # level-order; a node's children interleave in position order
+        enc_layer = np.arange(s0, dtype=np.int32)[:, None]  # [S0, 1]
+        col = 0
+        for i in range(kd):
+            lp = plan.levels[l + i]
+            live = enc_layer >= 0
+            seg = np.clip(enc_layer, 0, lp.n_segs - 1)
+            lc = np.where(live, lp.child_enc[seg, 0], 0).astype(np.int32)
+            rc = np.where(live, lp.child_enc[seg, 1], 0).astype(np.int32)
+            w = 1 << i
+            flat_pos[:, col : col + w] = (l + i) * s_max + np.where(
+                live, seg, 0
+            )
+            lcrc[:, col : col + w, 0] = lc
+            lcrc[:, col : col + w, 1] = rc
+            enc_layer = np.stack([lc, rc], axis=-1).reshape(s0, 2 * w)
+            col += w
+        blocks.append(_B1Block(l0=l, kd=kd, s0=s0, flat_pos=flat_pos,
+                               lcrc=lcrc))
+        l += kd
+    return blocks
+
+
+def _b1_blocks(plan: TreePlan) -> List[_B1Block]:
+    """Cached per-plan block maps (plans are immutable and themselves
+    cached); empty when no level exceeds the one-hot size.
+
+    Child encodings ride the table as exact f32 VALUES (not bitcast bit
+    patterns: those are NaN payloads for negative encs and denormals for
+    small positive ones, and XLA:TPU lowerings may move gathered data
+    through arithmetic -- canonicalizing NaNs and flushing denormals --
+    which corrupted the descent; measured as an all-masked traversal at
+    the 1M flagship).  Exactness needs |enc| < 2^24, so plans beyond
+    that disable the fast path (the frontier handles them)."""
+    cached = getattr(plan, "_b1_cache", None)
+    if cached is None:
+        smax = max((lp.n_segs for lp in plan.levels), default=1)
+        if max(smax, plan.n_leaves + 1) >= (1 << 24):
+            blocks: List[_B1Block] = []
+        else:
+            blocks = _b1_build_blocks(plan, smax)
+        cached = (blocks, smax)
+        plan._b1_cache = cached
+    return cached[0]
+
+
+def build_b1_tables(plan: TreePlan, thr, mgl, mgh):
+    """Build the budget=1 superlevel tables from one tree's runtime
+    threshold/margin arrays: per block a ``f32[S0, P-1, 5]`` of
+    (thr, mgl, mgh, lc, rc) per subtree node (child encs as exact f32
+    values -- see :func:`_b1_blocks`).  One small
+    gather per block -- call once per dispatch (or vmap over trees) and
+    pass the result through :func:`traverse_tree` so chunk loops reuse it
+    as a closure constant."""
+    blocks = _b1_blocks(plan)
+    if not blocks:
+        return ()
+    _, smax = plan._b1_cache
+    nl = plan.n_levels
+    stacked = jnp.stack(
+        [thr[:nl, :smax], mgl[:nl, :smax], mgh[:nl, :smax]], axis=-1
+    ).reshape(nl * smax, 3)
+    tabs = []
+    for blk in blocks:
+        flat = jnp.asarray(blk.flat_pos.reshape(-1))
+        g = jnp.take(stacked, flat, axis=0).reshape(blk.s0, -1, 3)
+        # child encodings as exact f32 VALUES (see _b1_blocks docstring)
+        ci = jnp.asarray(blk.lcrc.astype(np.float32))
+        tabs.append(jnp.concatenate([g, ci], axis=-1))  # [S0, P-1, 5]
+    return tuple(tabs)
+
+
+def _b1_step(enc, pri, t, lo, hi, lc, rc, proj):
+    """One budget=1 decision: the 4-case margin table + the frontier
+    compaction's lexicographic (pri, enc) minimum over the <=2 children.
+    Frozen (leaf) entries pass through.  Returns (enc, pri, went_right)."""
+    is_seg = enc >= 0
+    dl = jnp.abs(lo - proj)
+    dr = jnp.abs(hi - proj)
+    lt = proj < t
+    go_both = (lt & (dl > dr)) | ((proj > t) & (dl < dr))
+    go_left = lt | go_both
+    pl = jnp.minimum(pri, dl)
+    pr = jnp.minimum(pri, dr)
+    lex_right = (pr < pl) | ((pr == pl) & (rc < lc))
+    right = jnp.where(go_both, lex_right, ~go_left)
+    enc2 = jnp.where(is_seg, jnp.where(right, rc, lc), enc)
+    pri2 = jnp.where(is_seg, jnp.where(right, pr, pl), pri)
+    return enc2, pri2, right & is_seg
+
+
+def _traverse_b1(plan, thr, mgl, mgh, projq, tabs=None):
+    """Budget=1 traversal: shallow levels via the one-hot lookup, deep
+    levels via superlevel subtree rows (one gather per block)."""
+    b = projq.shape[0]
+    projq = projq.T  # [L, B]
+    blocks = _b1_blocks(plan)
+    if tabs is None:
+        tabs = build_b1_tables(plan, thr, mgl, mgh)
+    enc = jnp.full((b,), plan.root_enc, dtype=jnp.int32)
+    pri = jnp.full((b,), VALID_PRIO_CAP, dtype=jnp.float32)
+    bi = 0
+    l = 0
+    while l < plan.n_levels:
+        lp = plan.levels[l]
+        if bi < len(blocks) and blocks[bi].l0 == l:
+            blk, tab = blocks[bi], tabs[bi]
+            bi += 1
+            row_f = jnp.take(tab, jnp.clip(enc, 0, blk.s0 - 1), axis=0)
+            pos = jnp.ones((b,), dtype=jnp.int32)
+            for i in range(blk.kd):
+                w = 1 << i
+                sub_f = row_f[:, w - 1 : 2 * w - 1, :]    # [B, 2^i, 5]
+                oh = pos[:, None] == jnp.arange(
+                    w, 2 * w, dtype=jnp.int32)[None, :]
+                vf = jnp.sum(jnp.where(oh[..., None], sub_f, 0.0), axis=1)
+                # columns 3:5 are exact-integer-valued f32 child encodings
+                vc = vf[:, 3:5].astype(jnp.int32)
+                enc, pri, right = _b1_step(
+                    enc, pri, vf[:, 0], vf[:, 1], vf[:, 2],
+                    vc[:, 0], vc[:, 1], projq[l + i])
+                pos = 2 * pos + right.astype(jnp.int32)
+            l += blk.kd
+        else:
+            seg = jnp.clip(enc, 0, lp.n_segs - 1)[None, :]
+            t, lo, hi, lc, rc = _lookup_level(
+                thr[l][: lp.n_segs], mgl[l][: lp.n_segs],
+                mgh[l][: lp.n_segs], jnp.asarray(lp.child_enc), seg)
+            enc, pri, _ = _b1_step(enc, pri, t[0], lo[0], hi[0],
+                                   lc[0], rc[0], projq[l])
+            l += 1
+    leaf_ids = jnp.where(enc == INVALID_ENC, -1, -(enc + 1))
+    return leaf_ids[:, None], pri[:, None]

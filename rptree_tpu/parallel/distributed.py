@@ -42,6 +42,7 @@ from ..models.forest import (
     _knn,
     _knn_packed,
     _score_blocks,
+    _b1_forest_tables,
     _select_probes,
     _traverse_forest,
 )
@@ -293,7 +294,7 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     """
 
     def chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l,
-                   scale_l, bl_l, bl_g, bc_l, q_l):
+                   scale_l, bl_l, bl_g, bc_l, q_l, tabs=None):
         n_sh = lax.psum(1, axis)
         me = lax.axis_index(axis)
         t = r.shape[0]
@@ -312,7 +313,7 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         # no collective needed before the ownership filter
         gsel, lsel = _select_probes(plan, arrays_small, q_l, budget, probes,
                                     k=k, bucket_stop=bucket_stop,
-                                    block_len=bl_g)
+                                    block_len=bl_g, tabs=tabs)
         mine = (lsel >= 0) & (gsel % n_sh == me)
         # keep my highest-priority owned probes (probe slots arrive in
         # priority order from _select_probes), compacted to the front by a
@@ -336,9 +337,11 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         needed_out = None
         if grouped_cfg is not None:
             from ..models.forest import (_grouped_use_kernel, _prec,
-                                         _selection_tail)
+                                         _selection_tail,
+                                         _selection_tail_ids)
             from ..ops.grouped import (grouped_distances,
-                                       grouped_distances_kernel)
+                                       grouped_distances_kernel,
+                                       grouped_topk_kernel)
 
             tm_, nt_, tch_ = grouped_cfg[:3]
             impl_ = grouped_cfg[3] if len(grouped_cfg) > 3 else "auto"
@@ -354,19 +357,33 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                     g_rows < t * plan.n_leaves,
                     jnp.take(jnp.asarray(plan.leaf_len, jnp.int32),
                              g_rows % plan.n_leaves), 0)
-            if _grouped_use_kernel(impl_, x_leaf_l, metric, scale_l,
-                                   bc_l):
-                d_g, needed_l = grouped_distances_kernel(
-                    x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l,
-                    metric, _prec(precision), tm_, nt_)
-            else:
-                d_g, needed_l = grouped_distances(
-                    x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l,
-                    metric, _prec(precision), tm_, nt_, tch_,
-                    block_scale=scale_l, block_center=bc_l)
             bq = rows.shape[0]
-            d_l, i_l = _selection_tail(d_g.reshape(bq, -1), id_leaf_l,
-                                       rows, k_eff, kk, dedup_eff)
+            kp = -(-max(int(k), 8) // 8) * 8
+            use_kernel = _grouped_use_kernel(impl_, x_leaf_l, metric,
+                                             scale_l, bc_l)
+            if (use_kernel and min_votes == 1 and impl_ == "kernel_topk"
+                    and 2 * kp <= x_leaf_l.shape[-2]):
+                # per-pair top-k' with ids straight off the tile DMA
+                # (same exactness argument as the single-device path)
+                d_t, i_t, needed_l = grouped_topk_kernel(
+                    x_leaf_l, sq_leaf_l, id_leaf_l, lens_rows, rows,
+                    l_s, q_l, metric, _prec(precision), tm_, nt_, kp)
+                d_l, i_l = _selection_tail_ids(
+                    d_t.reshape(bq, -1), i_t.reshape(bq, -1), k_eff,
+                    min(kk, rows.shape[1] * kp), dedup_eff)
+            else:
+                if use_kernel:
+                    d_g, needed_l = grouped_distances_kernel(
+                        x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l,
+                        metric, _prec(precision), tm_, nt_)
+                else:
+                    d_g, needed_l = grouped_distances(
+                        x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l,
+                        metric, _prec(precision), tm_, nt_, tch_,
+                        block_scale=scale_l, block_center=bc_l)
+                d_l, i_l = _selection_tail(d_g.reshape(bq, -1),
+                                           id_leaf_l, rows, k_eff, kk,
+                                           dedup_eff)
             needed_out = lax.pmax(needed_l, axis)
             if QUERY_AXIS in mesh.shape:
                 needed_out = lax.pmax(needed_out, QUERY_AXIS)
@@ -395,11 +412,17 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         if chunk is None or chunk >= b:
             return chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l,
                               id_leaf_l, scale_l, bl_l, bl_g, bc_l, q_l)
+        # budget=1 superlevel traversal tables: built once per dispatch,
+        # carried into the chunk loop as closure constants
+        t = r.shape[0]
+        arrays_small = TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh,
+                                  perm=jnp.zeros((t, 1), jnp.int32))
+        tabs = _b1_forest_tables(plan, arrays_small, budget)
         qc = q_l.reshape(b // chunk, chunk, q_l.shape[-1])
         out = lax.map(
             lambda qi: chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l,
                                   id_leaf_l, scale_l, bl_l, bl_g, bc_l,
-                                  qi),
+                                  qi, tabs=tabs),
             qc,
         )
         if grouped_cfg is not None:
