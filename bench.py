@@ -245,10 +245,13 @@ def main():
     #               of host RPC per call through the tunnel; pipelining
     #               does not help -- examples/serving_loop.py), so the
     #               batch runs as lax.map chunks of CHC inside ONE
-    #               dispatch (the Pallas kernel's SMEM tile tables cap a
-    #               single chunk at ~100k tiles anyway).  Measured wall:
-    #               351k (B=32k) -> 541k (B=131k, chunk=32k)
-    CHC = 32768
+    #               dispatch.  Measured wall: 351k (B=32k) -> 541k
+    #               (B=131k, chunk=32k) -> 624k (chunk=64k).  64k chunks
+    #               double the per-chunk probe-group density (halving
+    #               block-fetch bytes per query) and fit the kernel's
+    #               SMEM tile table since lens_t moved to a VMEM block
+    #               (BASELINE.md round-4 continuation).
+    CHC = 65536
 
     @jax.jit
     def _gen_clustered(key):

@@ -76,12 +76,18 @@ def grouped_score_tiles(x_leaf, sq_leaf, tb, lens_t, qt, metric, tile_m,
     dt = x_leaf.dtype
     prec = precision
 
-    def kern(tb_ref, lens_ref, *refs):
+    def kern(tb_ref, *refs):
+        # lens arrives as a per-chunk VMEM block, NOT scalar prefetch:
+        # only tb (the BlockSpec index source) must live in SMEM, and
+        # SMEM bounds the single-call tile capacity (nt=147456 with two
+        # s32[nt] prefetch tables failed to compile; one table doubles
+        # the cap, which doubles the chunk= group density available to
+        # one dispatch)
         x_refs = refs[:tc_k]
         s_refs = refs[tc_k:2 * tc_k]
-        qt_ref = refs[2 * tc_k]
-        out_ref = refs[2 * tc_k + 1]
-        i = pl.program_id(0)
+        lens_ref = refs[2 * tc_k]
+        qt_ref = refs[2 * tc_k + 1]
+        out_ref = refs[2 * tc_k + 2]
         for j in range(tc_k):
             xb = x_refs[j][0]                           # [lmax, D]
             qm = qt_ref[j * tile_m:(j + 1) * tile_m, :]  # [m, D]
@@ -95,27 +101,27 @@ def grouped_score_tiles(x_leaf, sq_leaf, tb, lens_t, qt, metric, tile_m,
             dd = jnp.maximum(sq - 2.0 * dots + sqq, 0.0)
             if metric == "l2":
                 dd = jnp.sqrt(dd)
-            ln = lens_ref[i * tc_k + j]
+            ln = lens_ref[0, 0, j]
             col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, lmax), 1)
             out_ref[j * tile_m:(j + 1) * tile_m, :] = jnp.where(
                 col < ln, dd, jnp.inf)
 
     def x_map(j):
-        return lambda i, tb_ref, lens_ref: (tb_ref[i * tc_k + j], 0, 0)
+        return lambda i, tb_ref: (tb_ref[i * tc_k + j], 0, 0)
 
     in_specs = (
         [pl.BlockSpec((1, lmax, d), x_map(j)) for j in range(tc_k)]
         + [pl.BlockSpec((1, 1, lmax), x_map(j)) for j in range(tc_k)]
-        + [pl.BlockSpec((tc_k * tile_m, d),
-                        lambda i, tb_ref, lens_ref: (i, 0))]
+        + [pl.BlockSpec((1, 1, tc_k), lambda i, tb_ref: (i, 0, 0))]
+        + [pl.BlockSpec((tc_k * tile_m, d), lambda i, tb_ref: (i, 0))]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nt // tc_k,),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tc_k * tile_m, lmax),
-                         lambda i, tb_ref, lens_ref: (i, 0)),
+                         lambda i, tb_ref: (i, 0)),
         ],
     )
     (out,) = pl.pallas_call(
@@ -123,8 +129,9 @@ def grouped_score_tiles(x_leaf, sq_leaf, tb, lens_t, qt, metric, tile_m,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nt * tile_m, lmax), jnp.float32)],
         interpret=interpret,
-    )(tb.astype(jnp.int32), lens_t.astype(jnp.int32),
-      *([x_leaf] * tc_k), *([sq_leaf[:, None, :]] * tc_k), qt)
+    )(tb.astype(jnp.int32),
+      *([x_leaf] * tc_k), *([sq_leaf[:, None, :]] * tc_k),
+      lens_t.astype(jnp.int32).reshape(nt // tc_k, 1, tc_k), qt)
     return out
 
 
@@ -164,14 +171,15 @@ def grouped_score_topk(x_leaf, sq_leaf, id_leaf, tb, lens_t, qt, metric,
     dt = x_leaf.dtype
     prec = precision
 
-    def kern(tb_ref, lens_ref, *refs):
+    def kern(tb_ref, *refs):
         x_refs = refs[:tc_k]
         s_refs = refs[tc_k:2 * tc_k]
         i_refs = refs[2 * tc_k:3 * tc_k]
-        qt_ref = refs[3 * tc_k]
-        od_ref = refs[3 * tc_k + 1]
-        oi_ref = refs[3 * tc_k + 2]
-        i = pl.program_id(0)
+        lens_ref = refs[3 * tc_k]
+        qt_ref = refs[3 * tc_k + 1]
+        od_ref = refs[3 * tc_k + 2]
+        oi_ref = refs[3 * tc_k + 3]
+        dds, idss = [], []
         for j in range(tc_k):
             xb = x_refs[j][0]                            # [lmax, D]
             qm = qt_ref[j * tile_m:(j + 1) * tile_m, :]  # [m, D]
@@ -185,43 +193,51 @@ def grouped_score_topk(x_leaf, sq_leaf, id_leaf, tb, lens_t, qt, metric,
             dd = jnp.maximum(sq - 2.0 * dots + sqq, 0.0)
             if metric == "l2":
                 dd = jnp.sqrt(dd)
-            ln = lens_ref[i * tc_k + j]
+            ln = lens_ref[0, 0, j]
             col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, lmax), 1)
-            dd = jnp.where(col < ln, dd, jnp.inf)
-            ids_b = jnp.broadcast_to(i_refs[j][0, 0][None, :],
-                                     (tile_m, lmax))
-            dcols, icols = [], []
-            for _ in range(kp):
-                mval = jnp.min(dd, axis=1)               # [m]
-                # lowest slot index among the minima (stable-sort ties)
-                idx = jnp.min(
-                    jnp.where(dd == mval[:, None], col, lmax), axis=1)
-                is_sel = col == idx[:, None]
-                dcols.append(mval)
-                icols.append(jnp.sum(jnp.where(is_sel, ids_b, 0), axis=1))
-                dd = jnp.where(is_sel, jnp.inf, dd)
-            od_ref[j * tile_m:(j + 1) * tile_m, :] = jnp.stack(dcols, 1)
-            oi_ref[j * tile_m:(j + 1) * tile_m, :] = jnp.stack(icols, 1)
+            dds.append(jnp.where(col < ln, dd, jnp.inf))
+            idss.append(jnp.broadcast_to(i_refs[j][0, 0][None, :],
+                                         (tile_m, lmax)))
+        # extraction batched over the WHOLE tc_k chunk: a per-tile [8,
+        # lmax] loop is one vreg per op and the serial min/mask chain is
+        # instruction-issue bound (measured ~1.2 ms per extracted
+        # element at the flagship); batching to [tc_k * 8, lmax]
+        # amortizes every instruction over tc_k tiles
+        dd = jnp.concatenate(dds, axis=0)      # [tc_k * m, lmax]
+        ids_b = jnp.concatenate(idss, axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tc_k * tile_m, lmax), 1)
+        dcols, icols = [], []
+        for _ in range(kp):
+            mval = jnp.min(dd, axis=1)         # [tc_k * m]
+            # lowest slot index among the minima (stable-sort ties)
+            idx = jnp.min(
+                jnp.where(dd == mval[:, None], col, lmax), axis=1)
+            is_sel = col == idx[:, None]
+            dcols.append(mval)
+            icols.append(jnp.sum(jnp.where(is_sel, ids_b, 0), axis=1))
+            dd = jnp.where(is_sel, jnp.inf, dd)
+        od_ref[:, :] = jnp.stack(dcols, 1)
+        oi_ref[:, :] = jnp.stack(icols, 1)
 
     def x_map(j):
-        return lambda i, tb_ref, lens_ref: (tb_ref[i * tc_k + j], 0, 0)
+        return lambda i, tb_ref: (tb_ref[i * tc_k + j], 0, 0)
 
     in_specs = (
         [pl.BlockSpec((1, lmax, d), x_map(j)) for j in range(tc_k)]
         + [pl.BlockSpec((1, 1, lmax), x_map(j)) for j in range(tc_k)]
         + [pl.BlockSpec((1, 1, lmax), x_map(j)) for j in range(tc_k)]
-        + [pl.BlockSpec((tc_k * tile_m, d),
-                        lambda i, tb_ref, lens_ref: (i, 0))]
+        + [pl.BlockSpec((1, 1, tc_k), lambda i, tb_ref: (i, 0, 0))]
+        + [pl.BlockSpec((tc_k * tile_m, d), lambda i, tb_ref: (i, 0))]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nt // tc_k,),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tc_k * tile_m, kp),
-                         lambda i, tb_ref, lens_ref: (i, 0)),
+                         lambda i, tb_ref: (i, 0)),
             pl.BlockSpec((tc_k * tile_m, kp),
-                         lambda i, tb_ref, lens_ref: (i, 0)),
+                         lambda i, tb_ref: (i, 0)),
         ],
     )
     out_d, out_i = pl.pallas_call(
@@ -232,7 +248,8 @@ def grouped_score_topk(x_leaf, sq_leaf, id_leaf, tb, lens_t, qt, metric,
             jax.ShapeDtypeStruct((nt * tile_m, kp), jnp.int32),
         ],
         interpret=interpret,
-    )(tb.astype(jnp.int32), lens_t.astype(jnp.int32),
+    )(tb.astype(jnp.int32),
       *([x_leaf] * tc_k), *([sq_leaf[:, None, :]] * tc_k),
-      *([id_leaf[:, None, :]] * tc_k), qt)
+      *([id_leaf[:, None, :]] * tc_k),
+      lens_t.astype(jnp.int32).reshape(nt // tc_k, 1, tc_k), qt)
     return out_d, out_i
