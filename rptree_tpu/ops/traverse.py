@@ -178,6 +178,8 @@ def traverse_tree(
     """
     if int(budget) == 1:
         return _traverse_b1(plan, thr, mgl, mgh, projq, tabs)
+    if 2 <= int(budget) <= _FK_MAX_BUDGET and _b1_blocks(plan):
+        return _traverse_fk(plan, thr, mgl, mgh, projq, int(budget), tabs)
     return _traverse_frontier(plan, thr, mgl, mgh, projq, budget)
 
 
@@ -386,6 +388,162 @@ def _b1_step(enc, pri, t, lo, hi, lc, rc, proj):
     enc2 = jnp.where(is_seg, jnp.where(right, rc, lc), enc)
     pri2 = jnp.where(is_seg, jnp.where(right, pr, pl), pri)
     return enc2, pri2, right & is_seg
+
+
+# fixed-frontier budgets up to this use the superlevel tables too: each
+# frontier slot fetches its block-top subtree row ONCE per kd levels
+# (budget gathers per block instead of budget per level) and the per-level
+# expansion/compaction runs on (pri, enc) exactly as `_traverse_frontier`,
+# with (source slot, heap position) riding the bitonic as an aux payload.
+# The one-hot data reconstruction costs ~budget^2 * 2^i selects per
+# sub-step, so big budgets keep the plain frontier path.
+_FK_MAX_BUDGET = 8
+
+
+def _bitonic_sort_kva(pri, enc, aux):
+    """:func:`bitonic_sort_kv` carrying one extra int32 payload operand
+    (moves with its (pri, enc) pair; live (pri, enc) keys are unique, so
+    payload order is well-defined)."""
+    m, b = pri.shape
+    assert m & (m - 1) == 0, f"M must be a power of two, got {m}"
+    idx = np.arange(m)
+    k = 2
+    while k <= m:
+        j = k // 2
+        while j >= 1:
+            shape = (m // (2 * j), 2, j, b)
+            p_o = jnp.flip(pri.reshape(shape), axis=1).reshape(m, b)
+            e_o = jnp.flip(enc.reshape(shape), axis=1).reshape(m, b)
+            a_o = jnp.flip(aux.reshape(shape), axis=1).reshape(m, b)
+            keep_min = ((idx & k) == 0) == (idx < (idx ^ j))
+            keep_min = jnp.asarray(keep_min[:, None])
+            other_is_min = (p_o < pri) | ((p_o == pri) & (e_o < enc))
+            p_min = jnp.where(other_is_min, p_o, pri)
+            e_min = jnp.where(other_is_min, e_o, enc)
+            a_min = jnp.where(other_is_min, a_o, aux)
+            p_max = jnp.where(other_is_min, pri, p_o)
+            e_max = jnp.where(other_is_min, enc, e_o)
+            a_max = jnp.where(other_is_min, aux, a_o)
+            pri = jnp.where(keep_min, p_min, p_max)
+            enc = jnp.where(keep_min, e_min, e_max)
+            aux = jnp.where(keep_min, a_min, a_max)
+            j //= 2
+        k *= 2
+    return pri, enc, aux
+
+
+def _fk_level_step(fenc, fpri, faux, t, lo, hi, lc, rc, proj, m, f,
+                   child_aux):
+    """One frontier level exactly as `_traverse_frontier`, with the data
+    already looked up and an aux payload tracking each entry's (source
+    slot, heap position).  ``child_aux(faux, right)`` computes the aux of
+    a descended child."""
+    is_seg = fenc >= 0
+    dl = jnp.abs(lo - proj)
+    dr = jnp.abs(hi - proj)
+    lt = proj < t
+    gt = proj > t
+    go_both = (lt & (dl > dr)) | (gt & (dl < dr))
+    go_left = lt | go_both
+    go_right = (~lt) | go_both
+    pl = jnp.minimum(fpri, dl)
+    pr = jnp.minimum(fpri, dr)
+    enc_l = jnp.where(is_seg, jnp.where(go_left, lc, INVALID_ENC), fenc)
+    pri_l = jnp.where(is_seg, jnp.where(go_left, pl, jnp.inf), fpri)
+    aux_l = jnp.where(is_seg, child_aux(faux, False), faux)
+    take_r = is_seg & go_right
+    enc_r = jnp.where(take_r, rc, INVALID_ENC)
+    pri_r = jnp.where(take_r, pr, jnp.inf)
+    aux_r = child_aux(faux, True)
+    enc2 = jnp.concatenate([enc_l, enc_r], axis=0)  # [2F, B]
+    pri2 = jnp.where(enc2 == INVALID_ENC,
+                     jnp.inf,
+                     jnp.concatenate([pri_l, pri_r], axis=0))
+    aux2 = jnp.concatenate([aux_l, aux_r], axis=0)
+    if m > 2 * f:
+        pad = ((0, m - 2 * f), (0, 0))
+        enc2 = jnp.pad(enc2, pad, constant_values=INVALID_ENC)
+        pri2 = jnp.pad(pri2, pad, constant_values=jnp.inf)
+        aux2 = jnp.pad(aux2, pad, constant_values=0)
+    pri_s, enc_s, aux_s = _bitonic_sort_kva(pri2, enc2, aux2)
+    return enc_s[:f, :], pri_s[:f, :], aux_s[:f, :]
+
+
+def _traverse_fk(plan, thr, mgl, mgh, projq, budget, tabs=None):
+    """Small-budget traversal over the superlevel tables: per block each
+    frontier slot gathers its subtree row once; the per-level frontier
+    semantics (4-case table, forks, compaction) are `_traverse_frontier`'s
+    exactly (pinned in test_traverse_fast.py)."""
+    b = projq.shape[0]
+    f = int(budget)
+    projq = projq.T  # [L, B]
+    blocks = _b1_blocks(plan)
+    if tabs is None:
+        tabs = build_b1_tables(plan, thr, mgl, mgh)
+    m = _next_pow2(2 * f)
+
+    fenc = jnp.full((f, b), INVALID_ENC, dtype=jnp.int32)
+    fpri = jnp.full((f, b), jnp.inf, dtype=jnp.float32)
+    faux = jnp.zeros((f, b), dtype=jnp.int32)
+    fenc = fenc.at[0, :].set(plan.root_enc)
+    fpri = fpri.at[0, :].set(VALID_PRIO_CAP)
+
+    no_aux = lambda aux, right: aux  # noqa: E731
+    bi = 0
+    l = 0
+    while l < plan.n_levels:
+        lp = plan.levels[l]
+        if bi < len(blocks) and blocks[bi].l0 == l:
+            blk, tab = blocks[bi], tabs[bi]
+            bi += 1
+            # one subtree-row gather per frontier slot for the whole block
+            rows = jnp.take(tab, jnp.clip(fenc, 0, blk.s0 - 1).reshape(-1),
+                            axis=0).reshape(f, b, -1, 5)  # [F, B, P-1, 5]
+            # aux = src * 2^kd + heap position (src: which fetched row)
+            pw = 1 << blk.kd
+            faux = jnp.broadcast_to(
+                jnp.arange(f, dtype=jnp.int32)[:, None] * pw + 1, (f, b))
+            # child aux: src field unchanged, pos -> 2*pos + right (the
+            # final sub-step may carry pos past the field width; it is
+            # never read -- the next block regenerates faux)
+            child = lambda aux, right: (aux & ~(pw - 1)) + 2 * (  # noqa: E731
+                aux & (pw - 1)) + (1 if right else 0)
+            for i in range(blk.kd):
+                w = 1 << i
+                sub = rows[:, :, w - 1 : 2 * w - 1, :]   # [F', B, 2^i, 5]
+                src = faux // pw
+                pos = faux & (pw - 1)
+                oh = ((src[:, :, None, None]
+                       == jnp.arange(f, dtype=jnp.int32)[None, None, :,
+                                                         None])
+                      & (pos[:, :, None, None]
+                         == jnp.arange(w, 2 * w,
+                                       dtype=jnp.int32)[None, None, None,
+                                                        :]))
+                # [F, B, F', 2^i] x [F', B, 2^i, 5] -> [F, B, 5]
+                vals = jnp.sum(
+                    jnp.where(oh[..., None],
+                              jnp.transpose(sub, (1, 0, 2, 3))[None, ...],
+                              0.0),
+                    axis=(2, 3))
+                vc = vals[..., 3:5].astype(jnp.int32)
+                fenc, fpri, faux = _fk_level_step(
+                    fenc, fpri, faux, vals[..., 0], vals[..., 1],
+                    vals[..., 2], vc[..., 0], vc[..., 1],
+                    projq[l + i][None, :], m, f, child)
+            l += blk.kd
+        else:
+            seg = jnp.clip(fenc, 0, lp.n_segs - 1)
+            t, lo, hi, lc, rc = _lookup_level(
+                thr[l][: lp.n_segs], mgl[l][: lp.n_segs],
+                mgh[l][: lp.n_segs], jnp.asarray(lp.child_enc), seg)
+            fenc, fpri, faux = _fk_level_step(
+                fenc, fpri, faux, t, lo, hi, lc, rc, projq[l][None, :],
+                m, f, no_aux)
+            l += 1
+
+    leaf_ids = jnp.where(fenc == INVALID_ENC, -1, -(fenc + 1))
+    return leaf_ids.T, fpri.T
 
 
 def _traverse_b1(plan, thr, mgl, mgh, projq, tabs=None):

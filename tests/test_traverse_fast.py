@@ -107,3 +107,41 @@ def test_b1_fork_tiebreak():
                                 arrays.mgh[0], projq, 1)
     np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(ref[1]))
+
+
+@pytest.mark.parametrize("budget", [2, 3, 4, 8])
+@pytest.mark.parametrize("n,d,ml,md", [CASES[1], CASES[2], CASES[4]])
+def test_fk_matches_frontier(n, d, ml, md, budget):
+    """Small-budget superlevel traversal == generic frontier, exactly."""
+    f, rng = _build(n, d, ml, md, seed=n + budget)
+    plan, arrays = f.plan, f.arrays
+    q = jnp.asarray(rng.normal(size=(29, d)).astype(np.float32))
+    projq = jnp.einsum("bd,ld->bl", q, arrays.r[0, : plan.n_levels, :])
+    fast = tv.traverse_tree(plan, arrays.thr[0], arrays.mgl[0],
+                            arrays.mgh[0], projq, budget)
+    ref = tv._traverse_frontier(plan, arrays.thr[0], arrays.mgl[0],
+                                arrays.mgh[0], projq, budget)
+    np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(ref[1]))
+
+
+def test_fk_prebuilt_tables_and_ties():
+    f, _ = _build(1500, 2, 2, 14, seed=11)
+    plan, arrays = f.plan, f.arrays
+    thr0 = np.asarray(arrays.thr[0])
+    b = 48
+    rng = np.random.default_rng(5)
+    projq = np.zeros((b, plan.n_levels), np.float32)
+    for l in range(plan.n_levels):
+        ns = plan.levels[l].n_segs
+        projq[:, l] = rng.choice(thr0[l, :ns], size=b)  # exact threshold hits
+    projq = jnp.asarray(projq)
+    tabs = tv.build_b1_tables(plan, arrays.thr[0], arrays.mgl[0],
+                              arrays.mgh[0])
+    for budget in (2, 4):
+        a = tv.traverse_tree(plan, arrays.thr[0], arrays.mgl[0],
+                             arrays.mgh[0], projq, budget, tabs=tabs)
+        r = tv._traverse_frontier(plan, arrays.thr[0], arrays.mgl[0],
+                                  arrays.mgh[0], projq, budget)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(r[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(r[1]))
