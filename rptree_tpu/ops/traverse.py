@@ -159,6 +159,7 @@ def traverse_tree(
     projq: jax.Array,
     budget: int,
     tabs=None,
+    toff=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Traverse one tree with a batch of queries.
 
@@ -168,18 +169,26 @@ def traverse_tree(
         ``l`` uses entries ``[0, n_segs_l)``; the padded tail is unread).
       projq: ``f32[B, L]`` query projections (``q . r_l`` per level).
       budget: frontier width F (>= 1).  ``F >= plan.n_leaves`` is exact.
-      tabs: optional prebuilt :func:`build_b1_tables` output (budget=1
-        only); pass it when traversing inside a ``lax.map`` chunk loop so
-        the superlevel tables hoist out of the loop as closure constants.
+      tabs: optional prebuilt :func:`build_b1_tables` output; pass it
+        when traversing inside a ``lax.map`` chunk loop so the superlevel
+        tables hoist out of the loop as closure constants.  May hold the
+        FLAT all-tree layout (``[T * S0, ...]`` rows) -- then ``toff``
+        (scalar tree index) selects this tree's span.  Gathers through a
+        vmap-batched table pay ~4x per index vs the flat form (measured:
+        5.6 vs 1.4 ns at the iid traversal shapes), which is why the
+        forest-level callers always pass flat tables.
+      toff: scalar tree index into flat ``tabs`` (None = tables are
+        per-tree).
 
     Returns:
       ``(leaf_ids int32[B, F]`` with ``-1`` for empty slots,
       ``prio f32[B, F]`` -- the reference's ``candidatesH`` margin priority).
     """
     if int(budget) == 1:
-        return _traverse_b1(plan, thr, mgl, mgh, projq, tabs)
+        return _traverse_b1(plan, thr, mgl, mgh, projq, tabs, toff)
     if 2 <= int(budget) <= _FK_MAX_BUDGET and _b1_blocks(plan):
-        return _traverse_fk(plan, thr, mgl, mgh, projq, int(budget), tabs)
+        return _traverse_fk(plan, thr, mgl, mgh, projq, int(budget), tabs,
+                            toff)
     return _traverse_frontier(plan, thr, mgl, mgh, projq, budget)
 
 
@@ -469,7 +478,8 @@ def _fk_level_step(fenc, fpri, faux, t, lo, hi, lc, rc, proj, m, f,
     return enc_s[:f, :], pri_s[:f, :], aux_s[:f, :]
 
 
-def _traverse_fk(plan, thr, mgl, mgh, projq, budget, tabs=None):
+def _traverse_fk(plan, thr, mgl, mgh, projq, budget, tabs=None,
+                 toff=None):
     """Small-budget traversal over the superlevel tables: per block each
     frontier slot gathers its subtree row once; the per-level frontier
     semantics (4-case table, forks, compaction) are `_traverse_frontier`'s
@@ -480,6 +490,7 @@ def _traverse_fk(plan, thr, mgl, mgh, projq, budget, tabs=None):
     blocks = _b1_blocks(plan)
     if tabs is None:
         tabs = build_b1_tables(plan, thr, mgl, mgh)
+        toff = None
     m = _next_pow2(2 * f)
 
     fenc = jnp.full((f, b), INVALID_ENC, dtype=jnp.int32)
@@ -497,7 +508,10 @@ def _traverse_fk(plan, thr, mgl, mgh, projq, budget, tabs=None):
             blk, tab = blocks[bi], tabs[bi]
             bi += 1
             # one subtree-row gather per frontier slot for the whole block
-            rows = jnp.take(tab, jnp.clip(fenc, 0, blk.s0 - 1).reshape(-1),
+            ix = jnp.clip(fenc, 0, blk.s0 - 1)
+            if toff is not None:
+                ix = ix + toff * blk.s0
+            rows = jnp.take(tab, ix.reshape(-1),
                             axis=0).reshape(f, b, -1, 5)  # [F, B, P-1, 5]
             # aux = src * 2^kd + heap position (src: which fetched row)
             pw = 1 << blk.kd
@@ -546,7 +560,7 @@ def _traverse_fk(plan, thr, mgl, mgh, projq, budget, tabs=None):
     return leaf_ids.T, fpri.T
 
 
-def _traverse_b1(plan, thr, mgl, mgh, projq, tabs=None):
+def _traverse_b1(plan, thr, mgl, mgh, projq, tabs=None, toff=None):
     """Budget=1 traversal: shallow levels via the one-hot lookup, deep
     levels via superlevel subtree rows (one gather per block)."""
     b = projq.shape[0]
@@ -554,6 +568,7 @@ def _traverse_b1(plan, thr, mgl, mgh, projq, tabs=None):
     blocks = _b1_blocks(plan)
     if tabs is None:
         tabs = build_b1_tables(plan, thr, mgl, mgh)
+        toff = None
     enc = jnp.full((b,), plan.root_enc, dtype=jnp.int32)
     pri = jnp.full((b,), VALID_PRIO_CAP, dtype=jnp.float32)
     bi = 0
@@ -563,7 +578,10 @@ def _traverse_b1(plan, thr, mgl, mgh, projq, tabs=None):
         if bi < len(blocks) and blocks[bi].l0 == l:
             blk, tab = blocks[bi], tabs[bi]
             bi += 1
-            row_f = jnp.take(tab, jnp.clip(enc, 0, blk.s0 - 1), axis=0)
+            ix = jnp.clip(enc, 0, blk.s0 - 1)
+            if toff is not None:
+                ix = ix + toff * blk.s0
+            row_f = jnp.take(tab, ix, axis=0)
             pos = jnp.ones((b,), dtype=jnp.int32)
             for i in range(blk.kd):
                 w = 1 << i
