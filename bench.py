@@ -66,29 +66,38 @@ def main():
 
     # serving-path layout: int8 leaf blocks (per-leaf scales, exact stored
     # norms, int32 MXU accumulation) -- halves the block-fetch bandwidth
-    # vs bf16 (measured: 596k vs 386k QPS device-side at this config) at
-    # identical recall@10 (0.1232 both).  The reference algorithm itself
-    # runs in f64; precision knobs are part of the speed/quality surface,
-    # not hidden, and recall is reported below and must beat the
-    # baseline's.
-    f.pack_leaves(dtype=jnp.int8)
+    # vs bf16 at identical recall@10, and the GROUPED int8 tile kernel
+    # (int8 x int8 -> int32 MXU dots dequantized against exact stored
+    # norms) beats the per-pair int8 path 600k vs 448k QPS device-side at
+    # this config (BASELINE.md round-4 continuation; id-overlap 1.0,
+    # identical recall).  slack=8 lands the slot axis on the int8 sublane
+    # tile (56 -> 64) the kernel needs; the slack slots are ordinary
+    # maskable padding.  The reference algorithm itself runs in f64;
+    # precision knobs are part of the speed/quality surface, not hidden,
+    # and recall is reported below and must beat the baseline's.
+    f.pack_leaves(dtype=jnp.int8, slack=8)
 
     qd = jnp.asarray(q)
+    GCH = 32768  # grouped serving chunk (per-chunk tiles ~14k at iid)
 
-    def sweep():
-        # one-dispatch batched query (lax.map over chunks): peak rerank
-        # memory stays per-chunk, the host pays one dispatch per sweep
-        return f.knn_batched(qd, K, budget=BUDGET, probes=PROBES,
-                             precision="default", chunk=CHUNK)
+    def sweep(check=True):
+        # one-dispatch grouped batch (lax.map over chunks): queries
+        # probing the same leaf block share one fetch + one MXU matmul;
+        # check=False is the steady-state mode (capacity cached by the
+        # warm-up call)
+        return f.knn_grouped(qd, K, budget=BUDGET, probes=PROBES,
+                             precision="default", tile_m=8, chunk=GCH,
+                             check=check)
 
     def sweep_timed():
         # single scalar fetch at the end: one host round-trip times the
         # whole batch (per-chunk fetches through the tunneled TPU backend
         # would serialize ~25ms of RTT each into the measurement)
-        _, ids = sweep()
+        _, ids = sweep(check=False)
         return int(jnp.sum(jnp.clip(ids, 0, None)))
 
-    sweep_timed()  # compile + warm
+    np.asarray(sweep(check=True)[1][:8])  # capacity + compile + warm
+    sweep_timed()  # warm the timed expression too
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
@@ -102,23 +111,26 @@ def main():
     # are passed as ARGUMENTS (closing over them embeds GBs of constants
     # in the lowered program and stalls the remote compiler for many
     # minutes; CLAUDE.md)
-    from rptree_tpu.models.forest import _knn_packed_many
+    from rptree_tpu.models.forest import _knn_grouped
     from rptree_tpu.utils.profiling import device_time
 
     xl_b, sl_b, il_b = f._packed
     sc_b = f._block_scale
+    lens_b = f._lens_global()
+    ntb = f._grouped_nt[(B, PROBES, 8, 1, GCH)]
 
-    def dev_step(qx, xl, sl, il, sc):
-        return _knn_packed_many(f.plan, f.arrays, xl, sl, il, qx, K,
-                                BUDGET, PROBES, "l2", True, "default",
-                                False, 1, sc, None, CHUNK)[0]
+    def dev_step(qx, xl, sl, il, ln, sc):
+        return _knn_grouped(f.plan, f.arrays, xl, sl, il, ln, qx, K,
+                            BUDGET, PROBES, "l2", True, "default", 8,
+                            ntb, 2048, block_scale=sc)[0]
 
-    qps_device = B / max(
-        device_time(dev_step, qd, xl_b, sl_b, il_b, sc_b, reps=5), 1e-9)
+    qps_device = GCH / max(
+        device_time(dev_step, qd[:GCH], xl_b, sl_b, il_b, lens_b, sc_b,
+                    reps=5), 1e-9)
 
     # quality: recall@10 of the returned neighbours vs exact top-k
     # (on the first BR queries -- ample for a stable recall statistic)
-    got = np.asarray(sweep()[1])[:BR]
+    got = np.asarray(sweep(check=False)[1])[:BR]
     exact = np.concatenate([
         np.asarray(f.brute_force_knn(qd[s:s + CHUNK], K)[1])
         for s in range(0, BR, CHUNK)
@@ -465,6 +477,7 @@ def main():
         "value": round(qps, 1),
         "unit": "queries/s",
         "qps_device": round(qps_device, 1),
+        "headline_serving_path": "knn_grouped int8 tile kernel",
         "vs_baseline": round(qps / ref_qps, 1),
         "recall_at_10": round(recall, 4),
         "baseline_recall_at_10": round(float(np.mean(ref_recalls)), 4),

@@ -679,23 +679,32 @@ def _knn_h_ids(plan, arrays, q, k, budget):
 
 
 def _grouped_use_kernel(impl, x_leaf, metric, block_scale, block_center):
-    """Trace-time gate for the fused grouped tile kernel: dense f32/bf16
-    blocks (no int8 scales/centers), builtin l2/sql2, TPU backend.
-    ``impl``: "auto" (kernel when eligible -- it measured 499k -> ~670k
-    device QPS at the 1M clustered flagship), "xla", or "kernel"
-    (raise if ineligible)."""
+    """Trace-time gate for the fused grouped tile kernel: dense
+    f32/bf16/int8 blocks (slot axis on the dtype's sublane tile:
+    8/16/32 rows -- the measured 8-row pack policy may need
+    ``pack_leaves(slack=...)`` to land there for bf16/int8), no centered
+    residuals, builtin l2/sql2, TPU backend.  ``impl``: "auto" (kernel
+    when eligible -- it measured 499k -> ~670k device QPS at the 1M
+    clustered flagship), "xla", "kernel"/"kernel_full" (raise if
+    ineligible), or "kernel_topk" (fused per-pair top-k', f32/bf16)."""
     if impl == "xla":
         return False
     from ..ops.grouped_kernel import grouped_kernel_ok
 
-    ok = (block_scale is None and block_center is None
+    # int8 blocks carry a per-block scale (the kernel dequantizes it
+    # against exact stored norms); centered residual blocks keep XLA
+    ok = ((block_scale is None
+           or getattr(x_leaf, "dtype", None) == jnp.int8)
+          and block_center is None
           and not callable(metric)
           and grouped_kernel_ok(x_leaf, metric)
           and jax.default_backend() == "tpu")
     if impl in ("kernel", "kernel_full", "kernel_topk") and not ok:
         raise ValueError(
-            "impl='kernel' needs dense f32/bf16 blocks, l2/sql2, and a "
-            "TPU backend; use impl='auto' to fall back silently")
+            "impl='kernel' needs dense f32/bf16/int8 blocks with a "
+            "sublane-tiled slot axis (8/16/32 rows by dtype; repack with "
+            "pack_leaves(slack=...) to align), l2/sql2, and a TPU "
+            "backend; use impl='auto' to fall back silently")
     return ok
 
 
@@ -748,7 +757,8 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
         # approx selection knob the full width; both raise here.
         kp = -(-max(int(k), 8) // 8) * 8
         if (impl == "kernel_topk" and min_votes == 1
-                and selection == "sort" and 2 * kp <= lmax):
+                and selection == "sort" and 2 * kp <= lmax
+                and x_leaf.dtype != jnp.int8):
             d_t, i_t, needed = grouped_topk_kernel(
                 x_leaf, sq_leaf, id_leaf, lens_global, gsel, lsel, q,
                 metric, _prec(precision), tile_m, nt, kp)
@@ -758,7 +768,7 @@ def _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global, q, k,
             return d_out, i_out, needed
         d, needed = grouped_distances_kernel(
             x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,
-            _prec(precision), tile_m, nt)
+            _prec(precision), tile_m, nt, block_scale=block_scale)
     else:
         d, needed = grouped_distances(
             x_leaf, sq_leaf, lens_global, gsel, lsel, q, metric,

@@ -289,7 +289,8 @@ def grouped_topk_kernel(x_leaf, sq_leaf, id_leaf, lens_of_block, gsel,
 
 def grouped_distances_kernel(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
                              metric, precision, tile_m: int, nt: int,
-                             tc_k: int = 16, row_of=None):
+                             tc_k: int = 16, row_of=None,
+                             block_scale=None):
     """Same contract as :func:`grouped_distances`, with the tile scoring
     in the fused Pallas kernel (:mod:`.grouped_kernel`) and the pair
     reorder as an inverse-permutation ROW GATHER instead of the row
@@ -315,10 +316,17 @@ def grouped_distances_kernel(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
     lens_t = jnp.take(lens_of_block, tb)
     qi = jnp.where(tp >= 0, tp // p, 0).reshape(-1)
     qt = jnp.take(q, qi, axis=0)  # [nt * tile_m, D] in tile-slot order
-    prec = (lax.Precision.HIGHEST if x_leaf.dtype == jnp.float32
-            else None)
-    d_all = grouped_score_tiles(x_leaf, sq_leaf, rows_of, lens_t, qt,
-                                metric, tile_m, tc_k, precision=prec)
+    if x_leaf.dtype == jnp.int8:
+        from .grouped_kernel import grouped_score_tiles_int8
+
+        d_all = grouped_score_tiles_int8(x_leaf, sq_leaf, block_scale,
+                                         rows_of, lens_t, qt, metric,
+                                         tile_m, tc_k)
+    else:
+        prec = (lax.Precision.HIGHEST if x_leaf.dtype == jnp.float32
+                else None)
+        d_all = grouped_score_tiles(x_leaf, sq_leaf, rows_of, lens_t, qt,
+                                    metric, tile_m, tc_k, precision=prec)
     # pair reorder: empty tile slots (tp == -1) map nowhere; pairs not in
     # any tile (capacity overflow / masked probes) read the +inf pad row
     dest = jnp.where(tp >= 0, tp, e).reshape(-1)

@@ -15,8 +15,8 @@ assembly + occupancy masking run in VMEM.  Output rows for empty tile
 slots are junk by construction -- the caller's pair reorder never reads
 them (their ``tile_pair`` entry is -1).
 
-Dense f32/bf16 blocks, ``l2``/``sql2`` only; other layouts/metrics keep
-the XLA path.  Reference analogue: the rerank fold of ``knn``
+Dense f32/bf16/int8 blocks, ``l2``/``sql2`` only; other layouts/metrics
+keep the XLA path.  Reference analogue: the rerank fold of ``knn``
 (``src/Data/RPTree.hs:159-176``); the tiling is TPU-native restructuring
 with no reference counterpart.
 """
@@ -34,14 +34,15 @@ try:  # pallas TPU backend (absent on some CPU-only installs)
 except Exception:  # pragma: no cover
     pltpu = None
 
-__all__ = ["grouped_score_tiles", "grouped_score_topk",
-           "grouped_kernel_ok"]
+__all__ = ["grouped_score_tiles", "grouped_score_tiles_int8",
+           "grouped_score_topk", "grouped_kernel_ok"]
 
 
 def grouped_kernel_ok(x_leaf, metric, precision=None) -> bool:
-    """Shape/metric gate: dense f32/bf16 blocks, sublane-tiled slot axis,
-    l2/sql2.  (The lane axis D need not be 128-aligned -- measured fine at
-    D=64 -- but the slot axis must match the dtype's sublane tile.)"""
+    """Shape/metric gate: dense f32/bf16/int8 blocks, sublane-tiled slot
+    axis, l2/sql2.  (The lane axis D need not be 128-aligned -- measured
+    fine at D=64 -- but the slot axis must match the dtype's sublane
+    tile.)"""
     if metric not in ("l2", "sql2"):
         return False
     if not (hasattr(x_leaf, "ndim") and getattr(x_leaf, "ndim", 0) == 3):
@@ -50,6 +51,8 @@ def grouped_kernel_ok(x_leaf, metric, precision=None) -> bool:
         return x_leaf.shape[1] % 8 == 0
     if x_leaf.dtype == jnp.bfloat16:
         return x_leaf.shape[1] % 16 == 0
+    if x_leaf.dtype == jnp.int8:
+        return x_leaf.shape[1] % 32 == 0
     return False
 
 
@@ -132,6 +135,93 @@ def grouped_score_tiles(x_leaf, sq_leaf, tb, lens_t, qt, metric, tile_m,
     )(tb.astype(jnp.int32),
       *([x_leaf] * tc_k), *([sq_leaf[:, None, :]] * tc_k),
       lens_t.astype(jnp.int32).reshape(nt // tc_k, 1, tc_k), qt)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "tile_m", "tc_k", "interpret"),
+)
+def grouped_score_tiles_int8(x_leaf, sq_leaf, scale, tb, lens_t, qt,
+                             metric, tile_m, tc_k, interpret=False):
+    """:func:`grouped_score_tiles` for int8-quantized blocks: query rows
+    are symmetrically int8-quantized per row (the per-pair scorer's
+    contract, `ops/grouped._quantize_rows`), the tile matmul runs int8 x
+    int8 -> int32 on the MXU, and the factored-L2 assembly dequantizes
+    with the block scale x the per-row query scale against the EXACT
+    stored slot norms and true f32 query norms -- bit-comparable to the
+    XLA int8 grouped path by construction.  ``scale: f32[G]`` per-block
+    quantization scales.
+    """
+    from .grouped import _quantize_rows
+
+    g, lmax, d = x_leaf.shape
+    nt = tb.shape[0]
+    assert nt % tc_k == 0, (nt, tc_k)
+    q_i8, qscale = _quantize_rows(qt)       # [nt*m, D] int8, [nt*m, 1]
+    sqq = jnp.sum(qt * qt, axis=1, keepdims=True)   # true norms [nt*m, 1]
+    scale_t = jnp.take(scale, tb)                   # [nt]
+
+    def kern(tb_ref, *refs):
+        x_refs = refs[:tc_k]
+        s_refs = refs[tc_k:2 * tc_k]
+        lens_ref = refs[2 * tc_k]
+        scale_ref = refs[2 * tc_k + 1]
+        q_ref = refs[2 * tc_k + 2]
+        qs_ref = refs[2 * tc_k + 3]
+        qq_ref = refs[2 * tc_k + 4]
+        out_ref = refs[2 * tc_k + 5]
+        for j in range(tc_k):
+            xb = x_refs[j][0]                            # [lmax, D] i8
+            qm = q_ref[j * tile_m:(j + 1) * tile_m, :]   # [m, D] i8
+            dots = jax.lax.dot_general(
+                qm, xb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)        # [m, lmax]
+            sc = scale_ref[0, 0, j]
+            qs = qs_ref[j * tile_m:(j + 1) * tile_m, :]  # [m, 1]
+            dotsf = dots.astype(jnp.float32) * (sc * qs)
+            sq = s_refs[j][0, 0][None, :]
+            qq = qq_ref[j * tile_m:(j + 1) * tile_m, :]
+            dd = jnp.maximum(sq - 2.0 * dotsf + qq, 0.0)
+            if metric == "l2":
+                dd = jnp.sqrt(dd)
+            ln = lens_ref[0, 0, j]
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, lmax), 1)
+            out_ref[j * tile_m:(j + 1) * tile_m, :] = jnp.where(
+                col < ln, dd, jnp.inf)
+
+    def x_map(j):
+        return lambda i, tb_ref: (tb_ref[i * tc_k + j], 0, 0)
+
+    nc = nt // tc_k
+    in_specs = (
+        [pl.BlockSpec((1, lmax, d), x_map(j)) for j in range(tc_k)]
+        + [pl.BlockSpec((1, 1, lmax), x_map(j)) for j in range(tc_k)]
+        + [pl.BlockSpec((1, 1, tc_k), lambda i, tb_ref: (i, 0, 0))]
+        + [pl.BlockSpec((1, 1, tc_k), lambda i, tb_ref: (i, 0, 0))]
+        + [pl.BlockSpec((tc_k * tile_m, d), lambda i, tb_ref: (i, 0))]
+        + [pl.BlockSpec((tc_k * tile_m, 1), lambda i, tb_ref: (i, 0))]
+        + [pl.BlockSpec((tc_k * tile_m, 1), lambda i, tb_ref: (i, 0))]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tc_k * tile_m, lmax),
+                         lambda i, tb_ref: (i, 0)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nt * tile_m, lmax), jnp.float32)],
+        interpret=interpret,
+    )(tb.astype(jnp.int32),
+      *([x_leaf] * tc_k), *([sq_leaf[:, None, :]] * tc_k),
+      lens_t.astype(jnp.int32).reshape(nc, 1, tc_k),
+      scale_t.astype(jnp.float32).reshape(nc, 1, tc_k),
+      q_i8, qscale, sqq)
     return out
 
 

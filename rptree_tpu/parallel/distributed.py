@@ -362,7 +362,8 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
             use_kernel = _grouped_use_kernel(impl_, x_leaf_l, metric,
                                              scale_l, bc_l)
             if (use_kernel and min_votes == 1 and impl_ == "kernel_topk"
-                    and 2 * kp <= x_leaf_l.shape[-2]):
+                    and 2 * kp <= x_leaf_l.shape[-2]
+                    and x_leaf_l.dtype != jnp.int8):
                 # per-pair top-k' with ids straight off the tile DMA
                 # (same exactness argument as the single-device path)
                 d_t, i_t, needed_l = grouped_topk_kernel(
@@ -375,7 +376,8 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                 if use_kernel:
                     d_g, needed_l = grouped_distances_kernel(
                         x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l,
-                        metric, _prec(precision), tm_, nt_)
+                        metric, _prec(precision), tm_, nt_,
+                        block_scale=scale_l)
                 else:
                     d_g, needed_l = grouped_distances(
                         x_leaf_l, sq_leaf_l, lens_rows, rows, l_s, q_l,

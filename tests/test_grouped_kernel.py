@@ -152,3 +152,43 @@ def test_grouped_score_topk_duplicates_and_empty():
     np.testing.assert_array_equal(oi[0], np.arange(8))
     # tile 2 (lens 0): all masked
     assert np.isinf(od[2 * tile_m]).all()
+
+
+@pytest.mark.parametrize("metric", ["l2", "sql2"])
+def test_grouped_score_tiles_int8_interpret(metric):
+    """int8 kernel == the XLA int8 grouped contract (quantized dots x
+    block scale x per-row query scale against exact stored norms)."""
+    from rptree_tpu.ops.grouped_kernel import grouped_score_tiles_int8
+
+    rng = np.random.default_rng(3)
+    g, lmax, d = 12, 32, 64
+    tile_m, tc_k, nt = 4, 8, 32
+    xf = rng.normal(size=(g, lmax, d)).astype(np.float32)
+    sq = (xf * xf).sum(-1).astype(np.float32)
+    scale = (np.abs(xf).max(axis=(1, 2)) / 127.0).astype(np.float32)
+    xi = np.clip(np.round(xf / scale[:, None, None]), -127, 127).astype(np.int8)
+    tb = rng.integers(0, g, size=nt).astype(np.int32)
+    lens_t = rng.integers(1, lmax + 1, size=nt).astype(np.int32)
+    qt = rng.normal(size=(nt * tile_m, d)).astype(np.float32)
+    out = grouped_score_tiles_int8(
+        jnp.asarray(xi), jnp.asarray(sq), jnp.asarray(scale),
+        jnp.asarray(tb), jnp.asarray(lens_t), jnp.asarray(qt), metric,
+        tile_m, tc_k, interpret=True)
+    # numpy re-execution of the quantized contract
+    amax = np.maximum(np.abs(qt).max(axis=1, keepdims=True), 1e-30)
+    qsc = amax / 127.0
+    qi = np.clip(np.round(qt / qsc), -127, 127).astype(np.int8)
+    ref = np.full((nt * tile_m, lmax), np.inf, np.float32)
+    for i in range(nt):
+        blk = xi[tb[i]].astype(np.int32)
+        for m in range(tile_m):
+            r = i * tile_m + m
+            dots = (blk @ qi[r].astype(np.int32)).astype(np.float64)
+            dots = dots * scale[tb[i]] * qsc[r, 0]
+            dd = np.maximum(sq[tb[i]] - 2.0 * dots + float(qt[r] @ qt[r]),
+                            0.0)
+            if metric == "l2":
+                dd = np.sqrt(dd)
+            ref[r] = np.where(np.arange(lmax) < lens_t[i], dd,
+                              np.inf).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
