@@ -111,7 +111,7 @@ def main():
     # are passed as ARGUMENTS (closing over them embeds GBs of constants
     # in the lowered program and stalls the remote compiler for many
     # minutes; CLAUDE.md)
-    from rptree_tpu.models.forest import _knn_grouped
+    from rptree_tpu.models.forest import _knn_grouped, _knn_packed_many
     from rptree_tpu.utils.profiling import device_time
 
     xl_b, sl_b, il_b = f._packed
