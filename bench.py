@@ -34,11 +34,13 @@ def main():
     #                this is recall-equivalent to the reference's unbounded
     #                descent (verified: equal recall at budget 4..32)
     PROBES = 12    # leaf buckets reranked per query (live leaves ~T+forks)
-    B = 131072     # total query batch (throughput measurement): the wall
+    B = 262144     # total query batch (throughput measurement): the wall
     #                is dispatch-RPC-bound (~40ms of host work per call
     #                through the tunnel, pipelining does not help --
     #                examples/serving_loop.py), so serve a giant batch as
-    #                chunks inside ONE dispatch
+    #                chunks inside ONE dispatch (B=262144 measured 540.6k
+    #                vs 131072's 520.6k wall; chunk=65536 LOSES at iid --
+    #                486k -- group density is already fetch-light on int8)
     BR = 32768     # recall-probe prefix (plenty for a stable recall@10)
     CHUNK = 4096   # queries per device call (bounds rerank memory ~1.2GB)
     SEED = 20260816
@@ -84,10 +86,14 @@ def main():
         # one-dispatch grouped batch (lax.map over chunks): queries
         # probing the same leaf block share one fetch + one MXU matmul;
         # check=False is the steady-state mode (capacity cached by the
-        # warm-up call)
+        # warm-up call).  selection="kernel" is the fused streaming
+        # top-k tail (ops/topk_kernel): one VMEM pass extracts the k
+        # smallest distinct ids instead of the ~55-pass payload sort --
+        # sort 57.9 -> kernel 44.7 ms per 32768q at this config, ids
+        # verified equal on device (BASELINE.md round-4 continuation)
         return f.knn_grouped(qd, K, budget=BUDGET, probes=PROBES,
                              precision="default", tile_m=8, chunk=GCH,
-                             check=check)
+                             check=check, selection="kernel")
 
     def sweep_timed():
         # single scalar fetch at the end: one host round-trip times the
@@ -122,7 +128,8 @@ def main():
     def dev_step(qx, xl, sl, il, ln, sc):
         return _knn_grouped(f.plan, f.arrays, xl, sl, il, ln, qx, K,
                             BUDGET, PROBES, "l2", True, "default", 8,
-                            ntb, 2048, block_scale=sc)[0]
+                            ntb, 2048, block_scale=sc,
+                            selection="kernel")[0]
 
     qps_device = GCH / max(
         device_time(dev_step, qd[:GCH], xl_b, sl_b, il_b, lens_b, sc_b,
@@ -253,16 +260,17 @@ def main():
     # @ 0.929 (vs scan 40.2k @ 0.899); ml=256 -> 52.1k @ 0.975
     NC, CC, SIGC = 1_000_000, 4_000, 0.15
     MLC, TC, BC, PC = 128, 8, 1, 8
-    BCQ = 131072  # giant serving batch: the wall is DISPATCH-bound (~40ms
+    BCQ = 262144  # giant serving batch: the wall is DISPATCH-bound (~40ms
     #               of host RPC per call through the tunnel; pipelining
     #               does not help -- examples/serving_loop.py), so the
     #               batch runs as lax.map chunks of CHC inside ONE
     #               dispatch.  Measured wall: 351k (B=32k) -> 541k
-    #               (B=131k, chunk=32k) -> 624k (chunk=64k).  64k chunks
-    #               double the per-chunk probe-group density (halving
-    #               block-fetch bytes per query) and fit the kernel's
-    #               SMEM tile table since lens_t moved to a VMEM block
-    #               (BASELINE.md round-4 continuation).
+    #               (B=131k, chunk=32k) -> 624k (chunk=64k) -> 708k
+    #               (B=262k, chunk=64k).  64k chunks double the per-chunk
+    #               probe-group density (halving block-fetch bytes per
+    #               query) and fit the kernel's SMEM tile table since
+    #               lens_t moved to a VMEM block (BASELINE.md round-4
+    #               continuation).
     CHC = 65536
 
     @jax.jit
@@ -339,9 +347,14 @@ def main():
             # timed loop passes check=False (steady-state serving mode),
             # skipping the per-batch capacity fetch -- a full host RTT
             # (~25ms) through the tunnel that is dispatch, not engine
+            # selection="kernel": fused streaming top-k tail -- device
+            # 82.8 -> 54.7 ms per 65536q chunk (791k -> 1.20M QPS), wall
+            # 703k -> 1.00M QPS at B=262144; ids set-equal, distances
+            # bit-equal (BASELINE.md round-4 continuation)
             _, ids = fc.knn_grouped(qc, K, budget=BC, probes=PC,
                                     precision="default", tile_m=8,
-                                    chunk=CHC, check=check)
+                                    chunk=CHC, check=check,
+                                    selection="kernel")
             return ids
 
         ids_g = np.asarray(sweep_c()[:1024])  # capacity + compile + warm
@@ -374,7 +387,7 @@ def main():
     def dev_step_c(qx, xl, sl, il, ln):
         return _knn_grouped(fc.plan, fc.arrays, xl, sl, il, ln, qx, K,
                             BC, PC, "l2", True, "default", 8, ntc,
-                            2048)[0]
+                            2048, selection="kernel")[0]
 
     tree_qps_c_device = CHC / max(
         device_time(dev_step_c, qc_dev, xl_c, sl_c, il_c, lens_c,
@@ -477,7 +490,8 @@ def main():
         "value": round(qps, 1),
         "unit": "queries/s",
         "qps_device": round(qps_device, 1),
-        "headline_serving_path": "knn_grouped int8 tile kernel",
+        "headline_serving_path": "knn_grouped int8 tile kernel + "
+                                 "fused top-k tail",
         "vs_baseline": round(qps / ref_qps, 1),
         "recall_at_10": round(recall, 4),
         "baseline_recall_at_10": round(float(np.mean(ref_recalls)), 4),
@@ -501,7 +515,8 @@ def main():
         "tree_qps_at_target": round(tree_qps_c, 1),
         "tree_qps_device": round(tree_qps_c_device, 1),
         "tree_recall_at_target": round(tree_recall_c, 4),
-        "tree_serving_path": "knn_grouped",  # block-resident MXU rerank
+        # block-resident MXU rerank + fused streaming top-k tail
+        "tree_serving_path": "knn_grouped + fused top-k tail",
         "tree_qps_perpair": round(tree_qps_c_pp, 1),
         "tree_qps_perpair_device": round(tree_qps_c_pp_device, 1),
         "clustered_scan_qps": round(scan_qps_c, 1),

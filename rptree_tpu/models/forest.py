@@ -468,6 +468,24 @@ def _selection_tail_ids(d, ids_flat, k, kk, dedup, min_votes=1,
     them straight from the tile DMA)."""
     w = d.shape[1]
     kk = min(kk, w)
+    if selection == "kernel" and min_votes == 1:
+        # fused streaming top-k extraction (ops/topk_kernel): k serial
+        # (min, first-position, mask-by-id) passes over VMEM-resident
+        # [bm, W] blocks -- one HBM read of the candidate state instead
+        # of the payload sort's ~55 compare-exchange passes, and the
+        # duplicate-id masking makes the k*n_trees overselect + id-sort
+        # dedup unnecessary.  Tie/duplicate semantics match the sort
+        # tail on exact layouts (lowest distance, then lowest slot;
+        # quantized cross-leaf duplicates keep their LOWEST-distance
+        # copy where the sort keeps an arbitrary one).  Raises via the
+        # gate for ineligible shapes (lane-tiled W, TPU backend).
+        from ..ops.topk_kernel import topk_dedup_kernel, topk_kernel_ok
+
+        if not topk_kernel_ok(w, k, min_votes, "sort"):
+            raise ValueError(
+                "selection='kernel' needs a TPU backend, k <= 128, and "
+                "min_votes == 1; use selection='sort'")
+        return topk_dedup_kernel(d, ids_flat, k, dedup=dedup)
     if selection == "approx" and min_votes == 1 and kk < w:
         # hardware top-k (lax.approx_max_k lowers to the TPU PartialReduce
         # op): 25us vs the payload sort's 460us per 1024q at the clustered
