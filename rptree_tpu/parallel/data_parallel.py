@@ -754,7 +754,7 @@ class DataParallelForest(RPForest):
                     min_votes: int = 1, tile_m: int = 16,
                     nt: Optional[int] = None, tile_chunk: int = 2048,
                     chunk: Optional[int] = None, impl: str = "auto",
-                    check: bool = True):
+                    check: bool = True, selection: str = "sort"):
         """Query-grouped block-resident kNN on the leaf-sharded packed
         blocks of the data mesh (see
         :meth:`rptree_tpu.parallel.DistributedForest.knn_grouped`)."""
@@ -764,7 +764,7 @@ class DataParallelForest(RPForest):
                                     precision, probes, probes_per_shard,
                                     min_votes, tile_m, nt, tile_chunk,
                                     chunk, DATA_AXIS, impl=impl,
-                                    check=check)
+                                    check=check, selection=selection)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,

@@ -284,13 +284,16 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     whole batch with per-chunk peak memory (the sharded form of
     ``RPForest.knn_batched``).  The per-shard batch must divide ``chunk``.
 
-    ``grouped_cfg = (tile_m, nt, tile_chunk)`` (static) scores each
-    shard's owned probes through the query-grouped block-resident rerank
-    (:mod:`rptree_tpu.ops.grouped`) instead of the per-pair scorer --
-    one fetch + one MXU matmul per tile of same-block pairs; the
-    cross-shard merge is unchanged.  ``nt`` is the PER-SHARD tile
-    capacity; a third output reports the max tiles any shard needed
+    ``grouped_cfg = (tile_m, nt, tile_chunk[, impl[, selection]])``
+    (static) scores each shard's owned probes through the query-grouped
+    block-resident rerank (:mod:`rptree_tpu.ops.grouped`) instead of the
+    per-pair scorer -- one fetch + one MXU matmul per tile of same-block
+    pairs; the cross-shard merge is unchanged.  ``nt`` is the PER-SHARD
+    tile capacity; a third output reports the max tiles any shard needed
     (results exact iff ``needed <= nt``; the caller retries).
+    ``selection`` picks each shard's pre-merge candidate tail
+    (``"kernel"`` = the fused streaming top-k of
+    :mod:`rptree_tpu.ops.topk_kernel`, TPU only).
     """
 
     def chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l,
@@ -345,6 +348,7 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
 
             tm_, nt_, tch_ = grouped_cfg[:3]
             impl_ = grouped_cfg[3] if len(grouped_cfg) > 3 else "auto"
+            sel_ = grouped_cfg[4] if len(grouped_cfg) > 4 else "sort"
             if bl_l is not None:
                 lens_rows = bl_l
             else:
@@ -371,7 +375,8 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                     l_s, q_l, metric, _prec(precision), tm_, nt_, kp)
                 d_l, i_l = _selection_tail_ids(
                     d_t.reshape(bq, -1), i_t.reshape(bq, -1), k_eff,
-                    min(kk, rows.shape[1] * kp), dedup_eff)
+                    min(kk, rows.shape[1] * kp), dedup_eff,
+                    selection=sel_)
             else:
                 if use_kernel:
                     d_g, needed_l = grouped_distances_kernel(
@@ -385,7 +390,7 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                         block_scale=scale_l, block_center=bc_l)
                 d_l, i_l = _selection_tail(d_g.reshape(bq, -1),
                                            id_leaf_l, rows, k_eff, kk,
-                                           dedup_eff)
+                                           dedup_eff, selection=sel_)
             needed_out = lax.pmax(needed_l, axis)
             if QUERY_AXIS in mesh.shape:
                 needed_out = lax.pmax(needed_out, QUERY_AXIS)
@@ -640,7 +645,8 @@ def _serving_lens(f):
 
 def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
                          probes, probes_per_shard, min_votes, tile_m, nt,
-                         tile_chunk, chunk, axis, impl="auto", check=True):
+                         tile_chunk, chunk, axis, impl="auto", check=True,
+                         selection="sort"):
     """Shared wrapper for the sharded query-grouped rerank
     (DistributedForest / DataParallelForest): leaf-sharded packed dense
     blocks only; auto-sizes the PER-SHARD tile capacity exactly like the
@@ -656,6 +662,18 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
         raise ValueError("knn_grouped supports builtin metrics only; "
                          "use knn() for distance callables")
     k = f._check_k(k)
+    if selection == "kernel":
+        from ..ops.topk_kernel import topk_kernel_ok
+
+        # the per-shard fused top-k tail needs per-query extraction at
+        # k <= 128 and dedup-by-id; vote counting keeps full candidate
+        # lists (the merge counts copies), so it stays on the sort tail
+        if min_votes > 1:
+            selection = "sort"
+        elif not topk_kernel_ok(2, int(k)):
+            raise ValueError(
+                "selection='kernel' needs a TPU backend and k <= 128; "
+                "use selection='sort'")
     if axis == TREE_AXIS:
         qb, b = f._pad_queries(_as_dense_queries(q, f.dim))
     else:
@@ -688,7 +706,7 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
             block_len=bl_r, block_len_global=bl_g,
             block_center=getattr(f, "_block_center", None),
             sub=sub, axis=axis, chunk=chunk,
-            grouped_cfg=(int(tile_m), cap, tc_eff, impl))
+            grouped_cfg=(int(tile_m), cap, tc_eff, impl, selection))
         return (d, i), needed
 
     from ..models.forest import _grouped_auto_capacity
@@ -1049,19 +1067,22 @@ class DistributedForest(RPForest):
                     min_votes: int = 1, tile_m: int = 16,
                     nt: Optional[int] = None, tile_chunk: int = 2048,
                     chunk: Optional[int] = None, impl: str = "auto",
-                    check: bool = True):
+                    check: bool = True, selection: str = "sort"):
         """Query-grouped block-resident kNN on the LEAF-SHARDED packed
         layout: each shard tiles its owned (query, probe) pairs by block
         and scores one MXU matmul per tile (same results as :meth:`knn`);
         the cross-shard top-k merge is unchanged.  See
         :meth:`rptree_tpu.RPForest.knn_grouped` for the capacity
-        semantics (``nt`` here is PER SHARD) and the ``check=False``
-        steady-state serving mode (skips the per-call capacity fetch)."""
+        semantics (``nt`` here is PER SHARD), the ``check=False``
+        steady-state serving mode (skips the per-call capacity fetch),
+        and ``selection="kernel"`` (fused streaming per-shard top-k
+        tail, TPU only; falls back to the sort tail when
+        ``min_votes > 1``)."""
         return _sharded_knn_grouped(self, q, k, metric, budget, dedup,
                                     precision, probes, probes_per_shard,
                                     min_votes, tile_m, nt, tile_chunk,
                                     chunk, TREE_AXIS, impl=impl,
-                                    check=check)
+                                    check=check, selection=selection)
 
     def knn_h(self, q, k: int, metric: str = "l2",
               budget: Optional[int] = None, dedup: bool = True,

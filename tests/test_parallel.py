@@ -596,3 +596,23 @@ def test_sharded_knn_grouped_matches_knn(data, queries):
     d2, i2 = map(np.asarray, f.knn(new + 1e-4, 1, budget=4))
     d3, i3 = map(np.asarray, f.knn_grouped(new + 1e-4, 1, budget=4))
     np.testing.assert_array_equal(i2, i3)
+
+
+def test_sharded_knn_grouped_selection_kernel_gate(data, queries):
+    """selection="kernel" on the sharded grouped path: the fused top-k
+    tail is TPU-only, so the CPU test mesh raises the gate error; vote
+    counting (min_votes > 1) falls back to the sort tail and serves
+    (device parity of the kernel tail itself is pinned in
+    tests/test_topk_kernel.py and BASELINE.md round-4)."""
+    f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
+                                 mesh=forest_mesh(8))
+    f.pack_leaves(shard_by="leaf")
+    with pytest.raises(ValueError, match="TPU backend"):
+        f.knn_grouped(queries, 5, budget=4, selection="kernel")
+    d0, i0 = map(np.asarray, f.knn_grouped(queries, 5, budget=4,
+                                           min_votes=2))
+    d1, i1 = map(np.asarray, f.knn_grouped(queries, 5, budget=4,
+                                           min_votes=2,
+                                           selection="kernel"))
+    np.testing.assert_allclose(d0, d1, atol=1e-6)
+    np.testing.assert_array_equal(i0, i1)
