@@ -23,7 +23,7 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
          probes_per_tree: Sequence[float] = (1.0, 1.5, 2.0, 3.0, 4.0),
          metric: str = "l2", precision: str = "highest",
          measure: bool = True, reps: int = 2,
-         time_rows: int = 8192) -> dict:
+         time_rows: int = 8192, serving: str = "batched") -> dict:
     """Pick the best (budget, probes) meeting ``target_recall``.
 
     With ``measure=True`` (default) every swept configuration -- and the
@@ -40,6 +40,18 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
     large-batch serving.  The timed batch is therefore the validation
     queries TILED up to at least ``time_rows`` rows (recall still uses
     the original batch); set ``time_rows=0`` to time the raw batch.
+
+    ``serving`` picks the pipeline the throughput is measured on:
+    ``"batched"`` (default) times :meth:`knn_batched` on packed forests
+    (the per-pair path), ``"grouped"`` times :meth:`knn_grouped` in its
+    steady-state serving mode (capacity learned by a ``check=True``
+    warm-up, timed calls ``check=False``) -- use it when production
+    serves through the query-grouped rerank, whose QPS ordering over
+    (budget, probes) can differ from the per-pair path's (block-fetch
+    sharing grows with probe overlap).  Recall is measured on ``knn``
+    either way (the paths are bit-comparable by construction).
+    ``"grouped"`` requires a packed forest whose layout
+    :meth:`knn_grouped` serves (dense blocks; leaf-sharded on meshes).
 
     Returns ``{"budget", "probes", "recall", "cost", "qps", "frontier"}``
     where ``frontier`` lists every measured point (for plotting
@@ -74,6 +86,11 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
     qt = np.tile(qb, (tile, 1)) if tile > 1 else qb
     n_timed = qt.shape[0]
     packed = getattr(forest, "_packed", None) is not None
+    if serving not in ("batched", "grouped"):
+        raise ValueError(f"serving must be 'batched' or 'grouped', "
+                         f"got {serving!r}")
+    if serving == "grouped" and not packed:
+        raise ValueError("serving='grouped' needs pack_leaves() first")
 
     def timed_qps(fn, rows=nq):
         """Measured queries/s of one config: warm (compile) call, then
@@ -109,7 +126,27 @@ def tune(forest, queries, k: int = 10, target_recall: float = 0.9,
                 "cost": budget + probes * lmax,
             }
             if measure:
-                if packed and tile > 1:
+                if serving == "grouped":
+                    # steady-state serving mode: the check=True warm-up
+                    # learns + caches the tile capacity for this batch
+                    # shape; the timed calls skip the per-batch capacity
+                    # host fetch (a full RTT through tunneled backends)
+                    q_timed = qt if tile > 1 else qb
+                    forest.knn_grouped(q_timed, k, metric=metric,
+                                       budget=budget, probes=probes,
+                                       precision=precision, chunk=nq,
+                                       check=True)
+
+                    def run_g(budget=budget, probes=probes):
+                        return forest.knn_grouped(
+                            q_timed, k, metric=metric, budget=budget,
+                            probes=probes, precision=precision,
+                            chunk=nq, check=False)
+
+                    point["qps"] = timed_qps(
+                        run_g, rows=n_timed if tile > 1 else nq)
+                    point["serving"] = "grouped"
+                elif packed and tile > 1:
                     def run_t(budget=budget, probes=probes):
                         return forest.knn_batched(
                             qt, k, metric=metric, budget=budget,
@@ -178,7 +215,8 @@ def tune_build(data, queries, k: int = 10, target_recall: float = 0.9,
                seed: int = 0, budgets: Sequence[int] = (1, 2),
                probes_per_tree: Sequence[float] = (1.0, 2.0),
                metric: str = "l2", precision: str = "default",
-               measure: bool = False, pack=True) -> dict:
+               measure: bool = False, pack=True,
+               serving: str = "batched") -> dict:
     """Sweep BUILD-side parameters (n_trees, min_leaf) on a data
     SUBSAMPLE, then scale the winning leaf size to the full dataset.
 
@@ -228,7 +266,8 @@ def tune_build(data, queries, k: int = 10, target_recall: float = 0.9,
                 f.pack_leaves(dtype=None if pack is True else pack)
             r = tune(f, queries, k=k, target_recall=target_recall,
                      budgets=budgets, probes_per_tree=probes_per_tree,
-                     metric=metric, precision=precision, measure=measure)
+                     metric=metric, precision=precision, measure=measure,
+                     serving=serving)
             r = dict(r)
             r["n_trees"], r["min_leaf"] = t, ml
             frontier.append(r)

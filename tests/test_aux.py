@@ -93,6 +93,32 @@ def test_tune_meets_target():
     assert best_c["cost"] == min(costs) and "qps" not in best_c["frontier"][0]
 
 
+def test_tune_serving_grouped():
+    """serving='grouped' times the query-grouped pipeline (steady-state
+    check=False calls after a capacity-learning warm-up) and tags the
+    measured points; it needs a packed forest."""
+    import numpy as np
+    import pytest
+
+    import rptree_tpu as rt
+    from rptree_tpu.utils import gen as rgen
+
+    x = np.asarray(rgen.data_batch(4, 2000, rgen.circle2d2), np.float32)
+    q = np.asarray(rgen.data_batch(5, 16, rgen.circle2d2), np.float32)
+    f = rt.forest_batch(4, 6, 16, 8, 1.0, x).pack_leaves()
+    best = rt.tune(f, q, k=5, target_recall=0.5, budgets=(2,),
+                   probes_per_tree=(1.0,), reps=1, time_rows=64,
+                   serving="grouped")
+    pts = [r for r in best["frontier"] if not r.get("scan")]
+    assert all(r.get("serving") == "grouped" and r["qps"] > 0
+               for r in pts)
+    f_unpacked = rt.forest_batch(4, 6, 16, 8, 1.0, x)
+    with pytest.raises(ValueError, match="pack_leaves"):
+        rt.tune(f_unpacked, q, k=5, serving="grouped")
+    with pytest.raises(ValueError, match="serving"):
+        rt.tune(f, q, k=5, serving="turbo")
+
+
 def test_device_time_nonnegative():
     import jax.numpy as jnp
 

@@ -387,10 +387,11 @@ def test_sharded_fold_tree_and_leaf_modes(data):
         assert (ir >= 0).all()
 
 
-def test_tune_on_sharded_forest(data):
+def test_tune_on_tree_sharded_forest(data):
     """tune() drives any forest through its public knn/brute_force
-    surface; on a DistributedForest every swept config (and the scan
-    candidate) runs the sharded pipelines."""
+    surface; on a tree-sharded DistributedForest every swept config (and
+    the scan candidate) runs the sharded pipelines.  (A second tune test
+    below covers the 2-D mesh + static-cost ranking.)"""
     f = forest_batch_distributed(SEED, MAXD, MINL, T, PNZ, data,
                                  mesh=forest_mesh(8, 1)).pack_leaves()
     q = data[:16] + 0.01
