@@ -71,12 +71,19 @@ def main(base=None, query=None, gt=None, n_trees=8, k=10,
             return rp.ingest.fvecs_source(base, chunk_size=200_000)
 
     # stage 0: build-side knobs on the subsample (min_leaf transfers to
-    # the full n by the measured scale law)
+    # the full n by the measured scale law).  RPTREE_EXAMPLE_FAST=1
+    # narrows the sweep grids (the test-suite smoke mode: the pipeline's
+    # stages all still run, but the wall is XLA compiles of one program
+    # per swept config, so fewer configs is most of the wall).
+    fast = os.environ.get("RPTREE_EXAMPLE_FAST") == "1"
     t0 = time.perf_counter()
     tb = rp.tune_build(sub, xq[:128], k=k, target_recall=target_recall,
                        centers_estimate=centers_estimate,
-                       sample=len(sub), full_n=n, budgets=(1, 2),
-                       probes_per_tree=(1.0, 2.0), measure=False)
+                       min_leaf_grid=(64, 256) if fast else None,
+                       sample=len(sub), full_n=n,
+                       budgets=(2,) if fast else (1, 2),
+                       probes_per_tree=(1.0,) if fast else (1.0, 2.0),
+                       measure=False)
     min_leaf = int(tb["min_leaf_full"])
     print(f"tune_build ({time.perf_counter() - t0:.1f}s): "
           f"min_leaf={min_leaf} (subsample winner {tb['min_leaf']} "
@@ -96,7 +103,11 @@ def main(base=None, query=None, gt=None, n_trees=8, k=10,
     f.pack_leaves()
     best = rp.tune(f, xq[: min(128, len(xq))], k=k,
                    target_recall=target_recall,
-                   budgets=(1, 2), probes_per_tree=(1.0, 1.5, 2.0))
+                   budgets=(2,) if fast else (1, 2),
+                   probes_per_tree=(1.0, 2.0) if fast
+                   else (1.0, 1.5, 2.0),
+                   reps=1 if fast else 2,
+                   time_rows=512 if fast else 8192)
     print(f"tuned: budget={best['budget']} probes={best['probes']} "
           f"recall={best['recall']:.3f} (target met: {best['met']})")
 

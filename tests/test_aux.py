@@ -133,6 +133,8 @@ def test_example_pipeline_runs(capsys, monkeypatch):
     import sys
 
     monkeypatch.setenv("RPTREE_EXAMPLE_N", "4000")
+    monkeypatch.setenv("RPTREE_EXAMPLE_FAST", "1")  # narrow sweep grids:
+    # the full grids are ~40 one-core XLA compiles (~3 min of suite wall)
     argv = sys.argv
     sys.argv = ["sift_pipeline.py"]
     try:
