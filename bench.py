@@ -34,13 +34,14 @@ def main():
     #                this is recall-equivalent to the reference's unbounded
     #                descent (verified: equal recall at budget 4..32)
     PROBES = 12    # leaf buckets reranked per query (live leaves ~T+forks)
-    B = 262144     # total query batch (throughput measurement): the wall
+    B = 524288     # total query batch (throughput measurement): the wall
     #                is dispatch-RPC-bound (~40ms of host work per call
     #                through the tunnel, pipelining does not help --
     #                examples/serving_loop.py), so serve a giant batch as
     #                chunks inside ONE dispatch (B=262144 measured 540.6k
     #                vs 131072's 520.6k wall; chunk=65536 LOSES at iid --
-    #                486k -- group density is already fetch-light on int8)
+    #                486k -- group density is already fetch-light on int8;
+    #                B=524288 amortizes the residual ~20ms RTT further)
     BR = 32768     # recall-probe prefix (plenty for a stable recall@10)
     CHUNK = 4096   # queries per device call (bounds rerank memory ~1.2GB)
     SEED = 20260816
@@ -260,17 +261,20 @@ def main():
     # @ 0.929 (vs scan 40.2k @ 0.899); ml=256 -> 52.1k @ 0.975
     NC, CC, SIGC = 1_000_000, 4_000, 0.15
     MLC, TC, BC, PC = 128, 8, 1, 8
-    BCQ = 262144  # giant serving batch: the wall is DISPATCH-bound (~40ms
+    BCQ = 524288  # giant serving batch: the wall is DISPATCH-bound (~40ms
     #               of host RPC per call through the tunnel; pipelining
     #               does not help -- examples/serving_loop.py), so the
     #               batch runs as lax.map chunks of CHC inside ONE
     #               dispatch.  Measured wall: 351k (B=32k) -> 541k
     #               (B=131k, chunk=32k) -> 624k (chunk=64k) -> 708k
-    #               (B=262k, chunk=64k).  64k chunks double the per-chunk
-    #               probe-group density (halving block-fetch bytes per
-    #               query) and fit the kernel's SMEM tile table since
-    #               lens_t moved to a VMEM block (BASELINE.md round-4
-    #               continuation).
+    #               (B=262k, chunk=64k) -> 1193k (B=524k, kernel tail).
+    #               64k chunks double the per-chunk probe-group density
+    #               (halving block-fetch bytes per query) and fit the
+    #               kernel's SMEM tile table since lens_t moved to a VMEM
+    #               block; chunk=131072 is a measured NEGATIVE even with
+    #               an SMEM-fit explicit capacity (934k wall vs 1093k:
+    #               the padded capacity tiles still execute, eating the
+    #               density gain -- BASELINE.md round-4 continuation 3).
     CHC = 65536
 
     @jax.jit
