@@ -45,15 +45,21 @@ xs = jax.make_array_from_process_local_data(sharding, x[lo:hi], (N, DIM))
 f = forest_batch_data_parallel(7, 6, 16, T, 1.0, xs, mesh=mesh)
 q = jax.device_put(x[:4] + 0.01, NamedSharding(mesh, P()))
 d, i = f.knn(q, 3)
+# the flagship serving mode over the same multi-process mesh: leaf-
+# sharded packed blocks + the query-grouped rerank (its per-shard tile
+# capacity rides a psum'd `needed` that every process fetches equally)
+f.pack_leaves()
+dg, ig = f.knn_grouped(q, 3, budget=4)
 # force full replication before the host fetch: jit outputs may live on
 # non-addressable devices in a multi-process mesh
 repl = NamedSharding(mesh, P())
 fetch = jax.jit(lambda a: a, out_shardings=repl)
 perm = np.asarray(fetch(f.arrays.perm))
 d = np.asarray(fetch(d)); i = np.asarray(fetch(i))
+ig = np.asarray(fetch(ig))
 out = sys.argv[4]
 if proc == 0:
-    np.savez(out, perm=perm, ids=i, dists=d)
+    np.savez(out, perm=perm, ids=i, dists=d, ids_grouped=ig)
 print(f"proc {proc} ok")
 """
 
@@ -99,6 +105,11 @@ def test_two_process_data_parallel_build(tmp_path):
     got = np.load(out)
     np.testing.assert_array_equal(got["perm"],
                                   np.asarray(single.arrays.perm))
+    # grouped serving over the 2-process mesh answers like the single-
+    # process grouped path (same leaf-sharded blocks, same merge)
+    single.pack_leaves()
+    _, ig1 = map(np.asarray, single.knn_grouped(x[:4] + 0.01, 3, budget=4))
+    np.testing.assert_array_equal(got["ids_grouped"], ig1)
     d1, i1 = map(np.asarray, single.knn(x[:4] + 0.01, 3))
     # distances via the factored |x|^2 - 2 x.q + |q|^2 form cancel
     # catastrophically at near-self distances (~0.04 here vs |x|^2 ~ 16),
