@@ -39,6 +39,7 @@ from ..ops.rerank import (
     merge_top_k,
     rerank_top_k,
 )
+from ..ops.shared import SharedRows, fetch_blocks
 from ..ops.sparse import EllBlocks, EllMatrix, ell_sq_norms, ell_to_dense
 from ..ops.traverse import build_b1_tables, traverse_tree
 from ..utils import gen as rgen
@@ -543,8 +544,10 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
     else:
         # [B, P, lmax, D] block gather; x_leaf is stored 3-D so no
         # reshape (a [.., lmax*D] -> [.., lmax, D] reshape forces a
-        # relayout copy that measured ~15% of the whole query)
-        rows = jnp.take(x_leaf, rows_sel, axis=0)
+        # relayout copy that measured ~15% of the whole query).  On the
+        # shared-row layout this is an id-table gather + per-row gather
+        # instead (ops/shared.py: lmax x the indices, 1/T the memory)
+        rows = fetch_blocks(x_leaf, rows_sel)
         if callable(metric):
             # user distance callable (the reference's distf,
             # RPTree.hs:168): applied to the gathered block rows
@@ -940,6 +943,23 @@ def _descend(plan, arrays, xnew):
         leaf = jnp.where(live & (nxt < 0), -(nxt + 1), leaf)
         code = jnp.where(live & (nxt >= 0), nxt, code)
     return leaf
+
+
+@jax.jit
+def _pack_shared_tables(perm, sq_norms, pos, in_leaf):
+    """Per-block slot -> point-id and squared-norm tables for the
+    shared-row layout (``pack_leaves(store="shared")``): the blocked
+    pack's ``ids``/``sq`` WITHOUT the row blocks -- the dataset array
+    itself is the (single, shared) row store.  ``pos``/``in_leaf`` ride
+    as arguments for the same remote-compile reason as
+    :func:`_pack_dense_blocks`."""
+
+    def per_tree(perm_t):
+        ids = jnp.take(perm_t, pos)  # [n_leaves, lmax]
+        sq = jnp.where(in_leaf, jnp.take(sq_norms, ids), 0.0)
+        return jnp.where(in_leaf, ids, -1), sq
+
+    return jax.vmap(per_tree)(perm)
 
 
 @functools.partial(jax.jit,
@@ -1383,12 +1403,32 @@ class RPForest:
         return k
 
     def _validate_pack_args(self, dtype, slack, centered, sub_block,
-                            sub_split) -> None:
+                            sub_split, store: str = "blocks") -> None:
         """Reject invalid pack-layout requests BEFORE any state changes
         (shared by every packer).  Ordering matters: a repack first drops
         the old layout, so argument errors must fire while it is still
         intact -- an invalid call must never destroy the serving state."""
         s = int(sub_block) if sub_block else 1
+        if store not in ("blocks", "shared"):
+            raise ValueError(f"store must be 'blocks' or 'shared', "
+                             f"got {store!r}")
+        if store == "shared":
+            if isinstance(self.x, EllMatrix):
+                raise ValueError("store='shared' applies to dense "
+                                 "datasets (ELL rows already pack by "
+                                 "value)")
+            if slack:
+                raise ValueError("store='shared' keeps no row blocks for "
+                                 "fold() to write into; slack requires "
+                                 "the blocked layout")
+            if s > 1:
+                raise ValueError("sub_block quantization state requires "
+                                 "the blocked layout (store='blocks')")
+            if centered or (dtype is not None
+                            and jnp.dtype(dtype) == jnp.int8):
+                raise ValueError("quantized blocks require the blocked "
+                                 "layout (store='blocks'); shared rows "
+                                 "serve the dataset's own f32/bf16 rows")
         if isinstance(self.x, EllMatrix):
             if centered:
                 raise ValueError("centered quantization applies to dense "
@@ -1412,7 +1452,7 @@ class RPForest:
         _sub_split_of(sub_split, s)  # rejects unknown ordering modes
 
     def _same_pack(self, dtype, slack, centered, sub_block,
-                   sub_split, shard_by=None) -> bool:
+                   sub_split, shard_by=None, store: str = "blocks") -> bool:
         """Whether the requested pack layout matches the one in place
         (``_pack_cfg`` + slack + sharded mode) -- the idempotent-no-op
         test shared by every packer.  Only layout-RELEVANT fields
@@ -1423,6 +1463,9 @@ class RPForest:
             want = {"dtype": (jnp.bfloat16 if dtype is not None
                               and jnp.dtype(dtype) == jnp.bfloat16
                               else None)}
+        elif store == "shared":
+            want = {"dtype": _DTYPE_OF[_dtype_str(dtype)],
+                    "store": "shared"}
         else:
             want = {"dtype": _DTYPE_OF[_dtype_str(dtype)],
                     "centered": bool(centered), "sub_block": s_req,
@@ -1469,7 +1512,8 @@ class RPForest:
     def pack_leaves(self, dtype=None, slack: int = 0,
                     centered: bool = False,
                     sub_block: int = 1,
-                    sub_split: str = "kmeans") -> "RPForest":
+                    sub_split: str = "kmeans",
+                    store: str = "blocks") -> "RPForest":
         """Precompute leaf-blocked copies of the dataset: ``x_leaf
         [T * n_leaves, lmax * D]`` holds each leaf's points contiguously
         (zero-padded to the max leaf size), ``id_leaf [T * n_leaves * lmax]``
@@ -1511,6 +1555,19 @@ class RPForest:
         with ``slack``/``fold``.  Supported on the sharded layouts too
         (tree-/leaf-sharded and data-parallel packers).
 
+        ``store="shared"`` keeps ONE shared row store (the dataset array
+        itself -- no row copies at all) and packs only the per-block
+        slot -> point-id tables: ``1/T``-th the blocked layout's index
+        memory, bought with per-ROW gather fetches (~2-4x slower on the
+        fetch stage; ``ops/shared.py`` has the trade).  The memory-
+        bounded mode for datasets near HBM capacity (e.g. 10M f32 x
+        128-d on one v5e: blocked T=8 needs ~41 GB, shared ~5.8 GB).
+        Results are bit-identical to an unquantized blocked pack.  Dense
+        single-device only; exclusive with ``slack``/``fold``, int8 /
+        ``centered`` / ``sub_block``, and :meth:`drop_dataset` (the
+        dataset IS the store).  ``dtype=jnp.bfloat16`` stores a casted
+        half-size row copy instead of aliasing the dataset.
+
         ELL-sparse datasets pack into :class:`EllBlocks` (leaf-blocked
         padded cols/vals) and serve through the same probe-compacted
         block path.
@@ -1521,7 +1578,7 @@ class RPForest:
         slots, ``rebuild()`` first -- or if the dataset was dropped).
         """
         self._validate_pack_args(dtype, slack, centered, sub_block,
-                                 sub_split)
+                                 sub_split, store=store)
         if self._packed is not None:
             # already packed: the SAME requested layout is an idempotent
             # no-op; a DIFFERENT one repacks (silently keeping the old
@@ -1529,9 +1586,50 @@ class RPForest:
             # f32 -- was a footgun: the serving dtype quietly disagreed
             # with what the caller asked for)
             if self._same_pack(dtype, slack, centered, sub_block,
-                               sub_split):
+                               sub_split, store=store):
                 return self
             self._clear_pack_for_repack()
+        if self._packed is None and store == "shared":
+            plan = self.plan
+            self._pack_slack = 0
+            dtype_str = _dtype_str(dtype)
+            # same slot-axis alignment as the blocked layout: the id/sq
+            # tables are cheap either way and the serving masks are
+            # layout-blind
+            lmax = _tile_align(max(plan.max_leaf_len, 1), dtype_str)
+            starts = np.asarray(plan.leaf_start)
+            lens = np.asarray(plan.leaf_len)
+            offs = np.arange(lmax, dtype=np.int32)
+            pos = np.where(offs < lens[:, None],
+                           starts[:, None] + offs, 0).astype(np.int32)
+            in_leaf = offs < lens[:, None]
+            ids, sq = _pack_shared_tables(self.arrays.perm, self.sq_norms,
+                                          jnp.asarray(pos),
+                                          jnp.asarray(in_leaf))
+            g = self.n_trees * plan.n_leaves
+            ids = ids.reshape(g, lmax)
+            sq = sq.reshape(g, lmax)
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                def pin(a):
+                    mm = tuple(range(a.ndim - 1, -1, -1))
+                    return jax.device_put(
+                        a, Format(Layout(major_to_minor=mm), a.sharding)
+                    )
+
+                ids, sq = pin(ids), pin(sq)
+            except Exception:  # backends without explicit-layout support
+                pass
+            rows = (self.x if _DTYPE_OF[dtype_str] is None
+                    else self.x.astype(_DTYPE_OF[dtype_str]))
+            self._packed = (SharedRows(rows, ids), sq, ids)
+            self._block_scale = None
+            self._block_center = None
+            self._sub_block = 1
+            self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
+                              "store": "shared"}
+            return self
         if self._packed is None and isinstance(self.x, EllMatrix):
             plan = self.plan
             self._pack_slack = int(slack)
@@ -1808,6 +1906,11 @@ class RPForest:
         if self._packed is None:
             raise ValueError("pack_leaves(slack=...) first: fold inserts "
                              "into the packed blocks' slack slots")
+        if isinstance(self._packed[0], SharedRows):
+            raise ValueError("fold() writes rows into the packed blocks' "
+                             "slack slots; the shared-row layout "
+                             "(store='shared') keeps no row blocks -- "
+                             "rebuild() folds pending points instead")
         if getattr(self, "_sub_block", 1) > 1:
             raise ValueError("fold() needs whole-leaf blocks; pack "
                              "without sub_block (or rebuild())")
@@ -2109,6 +2212,11 @@ class RPForest:
         if self._packed is None:
             raise ValueError("pack_leaves() first: the packed blocks are "
                              "the only remaining copy of the data")
+        if isinstance(self._packed[0], SharedRows):
+            raise ValueError("the shared-row layout (store='shared') "
+                             "serves from the dataset array itself -- "
+                             "there is no separate copy to drop (it is "
+                             "already the single-copy mode)")
         self.x = None
         self.sq_norms = None
         return self

@@ -54,6 +54,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .rerank import distances_from_dots
+from .shared import fetch_blocks
 from .sparse import EllBlocks
 
 __all__ = ["grouped_distances", "grouped_distances_kernel",
@@ -194,7 +195,8 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
             d = jnp.where(valid, d, jnp.inf)
             tc = rows_i.shape[0]
             return d.reshape(tc * tile_m, lmax)
-        blk = jnp.take(x_leaf, rows_i, axis=0)    # [tc, lmax, D]
+        # [tc, lmax, D]; per-row id gather on the shared-row layout
+        blk = fetch_blocks(x_leaf, rows_i)
         if callable(metric):
             # user distance callable (the reference's distf,
             # RPTree.hs:168) on the resident block vs the tile's query

@@ -956,7 +956,8 @@ class DataParallelForest(RPForest):
     def pack_leaves(self, dtype=None, shard_by: str = "leaf",
                     slack: int = 0, centered: bool = False,
                     sub_block: int = 1,
-                    sub_split: str = "kmeans") -> "DataParallelForest":
+                    sub_split: str = "kmeans",
+                    store: str = "blocks") -> "DataParallelForest":
         """Pack leaf blocks directly from the SHARDED dataset into
         leaf-sharded blocks (1/S of the index per chip).  Only
         ``shard_by="leaf"`` exists here: any other layout would
@@ -967,6 +968,10 @@ class DataParallelForest(RPForest):
         if shard_by not in (None, "leaf"):
             raise ValueError("DataParallelForest packs shard_by='leaf' "
                              "only (the memory-complete layout)")
+        if store != "blocks":
+            raise NotImplementedError(
+                "store='shared' is single-device only; the leaf-sharded "
+                "blocked layout already holds 1/S of the index per chip")
         shard_by = "leaf"
         # validate BEFORE any state changes (see RPForest.pack_leaves):
         # an invalid call must never destroy the serving layout

@@ -761,7 +761,8 @@ class DistributedForest(RPForest):
     def pack_leaves(self, dtype=None, shard_by: Optional[str] = None,
                     slack: int = 0, centered: bool = False,
                     sub_block: int = 1,
-                    sub_split: str = "kmeans") -> "DistributedForest":
+                    sub_split: str = "kmeans",
+                    store: str = "blocks") -> "DistributedForest":
         """Leaf-blocked packing, sharded over the tree axis.
 
         ``slack`` reserves empty per-block slots for :meth:`fold`
@@ -792,6 +793,11 @@ class DistributedForest(RPForest):
             shard_by = shard_by or "tree"
         if shard_by not in ("tree", "leaf"):
             raise ValueError("shard_by must be 'tree' or 'leaf'")
+        if store != "blocks":
+            raise NotImplementedError(
+                "store='shared' is single-device only; the leaf-sharded "
+                "blocked layout (shard_by='leaf') already holds 1/S of "
+                "the index per chip")
         if isinstance(self.x, EllMatrix) and shard_by != "tree":
             raise ValueError("sparse blocks shard by tree only")
         self._validate_pack_args(dtype, slack, centered, sub_block,

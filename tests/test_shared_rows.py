@@ -1,0 +1,138 @@
+"""Shared-row serving layout (``pack_leaves(store="shared")``): bit-parity
+with the blocked layout across every single-device query path, plus the
+layout's guard surface.  The shared store serves the SAME f32/bf16 rows
+the blocked pack would copy, so results must be exactly equal -- any
+divergence is a fetch-indexing bug, not numerics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rptree_tpu import forest_batch, rp_tree_cfg
+from rptree_tpu.ops.shared import SharedRows
+
+SEED = 20260820
+K = 10
+
+
+def _mk(n=4096, dim=16, trees=4, min_leaf=32, centers=24):
+    rng = np.random.default_rng(SEED)
+    c = rng.normal(size=(centers, dim)).astype(np.float32)
+    x = (c[rng.integers(0, centers, n)]
+         + 0.2 * rng.normal(size=(n, dim)).astype(np.float32))
+    cfg = rp_tree_cfg(min_leaf, n, dim)
+    f = forest_batch(SEED, cfg.max_depth, min_leaf, trees,
+                     cfg.proj_nz_density, x)
+    q = (x[rng.integers(0, n, 64)]
+         + 0.1 * rng.normal(size=(64, dim)).astype(np.float32))
+    return f, x, q
+
+
+def _run_all(f, q):
+    """One result bundle across the packed query surfaces."""
+    out = {}
+    out["knn"] = f.knn(q, K)
+    out["knn_nodedup"] = f.knn(q, K, dedup=False)
+    out["knn_votes"] = f.knn(q, K, min_votes=2)
+    out["batched"] = f.knn_batched(q, K, chunk=16)
+    out["grouped"] = f.knn_grouped(q, K)
+    out["knn_h"] = f.knn_h(q, K)
+    out["custom"] = f.knn(
+        q, K, metric=lambda rows, qq: jnp.sum(jnp.abs(rows - qq), -1))
+    return {k: (np.asarray(d), np.asarray(i)) for k, (d, i) in out.items()}
+
+
+def test_shared_rows_bit_parity_f32():
+    f, x, q = _mk()
+    f.pack_leaves()
+    blocked = _run_all(f, q)
+    f.pack_leaves(store="shared")
+    assert isinstance(f._packed[0], SharedRows)
+    shared = _run_all(f, q)
+    for name in blocked:
+        db, ib = blocked[name]
+        ds, is_ = shared[name]
+        np.testing.assert_array_equal(db, ds, err_msg=name)
+        np.testing.assert_array_equal(ib, is_, err_msg=name)
+
+
+def test_shared_rows_bit_parity_bf16():
+    f, x, q = _mk()
+    f.pack_leaves(dtype=jnp.bfloat16)
+    db, ib = map(np.asarray, f.knn(q, K))
+    f.pack_leaves(store="shared", dtype=jnp.bfloat16)
+    assert f._packed[0].rows.dtype == jnp.bfloat16
+    ds, is_ = map(np.asarray, f.knn(q, K))
+    np.testing.assert_array_equal(db, ds)
+    np.testing.assert_array_equal(ib, is_)
+
+
+def test_shared_rows_aliases_dataset():
+    # f32 shared rows ARE the dataset array: no copy, 1/T the blocked
+    # layout's index memory (the mode's whole point)
+    f, x, q = _mk()
+    f.pack_leaves(store="shared")
+    assert f._packed[0].rows is f.x
+    # and the id table doubles as the selection tail's id_leaf buffer
+    assert f._packed[0].ids is f._packed[2]
+
+
+def test_shared_rows_idempotent_and_repack():
+    f, x, q = _mk()
+    f.pack_leaves(store="shared")
+    first = f._packed[0]
+    f.pack_leaves(store="shared")  # same layout: no-op
+    assert f._packed[0] is first
+    f.pack_leaves()  # different layout: repack to blocks
+    assert not isinstance(f._packed[0], SharedRows)
+    d1, i1 = map(np.asarray, f.knn(q, K))
+    f.pack_leaves(store="shared")  # and back
+    d2, i2 = map(np.asarray, f.knn(q, K))
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_shared_rows_rebuild_replays_layout():
+    f, x, q = _mk()
+    f.pack_leaves(store="shared")
+    rng = np.random.default_rng(1)
+    f.add(rng.normal(size=(8, x.shape[1])).astype(np.float32))
+    f.rebuild()
+    assert isinstance(f._packed[0], SharedRows)
+    assert f.n_points == x.shape[0] + 8
+
+
+def test_shared_rows_guards():
+    f, x, q = _mk()
+    with pytest.raises(ValueError, match="slack"):
+        f.pack_leaves(store="shared", slack=4)
+    with pytest.raises(ValueError, match="sub_block"):
+        f.pack_leaves(store="shared", sub_block=2)
+    with pytest.raises(ValueError, match="blocked layout"):
+        f.pack_leaves(store="shared", dtype=jnp.int8)
+    with pytest.raises(ValueError, match="blocked layout"):
+        f.pack_leaves(store="shared", dtype=jnp.int8, centered=True)
+    with pytest.raises(ValueError, match="store"):
+        f.pack_leaves(store="nonsense")
+    # invalid calls must not have destroyed (or created) serving state
+    assert f._packed is None
+    f.pack_leaves(store="shared")
+    with pytest.raises(ValueError, match="single-copy"):
+        f.drop_dataset()
+    f.add(np.zeros((4, x.shape[1]), np.float32))
+    with pytest.raises(ValueError, match="shared-row"):
+        f.fold()
+
+
+def test_shared_rows_sharded_packers_guard():
+    import jax
+    from rptree_tpu.parallel import forest_batch_distributed, forest_mesh
+
+    mesh = forest_mesh(n_tree_shards=2, devices=jax.devices()[:2])
+    rng = np.random.default_rng(SEED)
+    x = rng.normal(size=(512, 16)).astype(np.float32)
+    cfg = rp_tree_cfg(32, 512, 16)
+    fd = forest_batch_distributed(SEED, cfg.max_depth, 32, 2,
+                                  cfg.proj_nz_density, x, mesh=mesh)
+    with pytest.raises(NotImplementedError, match="single-device"):
+        fd.pack_leaves(store="shared")
