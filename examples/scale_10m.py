@@ -126,11 +126,15 @@ def main(n: int = N_DEFAULT, c: int = C_DEFAULT):
     ):
         ch = 8192
         # warm + learn the tile capacity with the CHECKED call (an
-        # unlearned capacity under check=False silently masks pairs)
+        # unlearned capacity under check=False silently masks pairs),
+        # then warm the FULL-BATCH dispatch shape: the chunked serving
+        # call is one executable per (B, chunk) pair, so timing a shape
+        # that was never run measures the remote compile, not the chip
         try:
             run(q[:ch], ch, check=True)
         except TypeError:
             run(q[:ch], ch)  # per-pair path has no check knob
+        s = int(jnp.sum(jnp.clip(run(q, ch)[1], 0, None)))
         t0 = time.perf_counter()
         _, ids = run(q, ch)
         s = int(jnp.sum(jnp.clip(ids, 0, None)))  # force completion

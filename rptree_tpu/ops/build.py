@@ -70,14 +70,22 @@ def project_dataset(x, r_l: jax.Array, precision=lax.Precision.HIGHEST) -> jax.A
 
 
 _PLAN_CONST_CACHE: dict = {}
-_PLAN_CONST_CACHE_MAX = 8  # entries are O(levels * n) numpy arrays
+_PLAN_CONST_CACHE_MAX = 8  # entries are O(levels * segments) numpy arrays
 
 
 def _stacked_plan_constants(plan: TreePlan):
     """[L, ...] device constants with per-level gather positions padded to
-    the deepest level's segment count.  Cached per plan: ``seg_keys`` is
-    ``O(L * n)`` and re-uploading it on every build call is measurable
-    through slow host->device links."""
+    the deepest level's segment count.  Cached per plan.
+
+    The per-position sort key (``lp.seg_key``, the region START of every
+    position) is NOT materialized here: at ``[L, n]`` int32 it is ~640 MB
+    for a 10M-point depth-16 plan, past the remote-compile tunnel's
+    request limit (HTTP 413) when embedded as an executable constant.
+    Each position's key equals the largest region start at or below it,
+    so the builder reconstructs it on device per level from the ``[rmax]``
+    region-start list via one tiny scatter-max + ``lax.cummax`` --
+    bit-identical keys (``key[start] == start`` by construction,
+    ``plan.py _build``), O(n) bandwidth instead of an O(L * n) constant."""
     key = (plan.n, plan.max_depth, plan.min_leaf)
     hit = _PLAN_CONST_CACHE.get(key)
     if hit is not None:
@@ -90,12 +98,22 @@ def _stacked_plan_constants(plan: TreePlan):
             for lp in plan.levels
         ]).astype(np.int32)
 
+    # region-start positions per level (all regions: still-splitting
+    # segments AND finalized leaves); padding with 0 is harmless -- it
+    # re-scatters value 0 onto position 0, itself always a region start
+    starts = [
+        np.flatnonzero(np.r_[True, lp.seg_key[1:] != lp.seg_key[:-1]])
+        .astype(np.int32)
+        for lp in plan.levels
+    ]
+    rmax = max(len(s) for s in starts)
+    reg_starts = np.stack([np.pad(s, (0, rmax - len(s))) for s in starts])
+
     # cache HOST numpy only: converting to device arrays here would leak
     # tracers when first called under a jit trace; jnp.asarray at the use
     # site turns these into compile-time constants, uploaded once per
     # executable
-    out = (np.stack([lp.seg_key for lp in plan.levels]).astype(np.int32),
-           pad("thr_pos"), pad("mgl_pos"), pad("mgr_pos"))
+    out = (reg_starts, pad("thr_pos"), pad("mgl_pos"), pad("mgr_pos"))
     while len(_PLAN_CONST_CACHE) >= _PLAN_CONST_CACHE_MAX:
         _PLAN_CONST_CACHE.pop(next(iter(_PLAN_CONST_CACHE)))
     _PLAN_CONST_CACHE[key] = out
@@ -121,10 +139,14 @@ def build_tree_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
     # ({-# SCC insert / partitionAtMedian #-}, Internal.hs:257,484)
     with jax.named_scope("rpt_project"):
         proj = project_dataset(x, r[:nl]).astype(jnp.float32)  # [n, L]
-    seg_keys, thr_pos, mgl_pos, mgr_pos = _stacked_plan_constants(plan)
+    reg_starts, thr_pos, mgl_pos, mgr_pos = _stacked_plan_constants(plan)
 
     def level_step(ids, xs):
-        seg_key, proj_l, tp, mp, rp = xs
+        starts_l, proj_l, tp, mp, rp = xs
+        # per-position sort key = largest region start <= position,
+        # rebuilt from the [rmax] start list (see _stacked_plan_constants)
+        mark = jnp.zeros((n,), jnp.int32).at[starts_l].max(starts_l)
+        seg_key = lax.cummax(mark)
         p = jnp.take(proj_l, ids)
         _, p_sorted, ids = lax.sort((seg_key, p, ids), num_keys=2,
                                     is_stable=True)
@@ -135,7 +157,7 @@ def build_tree_arrays(plan: TreePlan, x, r: jax.Array) -> TreeArrays:
         ids, (thr, mgl, mgh) = lax.scan(
             level_step,
             ids0,
-            (jnp.asarray(seg_keys), proj.T, jnp.asarray(thr_pos),
+            (jnp.asarray(reg_starts), proj.T, jnp.asarray(thr_pos),
              jnp.asarray(mgl_pos), jnp.asarray(mgr_pos)),
         )
     return TreeArrays(r=r, thr=thr, mgl=mgl, mgh=mgh, perm=ids)
