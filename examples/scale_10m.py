@@ -115,10 +115,15 @@ def main(n: int = N_DEFAULT, c: int = C_DEFAULT):
     print(f"exact scan: {scan_qps:.0f} QPS (precision='fastest')")
 
     probes = TREES
+    sel = "kernel" if jax.default_backend() == "tpu" else "sort"
     for name, run in (
         ("per-pair knn_batched",
          lambda qq, ch: f.knn_batched(qq, K, budget=1, probes=probes,
                                       precision="default", chunk=ch)),
+        (f"per-pair knn_batched selection={sel}",
+         lambda qq, ch: f.knn_batched(qq, K, budget=1, probes=probes,
+                                      precision="default", chunk=ch,
+                                      selection=sel)),
         ("grouped knn_grouped",
          lambda qq, ch, check=False: f.knn_grouped(
              qq, K, budget=1, probes=probes, precision="default",
@@ -134,10 +139,10 @@ def main(n: int = N_DEFAULT, c: int = C_DEFAULT):
             run(q[:ch], ch, check=True)
         except TypeError:
             run(q[:ch], ch)  # per-pair path has no check knob
-        s = int(jnp.sum(jnp.clip(run(q, ch)[1], 0, None)))
+        int(jnp.sum(jnp.clip(run(q, ch)[1], 0, None)))  # warm, force done
         t0 = time.perf_counter()
         _, ids = run(q, ch)
-        s = int(jnp.sum(jnp.clip(ids, 0, None)))  # force completion
+        int(jnp.sum(jnp.clip(ids, 0, None)))  # force completion
         qps = b_time / (time.perf_counter() - t0)
         try:
             ids_r = np.asarray(run(q[:b_rec], b_rec, check=True)[1])

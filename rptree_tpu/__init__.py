@@ -65,6 +65,7 @@ from .utils.draw import (
 )
 from .utils import ingest  # fvecs/bvecs/ivecs/idx readers + chunk sources
 from .utils.median import StreamingMedian
+from .utils import profiling  # named rpt_* scopes + trace()/sync() helpers
 from .utils.profiling import device_time
 from .utils.io import (
     deserialise_rp_forest,

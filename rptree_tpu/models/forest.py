@@ -202,9 +202,23 @@ def _grouped_auto_capacity(f, key, e, tile_m, tile_chunk, nt, run,
 
     if not hasattr(f, "_grouped_nt"):
         f._grouped_nt = {}
+    if not f._grouped_nt:
+        # capacities learned in an earlier process ride checkpoint
+        # headers (save_forest); they apply only under the pack layout
+        # they were measured on
+        saved = getattr(f, "_grouped_nt_saved", None)
+        if saved and saved.get("pack") == _pack_sig(f):
+            f._grouped_nt = {
+                tuple(int(v) for v in ks.split(",")): int(cap)
+                for ks, cap in saved["caps"].items()
+            }
     if not check and (nt is not None or key in f._grouped_nt):
         cap = _bucket(int(nt)) if nt is not None else f._grouped_nt[key]
-        out, _ = run(cap, min(tc, cap))  # needed stays on device
+        out, needed = run(cap, min(tc, cap))
+        # overflow telemetry WITHOUT a host sync: the psum-maxed needed
+        # count stays a device scalar; grouped_overflow() fetches it on
+        # demand (poll every N batches in a serving loop)
+        f._grouped_last = (needed, cap)
         return out
     cap = _bucket(int(nt)) if nt is not None else f._grouped_nt.get(
         key, _bucket(2 * e // int(tile_m) + e // (4 * int(tile_m))))
@@ -214,12 +228,37 @@ def _grouped_auto_capacity(f, key, e, tile_m, tile_chunk, nt, run,
         if needed <= cap or nt is not None:
             break
         cap = _bucket(needed + needed // 8)
+    f._grouped_last = (needed, cap)
     if nt is None:
         tight = _bucket(needed + needed // 8)
         cached = f._grouped_nt.get(key, 0)
         if cached < tight or cached > 2 * tight:
             f._grouped_nt[key] = tight
     return out
+
+
+def _pack_sig(f):
+    """JSON-safe signature of the serving layout a grouped tile capacity
+    was learned under (capacities are a function of the block structure;
+    a checkpointed capacity must never be replayed onto a different
+    layout -- a stale/tiny one silently masks pairs under
+    ``check=False``)."""
+    cfg = getattr(f, "_pack_cfg", None)
+    if cfg is None:
+        return None
+    d = cfg.get("dtype")
+    return {
+        "dtype": None if d is None else jnp.dtype(d).name,
+        "centered": bool(cfg.get("centered", False)),
+        "sub_block": int(cfg.get("sub_block", 1) or 1),
+        "sub_split": cfg.get("sub_split"),
+        "store": cfg.get("store", "blocks"),
+        "slack": int(getattr(f, "_pack_slack", 0)),
+        "mode": getattr(f, "_packed_mode", None),
+        # per-shard capacities are a function of the mesh shape too
+        "mesh": (dict((k, int(v)) for k, v in f.mesh.shape.items())
+                 if getattr(f, "mesh", None) is not None else None),
+    }
 
 
 def _sub_split_of(sub_split: str, s: int) -> str:
@@ -467,8 +506,23 @@ def _selection_tail_ids(d, ids_flat, k, kk, dedup, min_votes=1,
     """Candidate-id variant of :func:`_selection_tail` for scorers that
     already carry per-candidate POINT IDS (the fused top-k' kernel emits
     them straight from the tile DMA)."""
+    with jax.named_scope("rpt_topk_tail"):
+        return _selection_tail_ids_body(d, ids_flat, k, kk, dedup,
+                                        min_votes, selection)
+
+
+def _selection_tail_ids_body(d, ids_flat, k, kk, dedup, min_votes=1,
+                             selection="sort"):
     w = d.shape[1]
-    kk = min(kk, w)
+    if min_votes > 1:
+        # vote counting is exact only over the FULL candidate list: a
+        # fixed kk truncation can crowd a far candidate's vote copies out
+        # behind closer single-vote candidates and silently drop it.
+        # Matches the unpacked union filter (_knn -> dedup_ids) and the
+        # distributed paths' full-width merges.
+        kk = w
+    else:
+        kk = min(kk, w)
     if selection == "kernel" and min_votes == 1:
         # fused streaming top-k extraction (ops/topk_kernel): k serial
         # (min, first-position, mask-by-id) passes over VMEM-resident
@@ -524,6 +578,21 @@ def _score_blocks(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q, k,
     """
     lmax = x_leaf.shape[-2]
     b, probes = rows_sel.shape
+    # profiler region: the serving-side analog of the reference's
+    # {-# SCC insert #-}/rerank hot path (fetch + exact distances);
+    # see rptree_tpu.profiling
+    with jax.named_scope("rpt_rerank"):
+        return _score_blocks_body(plan, x_leaf, sq_leaf, id_leaf,
+                                  rows_sel, lsel, q, k, kk, metric, dedup,
+                                  precision, min_votes, block_scale,
+                                  block_len, block_center, selection,
+                                  lmax, b, probes)
+
+
+def _score_blocks_body(plan, x_leaf, sq_leaf, id_leaf, rows_sel, lsel, q,
+                       k, kk, metric, dedup, precision, min_votes,
+                       block_scale, block_len, block_center, selection,
+                       lmax, b, probes):
     if isinstance(x_leaf, EllBlocks):
         # sparse blocks: gather whole (cols, vals) blocks with the same
         # [B, P] index pattern, fetch the DENSE query at the stored
@@ -930,19 +999,23 @@ def _descend(plan, arrays, xnew):
     proj = jnp.einsum("md,tld->tml", xnew, arrays.r[:, :nl],
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-    child = plan.padded_child_table()
-    smax = child.shape[1]
-    m = xnew.shape[0]
-    code = jnp.zeros((t, m), jnp.int32)
-    leaf = jnp.full((t, m), -1, jnp.int32)
-    for l in range(nl):
-        my_thr = jnp.take_along_axis(arrays.thr[:, l, :], code, axis=1)
-        live = leaf < 0
-        side = (proj[:, :, l] >= my_thr).astype(jnp.int32)
-        nxt = jnp.asarray(child[l])[jnp.clip(code, 0, smax - 1), side]
-        leaf = jnp.where(live & (nxt < 0), -(nxt + 1), leaf)
-        code = jnp.where(live & (nxt >= 0), nxt, code)
-    return leaf
+    # profiler region named after the reference's {-# SCC insert #-} /
+    # {-# SCC insertMulti #-} (Internal.hs:244,257): the placement
+    # descent is the device-side share of fold()'s insert path
+    with jax.named_scope("rpt_insert"):
+        child = plan.padded_child_table()
+        smax = child.shape[1]
+        m = xnew.shape[0]
+        code = jnp.zeros((t, m), jnp.int32)
+        leaf = jnp.full((t, m), -1, jnp.int32)
+        for l in range(nl):
+            my_thr = jnp.take_along_axis(arrays.thr[:, l, :], code, axis=1)
+            live = leaf < 0
+            side = (proj[:, :, l] >= my_thr).astype(jnp.int32)
+            nxt = jnp.asarray(child[l])[jnp.clip(code, 0, smax - 1), side]
+            leaf = jnp.where(live & (nxt < 0), -(nxt + 1), leaf)
+            code = jnp.where(live & (nxt >= 0), nxt, code)
+        return leaf
 
 
 @jax.jit
@@ -1504,6 +1577,8 @@ class RPForest:
         self._sub_len_dev = None
         self._sub_len_rows_dev = None
         self._lens_global_dev = None
+        self._shared_all_probes = False
+        self._shared_len_loc = None
         # learned tile capacities are a function of the layout (sub
         # multiplies the pair count); stale entries would silently mask
         # pairs under check=False
@@ -2429,6 +2504,27 @@ class RPForest:
             tile_chunk, nt, run, check=check)
         return self._apply_update_hooks(qb[:b], d[:b], ids[:b], int(k),
                                         metric, precision)
+
+    def grouped_overflow(self) -> Optional[dict]:
+        """Overflow telemetry for the most recent :meth:`knn_grouped`
+        call (single-device or sharded -- the sharded count is already
+        psum-maxed across shards).
+
+        ``check=False`` steady-state serving silently masks overflow
+        pairs to +inf when a batch needs more tiles than the cached
+        capacity (a recall dip, never a wrong distance); the needed-tile
+        count stays a DEVICE scalar during serving, so the serving loop
+        itself never host-syncs.  Calling this fetches that one int (a
+        ~25ms tunnel round trip) and returns ``{"needed", "capacity",
+        "overflow"}`` -- poll it every N batches and re-run a checked
+        call (or :meth:`knn_grouped` with a larger ``nt``) when
+        ``overflow`` is True.  Returns None before any grouped call."""
+        last = getattr(self, "_grouped_last", None)
+        if last is None:
+            return None
+        needed, cap = last
+        n = int(needed)
+        return {"needed": n, "capacity": int(cap), "overflow": n > cap}
 
     def knn_pq(self, q, k: int, metric: str = "l2",
                budget: Optional[int] = None, precision: str = "highest"):

@@ -150,9 +150,10 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
     lmax = x_leaf.shape[-2]
 
     # ---- pair sort + tile assignment (shared with the kernel path) -------
-    tb, tp, needed, inv = _tile_tables(gsel, lsel, tile_m, nt,
-                                       with_slots=True)
-    lens = jnp.take(lens_of_block, tb)
+    with jax.named_scope("rpt_tile_tables"):
+        tb, tp, needed, inv = _tile_tables(gsel, lsel, tile_m, nt,
+                                           with_slots=True)
+        lens = jnp.take(lens_of_block, tb)
 
     # ---- score tile chunks (each materializes only tile_chunk blocks) ----
     rows_of = tb if row_of is None else jnp.take(row_of, tb)
@@ -245,18 +246,21 @@ def grouped_distances(x_leaf, sq_leaf, lens_of_block, gsel, lsel, q,
         tc = rows_i.shape[0]
         return d.reshape(tc * tile_m, lmax)
 
-    d_all = lax.map(
-        step,
-        (rows_of.reshape(ns, tile_chunk),
-         tp.reshape(ns, tile_chunk, tile_m),
-         lens.reshape(ns, tile_chunk)),
-    ).reshape(nt * tile_m, lmax)
+    with jax.named_scope("rpt_grouped_score"):
+        d_all = lax.map(
+            step,
+            (rows_of.reshape(ns, tile_chunk),
+             tp.reshape(ns, tile_chunk, tile_m),
+             lens.reshape(ns, tile_chunk)),
+        ).reshape(nt * tile_m, lmax)
 
     # ---- reorder each pair's distance row back to its slot ---------------
     # (inverse-permutation row GATHER via the `inv` table that rides the
     # tile sort; the row-scatter form measured ~2x this on v5e)
-    pad = jnp.concatenate([d_all, jnp.full((1, lmax), jnp.inf)], axis=0)
-    return jnp.take(pad, inv, axis=0).reshape(b, p, lmax), needed
+    with jax.named_scope("rpt_pair_reorder"):
+        pad = jnp.concatenate([d_all, jnp.full((1, lmax), jnp.inf)],
+                              axis=0)
+        return jnp.take(pad, inv, axis=0).reshape(b, p, lmax), needed
 
 
 def grouped_topk_kernel(x_leaf, sq_leaf, id_leaf, lens_of_block, gsel,

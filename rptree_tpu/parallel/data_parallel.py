@@ -629,6 +629,84 @@ def _dp_pack_ell(mesh, plan, n_trees, perm, cols, vals, dtype_str,
     )(perm, cols, vals, pos_arr, in_leaf_arr)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _dp_shared_counts(mesh, perm, x, pos_arr, in_leaf_arr):
+    """Per-shard LOCAL member counts of every (tree, leaf) block for the
+    data-parallel shared-row layout (shard s owns rows
+    ``[s*n_l, (s+1)*n_l)``).  The host max of the output fixes the static
+    local slot width before :func:`_dp_shared_tables` compacts.  Returns
+    ``int32[S * T * n_leaves]`` sharded over the data axis -- ALSO the
+    serving-side occupancy (``block_len``) of the local tables."""
+
+    def block(perm_r, x_l, pos_r, in_r):
+        me = lax.axis_index(DATA_AXIS)
+        n_l = x_l.shape[0]
+        base = me * n_l
+
+        def per_tree(perm_t):
+            ids = jnp.take(perm_t, pos_r)        # [nl, lmax]
+            local = ids - base
+            mine = in_r & (local >= 0) & (local < n_l)
+            return jnp.sum(mine, axis=-1).astype(jnp.int32)
+
+        return lax.map(per_tree, perm_r).reshape(-1)
+
+    return jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(), P()),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )(perm, x, pos_arr, in_leaf_arr)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "lmax_loc"))
+def _dp_shared_tables(mesh, perm, x, sq, pos_arr, in_leaf_arr, lmax_loc):
+    """Per-shard slot tables for the data-parallel shared-row layout:
+    each block's LOCAL members compacted (stable) to the front of a
+    static ``lmax_loc``-slot row -- local row indices for the fetch
+    (:class:`~rptree_tpu.ops.shared.SharedRows` ``ids``), global point
+    ids for the output, per-slot squared norms.  Entirely shard-local
+    (no collectives, no row movement; the rows never leave their owner).
+    ``lax.map`` over trees keeps peak memory at one tree's id table."""
+
+    def block(perm_r, x_l, sq_l, pos_r, in_r):
+        me = lax.axis_index(DATA_AXIS)
+        n_l = x_l.shape[0]
+        base = me * n_l
+        lmax = pos_r.shape[1]
+
+        def per_tree(perm_t):
+            ids = jnp.take(perm_t, pos_r)        # [nl, lmax]
+            local = ids - base
+            mine = in_r & (local >= 0) & (local < n_l)
+            # stable compaction of owned slots to the front (slot order
+            # within a leaf is preserved -- determinism for tests)
+            key = jnp.where(
+                mine, jnp.arange(lmax, dtype=jnp.int32)[None, :], lmax)
+            key_s, loc_s = lax.sort(
+                (key, jnp.where(mine, local, 0)), num_keys=1)
+            ok = key_s[:, :lmax_loc] < lmax
+            loc_c = jnp.where(ok, loc_s[:, :lmax_loc], -1)
+            sq_t = jnp.where(
+                ok, jnp.take(sq_l, jnp.clip(loc_c, 0, None)), 0.0)
+            gid = jnp.where(ok, loc_c + base, -1)
+            return loc_c, gid, sq_t
+
+        loc, gid, sq_t = lax.map(per_tree, perm_r)
+        t, nl = perm_r.shape[0], pos_r.shape[0]
+        return (loc.reshape(t * nl, lmax_loc),
+                gid.reshape(t * nl, lmax_loc),
+                sq_t.reshape(t * nl, lmax_loc))
+
+    d_ax = P(DATA_AXIS)
+    return jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), d_ax, d_ax, P(), P()),
+        out_specs=(d_ax, d_ax, d_ax),
+        check_vma=False,
+    )(perm, x, sq, pos_arr, in_leaf_arr)
+
+
 class DataParallelForest(RPForest):
     """An :class:`RPForest` whose DATASET is sharded over points on a
     1-D device mesh -- for datasets beyond one chip's HBM.
@@ -688,6 +766,7 @@ class DataParallelForest(RPForest):
                 block_len=bl_r, block_len_global=bl_g,
                 block_center=getattr(self, "_block_center", None),
                 sub=sub,
+                all_probes=getattr(self, "_shared_all_probes", False),
             )
         else:
             if self.x is None:
@@ -742,6 +821,7 @@ class DataParallelForest(RPForest):
             block_len=bl_r, block_len_global=bl_g,
             block_center=getattr(self, "_block_center", None),
             sub=sub,
+            all_probes=getattr(self, "_shared_all_probes", False),
         )
         return self._apply_update_hooks(qb[:b], d[:b], i[:b], int(k),
                                         metric, precision)
@@ -786,6 +866,7 @@ class DataParallelForest(RPForest):
                 block_len=bl_r, block_len_global=bl_g,
                 block_center=getattr(self, "_block_center", None),
                 sub=sub,
+                all_probes=getattr(self, "_shared_all_probes", False),
             )
             return self._apply_update_hooks(qb[:b], out[0][:b], out[1][:b],
                                             int(k), metric, precision)
@@ -892,7 +973,65 @@ class DataParallelForest(RPForest):
             self._sub_block = 1
             self._sub_len_dev = None
             self._sub_len_rows_dev = None
+            self._shared_all_probes = False
+            self._shared_len_loc = None
             self.pack_leaves(slack=self._pack_slack, **cfg_p)
+        return self
+
+    def _pack_shared_dp(self, dtype) -> "DataParallelForest":
+        """Shared-row serving from the POINT-SHARDED dataset: the row
+        store is each shard's own dataset slice (no row copies anywhere)
+        plus per-shard compacted slot tables of the LOCAL members of
+        every (tree, leaf) block.  Serving runs the ``all_probes`` mode
+        of :func:`~rptree_tpu.parallel.distributed._dist_knn_leaf_sharded`:
+        every shard scores every selected probe against its partial
+        blocks (exact -- each member row is owned by exactly one shard;
+        per-shard fetch/score work ~ 1/S plus ownership-skew padding).
+        Per-chip memory: the N*D/S dataset slice + ~T*N/S id-table
+        entries -- T x below the blocked leaf-sharded layout, the true
+        >HBM regime.  Reference analogue: one vector store per forest,
+        ``src/Data/RPTree/Internal.hs:182``."""
+        from ..models.forest import _DTYPE_OF, _dtype_str, _tile_align
+        from ..ops.shared import SharedRows
+
+        plan = self.plan
+        dtype_str = _dtype_str(dtype)
+        lmax = _tile_align(max(plan.max_leaf_len, 1), dtype_str)
+        starts = np.asarray(plan.leaf_start)
+        lens = np.asarray(plan.leaf_len)
+        offs = np.arange(lmax, dtype=np.int32)
+        pos = np.where(offs < lens[:, None],
+                       starts[:, None] + offs, 0).astype(np.int32)
+        in_leaf = offs < lens[:, None]
+        repl = NamedSharding(self.mesh, P())
+        pos_d = jax.device_put(jnp.asarray(pos), repl)
+        in_d = jax.device_put(jnp.asarray(in_leaf), repl)
+        len_loc = _dp_shared_counts(self.mesh, self.arrays.perm, self.x,
+                                    pos_d, in_d)
+        # static local slot width: the max local member count over every
+        # (block, shard), 8-row aligned (gather tiling), never past lmax
+        lmax_loc = int(jnp.max(len_loc))
+        lmax_loc = min(max(-(-max(lmax_loc, 1) // 8) * 8, 8), lmax)
+        loc, gid, sq_t = _dp_shared_tables(self.mesh, self.arrays.perm,
+                                           self.x, self.sq_norms, pos_d,
+                                           in_d, lmax_loc)
+        rows = (self.x if _DTYPE_OF[dtype_str] is None
+                else self.x.astype(_DTYPE_OF[dtype_str]))
+        self._packed = (SharedRows(rows, loc), sq_t, gid)
+        self._packed_mode = "leaf"
+        self._shared_all_probes = True
+        self._shared_len_loc = len_loc
+        self._pack_slack = 0
+        self._block_scale = None
+        self._block_center = None
+        self._sub_block = 1
+        self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
+                          "store": "shared"}
+        self._small = tuple(
+            jax.device_put(a, repl)
+            for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,
+                      self.arrays.mgh)
+        )
         return self
 
     def _rebuild_rows_ell(self):
@@ -968,22 +1107,20 @@ class DataParallelForest(RPForest):
         if shard_by not in (None, "leaf"):
             raise ValueError("DataParallelForest packs shard_by='leaf' "
                              "only (the memory-complete layout)")
-        if store != "blocks":
-            raise NotImplementedError(
-                "store='shared' is single-device only; the leaf-sharded "
-                "blocked layout already holds 1/S of the index per chip")
         shard_by = "leaf"
         # validate BEFORE any state changes (see RPForest.pack_leaves):
         # an invalid call must never destroy the serving layout
         self._validate_pack_args(dtype, slack, centered, sub_block,
-                                 sub_split)
+                                 sub_split, store=store)
         if self._packed is not None:
             # same layout -> idempotent no-op; different -> repack (see
             # RPForest.pack_leaves)
             if self._same_pack(dtype, slack, centered, sub_block,
-                               sub_split, shard_by=shard_by):
+                               sub_split, shard_by=shard_by, store=store):
                 return self
             self._clear_pack_for_repack()
+        if store == "shared":
+            return self._pack_shared_dp(dtype)
         from ..models.forest import _dtype_str
 
         s_blk = int(sub_block) if sub_block else 1

@@ -49,6 +49,7 @@ from ..models.forest import (
 from ..models.plan import make_plan
 from ..ops.build import TreeArrays, build_forest_arrays
 from ..ops.sparse import EllBlocks, EllMatrix
+from ..ops.shared import SharedRows
 from ..ops.rerank import gather_leaf_points, merge_top_k, rerank_top_k
 from ..utils import gen as rgen
 from .mesh import QUERY_AXIS, TREE_AXIS, forest_mesh
@@ -238,9 +239,15 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
         return d.reshape(b, -1), i.reshape(b, -1)
 
     t_ax = P(TREE_AXIS)
-    packed_spec = (None if packed is None
-                   else (t_ax, t_ax, t_ax,
-                         None if packed[3] is None else t_ax))
+    if packed is None:
+        packed_spec = None
+    else:
+        # shared-row layout: the single row store is REPLICATED (every
+        # tree indexes every point); only the slot->id / sq tables shard
+        x_spec = (SharedRows(P(), t_ax)
+                  if isinstance(packed[0], SharedRows) else t_ax)
+        packed_spec = (x_spec, t_ax, t_ax,
+                       None if packed[3] is None else t_ax)
     bl_spec = None if block_len is None else t_ax
     blg_spec = None if block_len_global is None else P()
     bc_spec = None if block_center is None else (t_ax, t_ax)
@@ -260,14 +267,15 @@ def _dist_knn(mesh, plan, arrays, x, sq_norms, q, k, budget, probes, metric,
     static_argnames=("mesh", "plan", "k", "budget", "probes",
                      "probes_per_shard", "metric", "dedup", "precision",
                      "min_votes", "bucket_stop", "axis", "chunk", "sub",
-                     "grouped_cfg"),
+                     "grouped_cfg", "all_probes"),
 )
 def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
                            probes_per_shard, metric, dedup, precision,
                            min_votes=1, bucket_stop=False,
                            block_scale=None, axis=TREE_AXIS, chunk=None,
                            block_len=None, block_len_global=None,
-                           block_center=None, sub=1, grouped_cfg=None):
+                           block_center=None, sub=1, grouped_cfg=None,
+                           all_probes=False):
     """kNN with the leaf blocks sharded round-robin across the tree axis
     (per-chip index memory = 1/S of the total).  Every shard traverses the
     whole (small, replicated) forest structure for its queries, keeps the
@@ -294,6 +302,15 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     ``selection`` picks each shard's pre-merge candidate tail
     (``"kernel"`` = the fused streaming top-k of
     :mod:`rptree_tpu.ops.topk_kernel`, TPU only).
+
+    ``all_probes=True`` is the data-parallel SHARED-ROW mode: every
+    shard holds a slot table for EVERY block (its LOCAL members only,
+    compacted; the row store is the point-sharded dataset itself), so
+    there is no ownership filter -- each shard scores all selected
+    probes against its partial blocks and the merge assembles exact
+    results (every member of a probed leaf is owned by exactly one
+    shard).  ``probes_per_shard`` is ignored; occupancy must arrive via
+    ``block_len`` (the per-shard local member counts).
     """
 
     def chunk_body(r, thr, mgl, mgh, x_leaf_l, sq_leaf_l, id_leaf_l,
@@ -317,18 +334,28 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
         gsel, lsel = _select_probes(plan, arrays_small, q_l, budget, probes,
                                     k=k, bucket_stop=bucket_stop,
                                     block_len=bl_g, tabs=tabs)
-        mine = (lsel >= 0) & (gsel % n_sh == me)
-        # keep my highest-priority owned probes (probe slots arrive in
-        # priority order from _select_probes), compacted to the front by a
-        # small payload-carrying sort on the slot position
-        rank = jnp.cumsum(mine.astype(jnp.int32), axis=-1)
-        keep = mine & (rank <= probes_per_shard)
-        m = gsel.shape[-1]
-        key = jnp.where(keep, jnp.arange(m, dtype=jnp.int32)[None, :], m)
-        key_s, g_s, l_s = lax.sort((key, gsel, lsel), num_keys=1)
-        pad_mask = key_s[:, :probes_per_shard] >= m
-        l_s = jnp.where(pad_mask, -1, l_s[:, :probes_per_shard])
-        rows = jnp.where(pad_mask, 0, g_s[:, :probes_per_shard] // n_sh)
+        if all_probes:
+            # data-parallel shared rows: every shard scores ALL selected
+            # probes against its local members of each block (rows index
+            # the full [G, lmax_loc] local table directly); no ownership
+            # filter -- each member row is owned by exactly one shard
+            rows = jnp.where(lsel >= 0, gsel, 0)
+            l_s = lsel
+        else:
+            mine = (lsel >= 0) & (gsel % n_sh == me)
+            # keep my highest-priority owned probes (probe slots arrive
+            # in priority order from _select_probes), compacted to the
+            # front by a small payload-carrying sort on the slot position
+            rank = jnp.cumsum(mine.astype(jnp.int32), axis=-1)
+            keep = mine & (rank <= probes_per_shard)
+            m = gsel.shape[-1]
+            key = jnp.where(keep, jnp.arange(m, dtype=jnp.int32)[None, :],
+                            m)
+            key_s, g_s, l_s = lax.sort((key, gsel, lsel), num_keys=1)
+            pad_mask = key_s[:, :probes_per_shard] >= m
+            l_s = jnp.where(pad_mask, -1, l_s[:, :probes_per_shard])
+            rows = jnp.where(pad_mask, 0,
+                             g_s[:, :probes_per_shard] // n_sh)
         if sub > 1:
             # ownership is at LEAF granularity (leaf g on shard g % S at
             # local leaf row g // S); its sub-blocks are the s contiguous
@@ -446,10 +473,21 @@ def _dist_knn_leaf_sharded(mesh, plan, small, packed, q, k, budget, probes,
     q_spec = P(QUERY_AXIS) if QUERY_AXIS in mesh.shape else P()
     out_specs = ((q_spec, q_spec) if grouped_cfg is None
                  else (q_spec, q_spec, P()))
+    if isinstance(packed[0], SharedRows):
+        # shared-row layouts: the slot tables shard; the row store is
+        # either the point-sharded dataset (all_probes, data mesh) or a
+        # replicated single copy (leaf-round-robin tables on the tree
+        # mesh)
+        if all_probes and block_len is None:
+            raise ValueError("all_probes shared-row serving needs the "
+                             "per-shard local occupancy via block_len")
+        x_spec = SharedRows(P(axis) if all_probes else P(), P(axis))
+    else:
+        x_spec = P(axis)
     return jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P(axis),
+        in_specs=(P(), P(), P(), P(), x_spec, P(axis),
                   P(axis), scale_spec, bl_spec, blg_spec, bc_spec,
                   q_spec),
         out_specs=out_specs,
@@ -640,6 +678,11 @@ def _serving_lens(f):
     sub = getattr(f, "_sub_block", 1)
     if sub > 1:
         return f._sub_len_rows_dev, None, sub
+    ll = getattr(f, "_shared_len_loc", None)
+    if ll is not None:
+        # data-parallel shared rows: per-shard LOCAL member counts of
+        # every block (static; shared layouts never fold)
+        return ll, None, 1
     return (getattr(f, "_block_len_rows_dev", None), f._block_len_dev, 1)
 
 
@@ -682,8 +725,10 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
     bl_r, bl_g, sub = _serving_lens(f)
     if probes is None:
         probes = f.n_trees * budget
-    if probes_per_shard is None:
-        probes_per_shard = int(probes)  # exact by default
+    if probes_per_shard is None or getattr(f, "_shared_all_probes", False):
+        # exact by default; the all-probes shared-row mode has no
+        # ownership truncation at all (every shard scores every probe)
+        probes_per_shard = int(probes)
     s_q = f.mesh.shape.get(QUERY_AXIS, 1)
     b_local = -(-qb.shape[0] // s_q)
     if chunk is not None:
@@ -706,7 +751,8 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
             block_len=bl_r, block_len_global=bl_g,
             block_center=getattr(f, "_block_center", None),
             sub=sub, axis=axis, chunk=chunk,
-            grouped_cfg=(int(tile_m), cap, tc_eff, impl, selection))
+            grouped_cfg=(int(tile_m), cap, tc_eff, impl, selection),
+            all_probes=getattr(f, "_shared_all_probes", False))
         return (d, i), needed
 
     from ..models.forest import _grouped_auto_capacity
@@ -783,6 +829,12 @@ class DistributedForest(RPForest):
         already packed (so a dtype-only repack never silently converts a
         memory-complete leaf-sharded layout into the T_local-x-dataset
         tree layout) and means ``"tree"`` on a first pack.
+
+        ``store="shared"`` keeps ONE replicated row store (the dataset
+        array) and shards only the per-block slot->id / squared-norm
+        tables (by tree group or round-robin by leaf) -- the
+        memory-bounded layout for datasets near HBM capacity, see
+        :meth:`RPForest.pack_leaves` and :meth:`_pack_shared_sharded`.
         """
         # validate EVERYTHING before any state changes: a repack drops
         # the old layout first, so argument errors must fire while the
@@ -793,15 +845,8 @@ class DistributedForest(RPForest):
             shard_by = shard_by or "tree"
         if shard_by not in ("tree", "leaf"):
             raise ValueError("shard_by must be 'tree' or 'leaf'")
-        if store != "blocks":
-            raise NotImplementedError(
-                "store='shared' is single-device only; the leaf-sharded "
-                "blocked layout (shard_by='leaf') already holds 1/S of "
-                "the index per chip")
-        if isinstance(self.x, EllMatrix) and shard_by != "tree":
-            raise ValueError("sparse blocks shard by tree only")
         self._validate_pack_args(dtype, slack, centered, sub_block,
-                                 sub_split)
+                                 sub_split, store=store)
         s_blk = int(sub_block) if sub_block else 1
         from ..models.forest import _sub_split_of
 
@@ -810,16 +855,20 @@ class DistributedForest(RPForest):
             # same layout (incl. shard mode) -> idempotent no-op;
             # different -> repack (see RPForest.pack_leaves)
             if self._same_pack(dtype, slack, centered, sub_block,
-                               sub_split, shard_by=shard_by):
+                               sub_split, shard_by=shard_by, store=store):
                 return self
             self._clear_pack_for_repack()
+        if self._packed is None and store == "shared":
+            return self._pack_shared_sharded(dtype, shard_by)
         if self._packed is None:
             if isinstance(self.x, EllMatrix):
-                # sparse (EllBlocks) packing, sharded over the tree axis:
-                # the blocks are computed once and resharded by tree group
-                # (cols/vals/sq/ids all lead with the [T * n_leaves] axis)
-                if shard_by != "tree":
-                    raise ValueError("sparse blocks shard by tree only")
+                # sparse (EllBlocks) packing: blocks are computed once and
+                # resharded by tree group (``shard_by="tree"``; cols/vals/
+                # sq/ids all lead with the [T * n_leaves] axis) or
+                # round-robin by global block id (``shard_by="leaf"`` --
+                # per-chip memory 1/S of the sparse index, the layout
+                # that matters at bag-of-words scale; reference headline
+                # type SVector, Internal.hs:92-119)
                 if centered:
                     raise ValueError("centered quantization applies to "
                                      "dense blocks only")
@@ -827,10 +876,40 @@ class DistributedForest(RPForest):
                 if self._packed is None:
                     return self
                 sh = NamedSharding(self.mesh, P(TREE_AXIS))
-                self._packed = jax.tree.map(
-                    lambda a: jax.device_put(a, sh), self._packed
+                if shard_by == "tree":
+                    self._packed = jax.tree.map(
+                        lambda a: jax.device_put(a, sh), self._packed
+                    )
+                    self._packed_mode = "tree"
+                    return self
+                # leaf round-robin: block g on shard g % S at row g // S,
+                # exactly the dense leaf-sharded layout (fold() keeps
+                # working through the same storage-row map)
+                blocks, sq, ids = self._packed
+                g = blocks.cols.shape[0]
+                n_sh = self.mesh.shape[TREE_AXIS]
+                pad = (-g) % n_sh
+                idx = np.arange(g + pad)
+                rr = np.concatenate([idx[s::n_sh] for s in range(n_sh)])
+                pad_row = rr >= g if pad else np.zeros_like(rr, bool)
+                rr = jnp.asarray(np.clip(rr, 0, g - 1).astype(np.int32))
+                cols = jax.device_put(jnp.take(blocks.cols, rr, axis=0),
+                                      sh)
+                vals = jax.device_put(jnp.take(blocks.vals, rr, axis=0),
+                                      sh)
+                sq = jax.device_put(jnp.take(sq, rr, axis=0), sh)
+                ids = jnp.take(ids, rr, axis=0)
+                ids = jax.device_put(
+                    jnp.where(jnp.asarray(pad_row)[:, None], -1, ids), sh)
+                self._packed = (EllBlocks(blocks.dim, cols, vals), sq,
+                                ids)
+                repl = NamedSharding(self.mesh, P())
+                self._small = tuple(
+                    jax.device_put(a, repl)
+                    for a in (self.arrays.r, self.arrays.thr,
+                              self.arrays.mgl, self.arrays.mgh)
                 )
-                self._packed_mode = "tree"
+                self._packed_mode = "leaf"
                 return self
             if shard_by == "tree":
                 from ..models.forest import _dtype_str
@@ -953,6 +1032,72 @@ class DistributedForest(RPForest):
                           self.arrays.mgh)
             )
             self._packed_mode = "leaf"
+        return self
+
+    def _pack_shared_sharded(self, dtype, shard_by: str):
+        """Shared-row serving layout on the tree mesh: ONE replicated row
+        store (the dataset array -- every tree indexes every point, so
+        the rows cannot shard by leaf) plus sharded per-block slot->id /
+        squared-norm tables (``ops/shared.py`` has the memory/bandwidth
+        trade).  ``shard_by="tree"`` shards the tables by tree group;
+        ``shard_by="leaf"`` round-robins them by global block id so each
+        shard serves only the probes it owns (per-shard table memory =
+        1/S of the id tables; per-shard scoring work ~ probes/S).
+        Reference analogue: one vector store per forest,
+        ``src/Data/RPTree/Internal.hs:182``."""
+        from ..models.forest import (_DTYPE_OF, _dtype_str,
+                                     _pack_shared_tables, _tile_align)
+
+        plan = self.plan
+        dtype_str = _dtype_str(dtype)
+        lmax = _tile_align(max(plan.max_leaf_len, 1), dtype_str)
+        starts = np.asarray(plan.leaf_start)
+        lens = np.asarray(plan.leaf_len)
+        offs = np.arange(lmax, dtype=np.int32)
+        pos = np.where(offs < lens[:, None],
+                       starts[:, None] + offs, 0).astype(np.int32)
+        in_leaf = offs < lens[:, None]
+        repl = NamedSharding(self.mesh, P())
+        ids, sq = _pack_shared_tables(self.arrays.perm, self.sq_norms,
+                                      jnp.asarray(pos),
+                                      jnp.asarray(in_leaf))
+        g = self.n_trees * plan.n_leaves
+        ids = ids.reshape(g, lmax)
+        sq = sq.reshape(g, lmax)
+        rows = (self.x if _DTYPE_OF[dtype_str] is None
+                else self.x.astype(_DTYPE_OF[dtype_str]))
+        rows = jax.device_put(rows, repl)
+        sh = NamedSharding(self.mesh, P(TREE_AXIS))
+        if shard_by == "tree":
+            ids = jax.device_put(ids, sh)
+            sq = jax.device_put(sq, sh)
+            self._packed_mode = "tree"
+        else:
+            # round-robin at block granularity, exactly the blocked
+            # leaf-sharded layout (block g on shard g % S at row g // S)
+            n_sh = self.mesh.shape[TREE_AXIS]
+            pad = (-g) % n_sh
+            idx = np.arange(g + pad)
+            rr = np.concatenate([idx[s::n_sh] for s in range(n_sh)])
+            pad_row = rr >= g if pad else np.zeros_like(rr, bool)
+            rr = np.clip(rr, 0, g - 1).astype(np.int32)
+            ids = jnp.take(ids, jnp.asarray(rr), axis=0)
+            ids = jax.device_put(
+                jnp.where(jnp.asarray(pad_row)[:, None], -1, ids), sh)
+            sq = jax.device_put(jnp.take(sq, jnp.asarray(rr), axis=0), sh)
+            self._small = tuple(
+                jax.device_put(a, repl)
+                for a in (self.arrays.r, self.arrays.thr, self.arrays.mgl,
+                          self.arrays.mgh)
+            )
+            self._packed_mode = "leaf"
+        self._packed = (SharedRows(rows, ids), sq, ids)
+        self._pack_slack = 0
+        self._block_scale = None
+        self._block_center = None
+        self._sub_block = 1
+        self._pack_cfg = {"dtype": _DTYPE_OF[dtype_str],
+                          "store": "shared"}
         return self
 
     def knn(self, q, k: int, metric: str = "l2",
@@ -1190,6 +1335,8 @@ class DistributedForest(RPForest):
             self._sub_block = 1
             self._sub_len_dev = None
             self._sub_len_rows_dev = None
+            self._shared_all_probes = False
+            self._shared_len_loc = None
             self.pack_leaves(shard_by=mode or "tree",
                              slack=self._pack_slack, **cfg_p)
         return self
@@ -1236,9 +1383,16 @@ def distribute(forest: RPForest, mesh: Optional[Mesh] = None
     repl = NamedSharding(mesh, P())
     x = jax.device_put(forest.x, repl)
     sq = jax.device_put(forest.sq_norms, repl)
-    return DistributedForest(forest.plan, arrays, x, sq, forest.config,
-                             mesh, payloads=forest.payloads,
-                             seed=forest.seed)
+    out = DistributedForest(forest.plan, arrays, x, sq, forest.config,
+                            mesh, payloads=forest.payloads,
+                            seed=forest.seed)
+    saved = getattr(forest, "_grouped_nt_saved", None)
+    if saved is not None:
+        # checkpointed grouped capacities (utils/io.py) follow the forest
+        # through resharding; they install only if the pack signature --
+        # which includes the mesh shape -- matches
+        out._grouped_nt_saved = saved
+    return out
 
 
 def forest_batch_distributed(

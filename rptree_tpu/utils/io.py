@@ -50,7 +50,7 @@ def _check_clean(forest: RPForest):
 
 
 def _header(forest: RPForest) -> dict:
-    return {
+    h = {
         "format_version": _FORMAT_VERSION,
         "n": forest.plan.n,
         "max_depth": forest.plan.max_depth,
@@ -70,6 +70,22 @@ def _header(forest: RPForest) -> dict:
         },
         "seed": forest.seed if isinstance(forest.seed, int) else None,
     }
+    # learned grouped tile capacities (knn_grouped auto-sizing), tagged
+    # with the pack-layout signature they were measured under: a restored
+    # server can serve check=False immediately without re-walking the
+    # auto-capacity ladder, but only if it repacks the SAME layout
+    caps = getattr(forest, "_grouped_nt", None)
+    if caps:
+        from ..models.forest import _pack_sig
+
+        sig = _pack_sig(forest)
+        if sig is not None:
+            h["grouped_nt"] = {
+                "pack": sig,
+                "caps": {",".join(str(int(v)) for v in k): int(cap)
+                         for k, cap in caps.items()},
+            }
+    return h
 
 
 def _pack(forest: RPForest, tree: Optional[int] = None) -> dict:
@@ -118,8 +134,13 @@ def _unpack(header: dict, z) -> RPForest:
     if "payloads" in z:
         payloads = pickle.loads(z["payloads"].tobytes())
     cfg = ForestConfig(**header["config"])
-    return RPForest(plan, arrays, x, sq, cfg, payloads=payloads,
-                    seed=header.get("seed"))
+    f = RPForest(plan, arrays, x, sq, cfg, payloads=payloads,
+                 seed=header.get("seed"))
+    if "grouped_nt" in header:
+        # installed lazily by _grouped_auto_capacity once the forest is
+        # packed with the matching layout
+        f._grouped_nt_saved = header["grouped_nt"]
+    return f
 
 
 def save_forest(path: str, forest: RPForest) -> None:
@@ -367,5 +388,8 @@ def load_forest_sharded(dirpath: str, mesh=None):
     if "payloads" in common:
         payloads = pickle.loads(common["payloads"].tobytes())
     cfg = ForestConfig(**header["config"])
-    return DataParallelForest(plan, arrays, x, sq, cfg, mesh,
-                              payloads=payloads, seed=header.get("seed"))
+    f = DataParallelForest(plan, arrays, x, sq, cfg, mesh,
+                           payloads=payloads, seed=header.get("seed"))
+    if "grouped_nt" in header:
+        f._grouped_nt_saved = header["grouped_nt"]
+    return f

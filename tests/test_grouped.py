@@ -257,3 +257,24 @@ def test_grouped_capacity_cache_policy():
     f._grouped_nt[key] = learned * 8
     f.knn_grouped(q, K, tile_chunk=16)
     assert f._grouped_nt[key] <= 2 * learned
+
+
+def test_grouped_overflow_telemetry():
+    """check=False overflow is DETECTABLE without a per-batch host sync:
+    the needed-tile count rides as a device scalar and
+    grouped_overflow() fetches it on demand (VERDICT r4 item 4)."""
+    f, q = _mk()
+    assert f.grouped_overflow() is None
+    d0, i0 = map(np.asarray, f.knn_grouped(q, K))
+    ov = f.grouped_overflow()
+    assert ov is not None and not ov["overflow"]
+    assert 0 < ov["needed"] <= ov["capacity"]
+    # explicit undersized capacity in steady-state mode: pairs silently
+    # mask (soft recall dip), and the telemetry reports the overflow
+    f.knn_grouped(q, K, nt=8, tile_chunk=8, check=False)
+    ov2 = f.grouped_overflow()
+    assert ov2["overflow"] and ov2["needed"] == ov["needed"]
+    assert ov2["capacity"] == 8
+    # healthy steady-state serving reports no overflow
+    f.knn_grouped(q, K, check=False)
+    assert not f.grouped_overflow()["overflow"]

@@ -151,3 +151,36 @@ def test_sharded_checkpoint_ell_roundtrip(tmp_path):
     d2, i2 = map(np.asarray, g.knn(q, 5, budget=8))
     np.testing.assert_allclose(d1, d2, atol=1e-5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_saved_grouped_capacities_roundtrip(tmp_path):
+    """Learned grouped tile capacities persist through save_forest and
+    reinstall on a restored server that repacks the SAME layout -- the
+    first check=False call then serves without re-walking the
+    auto-capacity ladder (VERDICT r4 item 4).  A different layout (or no
+    pack) must NOT inherit them."""
+    f = _forest()
+    f.pack_leaves()
+    q = np.asarray(rgen.data_batch(5, 16, lambda k, m: rgen.dense(k, m, 6)),
+                   np.float32)
+    d0, i0 = map(np.asarray, f.knn_grouped(q, 3))
+    assert f._grouped_nt
+    p = str(tmp_path / "forest.npz")
+    rp.save_forest(p, f)
+    g = rp.load_forest(p)
+    g.pack_leaves()
+    # steady-state call works IMMEDIATELY (capacity from the checkpoint;
+    # check=False with an unknown key would otherwise validate+cache)
+    d1, i1 = map(np.asarray, g.knn_grouped(q, 3, check=False))
+    np.testing.assert_array_equal(i0, i1)
+    assert g._grouped_nt == f._grouped_nt
+    # a DIFFERENT pack layout must not inherit the capacities: the
+    # stored signature no longer matches, so the lazy install refuses
+    # and the first call validates fresh
+    from rptree_tpu.models.forest import _pack_sig
+
+    g2 = rp.load_forest(p)
+    g2.pack_leaves(slack=4)
+    assert _pack_sig(g2) != g2._grouped_nt_saved["pack"]
+    d2, i2 = map(np.asarray, g2.knn_grouped(q, 3, check=False))
+    np.testing.assert_array_equal(i0, i2)

@@ -277,6 +277,50 @@ def test_sparse_packed_tree_sharded(queries):
     np.testing.assert_allclose(d2, d3, atol=1e-6)
 
 
+def test_sparse_packed_leaf_sharded(queries):
+    """ELL blocks round-robin by LEAF across the mesh (1/S of the sparse
+    index per chip -- the layout that matters at bag-of-words scale):
+    per-pair, grouped, batched, and knn_h all match the single-device
+    packed sparse path; fold() writes through the round-robin map."""
+    from rptree_tpu.ops.sparse import EllMatrix
+
+    rng = np.random.default_rng(61)
+    cols = np.stack([np.sort(rng.choice(DIM, size=5, replace=False))
+                     for _ in range(800)]).astype(np.int32)
+    vals = rng.normal(size=(800, 5)).astype(np.float32)
+    m = EllMatrix(DIM, jnp.asarray(cols), jnp.asarray(vals))
+    single = rt.forest_batch(3, 5, 16, T, 1.0, m).pack_leaves()
+    d1, i1 = map(np.asarray, single.knn(queries, 5, budget=8))
+    dh1, ih1 = map(np.asarray, single.knn_h(queries, 5, budget=8))
+    dist = forest_batch_distributed(
+        3, 5, 16, T, 1.0, m, mesh=forest_mesh(4, 2)
+    ).pack_leaves(shard_by="leaf", slack=8)
+    assert dist._packed_mode == "leaf"
+    d2, i2 = map(np.asarray, dist.knn(queries, 5, budget=8))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    for b in range(queries.shape[0]):
+        assert set(i1[b].tolist()) == set(i2[b].tolist())
+    dg, ig = map(np.asarray, dist.knn_grouped(queries, 5, budget=8))
+    np.testing.assert_allclose(d1, dg, atol=1e-4)
+    db, ib = map(np.asarray, dist.knn_batched(queries[:12], 5, budget=8,
+                                              chunk=3))
+    np.testing.assert_allclose(d1[:12], db, atol=1e-5)
+    dh2, ih2 = map(np.asarray, dist.knn_h(queries, 5, budget=8))
+    np.testing.assert_allclose(dh1, dh2, atol=1e-5)
+    # fold through the round-robin storage map (sparse new points)
+    new = np.zeros((2, DIM), np.float32)
+    new[0, [1, 5, 9]] = (0.5, -0.25, 1.0)
+    new[1, [2, 3]] = (1.5, 0.75)
+    dist.add(new)
+    dist.fold()
+    assert dist.n_folded == 2 and dist.n_pending == 0
+    _, ids = map(np.asarray, dist.knn(new, 1, budget=8))
+    assert ids[0, 0] == 800 and ids[1, 0] == 801
+    # grouped reads the dynamic storage-row occupancies after fold
+    _, idg = map(np.asarray, dist.knn_grouped(new, 1, budget=8))
+    assert idg[0, 0] == 800 and idg[1, 0] == 801
+
+
 def test_sharded_fold_slack0_and_rebuild_repacks(data, queries):
     """fold() on a slack=0 sharded packing absorbs nothing (every block
     is full): points stay in the exact pending merge, and rebuild() on a

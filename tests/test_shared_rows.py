@@ -124,15 +124,110 @@ def test_shared_rows_guards():
         f.fold()
 
 
-def test_shared_rows_sharded_packers_guard():
-    import jax
+def _mk_sharded_inputs(n=512, dim=16, trees=8, min_leaf=24):
+    rng = np.random.default_rng(SEED)
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    q = (x[rng.integers(0, n, 20)]
+         + 0.05 * rng.normal(size=(20, dim)).astype(np.float32))
+    cfg = rp_tree_cfg(min_leaf, n, dim)
+    f0 = forest_batch(SEED, cfg.max_depth, min_leaf, trees,
+                      cfg.proj_nz_density, x).pack_leaves()
+    return x, q, cfg, f0
+
+
+def test_shared_rows_tree_sharded_parity():
+    """store='shared' on the tree mesh (both shard modes): equal results
+    to the single-device blocked pack across knn / knn_h / grouped /
+    batched (the sharded shared tables index the same rows)."""
     from rptree_tpu.parallel import forest_batch_distributed, forest_mesh
 
-    mesh = forest_mesh(n_tree_shards=2, devices=jax.devices()[:2])
-    rng = np.random.default_rng(SEED)
-    x = rng.normal(size=(512, 16)).astype(np.float32)
-    cfg = rp_tree_cfg(32, 512, 16)
-    fd = forest_batch_distributed(SEED, cfg.max_depth, 32, 2,
-                                  cfg.proj_nz_density, x, mesh=mesh)
-    with pytest.raises(NotImplementedError, match="single-device"):
-        fd.pack_leaves(store="shared")
+    x, q, cfg, f0 = _mk_sharded_inputs()
+    d0, i0 = map(np.asarray, f0.knn(q, 5, budget=4))
+    dh0, ih0 = map(np.asarray, f0.knn_h(q, 5, budget=4))
+    for shard_by in ("tree", "leaf"):
+        fd = forest_batch_distributed(SEED, cfg.max_depth, 24, 8,
+                                      cfg.proj_nz_density, x,
+                                      mesh=forest_mesh(4, 2))
+        fd.pack_leaves(store="shared", shard_by=shard_by)
+        assert isinstance(fd._packed[0], SharedRows)
+        d, i = map(np.asarray, fd.knn(q, 5, budget=4))
+        np.testing.assert_array_equal(i0, i, err_msg=shard_by)
+        np.testing.assert_allclose(d0, d, atol=1e-5, err_msg=shard_by)
+        dh, ih = map(np.asarray, fd.knn_h(q, 5, budget=4))
+        np.testing.assert_array_equal(ih0, ih, err_msg=shard_by)
+        if shard_by == "leaf":
+            # grouped + one-dispatch batched forms serve the same tables
+            dg, ig = map(np.asarray, fd.knn_grouped(q, 5, budget=4))
+            np.testing.assert_array_equal(i0, ig)
+            # grouped tiles reduce in a different order than the
+            # per-pair einsum (same wobble on the blocked layout)
+            np.testing.assert_allclose(d0, dg, atol=1e-4)
+            db, ib = map(np.asarray,
+                         fd.knn_batched(q[:12], 5, budget=4, chunk=3))
+            np.testing.assert_array_equal(i0[:12], ib)
+        # idempotent no-op, then repack to blocked and back
+        first = fd._packed[0]
+        fd.pack_leaves(store="shared", shard_by=shard_by)
+        assert fd._packed[0] is first
+
+
+def test_shared_rows_dp_parity():
+    """The data-parallel shared-row layout (point-sharded row store +
+    per-shard local member tables, all-probes serving): equal results to
+    the DP blocked leaf-sharded layout and the single-device forest."""
+    from rptree_tpu.parallel import (data_mesh,
+                                    forest_batch_data_parallel)
+
+    x, q, cfg, f0 = _mk_sharded_inputs()
+    d0, i0 = map(np.asarray, f0.knn(q, 5, budget=4))
+    fd = forest_batch_data_parallel(SEED, cfg.max_depth, 24, 8,
+                                    cfg.proj_nz_density, x,
+                                    mesh=data_mesh(8))
+    fd.pack_leaves(store="shared")
+    assert isinstance(fd._packed[0], SharedRows)
+    # per-shard tables: the local occupancies of a leaf sum to its
+    # global size across shards (every member owned by exactly one)
+    g = fd.n_trees * fd.plan.n_leaves
+    len_loc = np.asarray(fd._shared_len_loc).reshape(-1, g)
+    sizes = np.tile(np.asarray(fd.plan.leaf_len), fd.n_trees)
+    np.testing.assert_array_equal(len_loc.sum(axis=0), sizes)
+    assert len_loc.max() <= fd._packed[0].ids.shape[-1]
+    d, i = map(np.asarray, fd.knn(q, 5, budget=4))
+    np.testing.assert_array_equal(i0, i)
+    np.testing.assert_allclose(d0, d, atol=1e-5)
+    dg, ig = map(np.asarray, fd.knn_grouped(q, 5, budget=4))
+    np.testing.assert_array_equal(i0, ig)
+    db, ib = map(np.asarray, fd.knn_batched(q[:12], 5, budget=4, chunk=3))
+    np.testing.assert_array_equal(i0[:12], ib)
+    dh0, ih0 = map(np.asarray, f0.knn_h(q, 5, budget=4))
+    dh, ih = map(np.asarray, fd.knn_h(q, 5, budget=4))
+    np.testing.assert_array_equal(ih0, ih)
+    # vote counting is exact (all copies of an id colocate on the row's
+    # owner shard; the cross-shard merge counts them globally)
+    dv0, iv0 = map(np.asarray, f0.knn(q, 5, budget=4, min_votes=2))
+    dv, iv = map(np.asarray, fd.knn(q, 5, budget=4, min_votes=2))
+    np.testing.assert_array_equal(iv0, iv)
+    # guards: the dataset IS the row store; no fold target exists
+    with pytest.raises(ValueError, match="single-copy"):
+        fd.drop_dataset()
+    fd.add(np.zeros((8, x.shape[1]), np.float32))
+    with pytest.raises(ValueError, match="shared-row"):
+        fd.fold()
+
+
+def test_shared_rows_dp_query_mesh():
+    """DP shared rows on the (data x query) 2-D mesh: query batches
+    split over the query axis, results unchanged."""
+    from rptree_tpu.parallel import (data_mesh,
+                                    forest_batch_data_parallel)
+
+    x, q, cfg, f0 = _mk_sharded_inputs()
+    d0, i0 = map(np.asarray, f0.knn(q, 5, budget=4))
+    fq = forest_batch_data_parallel(SEED, cfg.max_depth, 24, 8,
+                                    cfg.proj_nz_density, x,
+                                    mesh=data_mesh(4, n_query=2))
+    fq.pack_leaves(store="shared")
+    d, i = map(np.asarray, fq.knn(q, 5, budget=4))
+    np.testing.assert_array_equal(i0, i)
+    dg, ig = map(np.asarray, fq.knn_grouped(q, 5, budget=4))
+    np.testing.assert_array_equal(i0, ig)
