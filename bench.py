@@ -30,9 +30,16 @@ def main():
     # n=100k 128-d dense vectors, 8 trees, auto depth, k=10.
     N, DIM, T, K = 100_000, 128, 8, 10
     MIN_LEAF = 64
-    BUDGET = 4     # frontier width; forks are rare on this workload, so
+    BUDGET = 2     # frontier width; forks are rare on this workload, so
     #                this is recall-equivalent to the reference's unbounded
-    #                descent (verified: equal recall at budget 4..32)
+    #                descent (verified round-5 on 32768q: recall@10
+    #                0.12318 at budget 2 AND 4 -- bit-identical -- vs
+    #                0.12298 at the fork-free budget=1; traversal is the
+    #                binding stage at iid (roofline, BASELINE.md), so
+    #                budget 4 -> 2 moved e2e 45.1 -> 30.4 ms per 32768q
+    #                (727k -> 1079k QPS device) for free; budget=1 would
+    #                reach 1788k at the -0.0002 recall concession the
+    #                bench quality pins refuse)
     PROBES = 12    # leaf buckets reranked per query (live leaves ~T+forks)
     B = 524288     # total query batch (throughput measurement): the wall
     #                is dispatch-RPC-bound (~40ms of host work per call

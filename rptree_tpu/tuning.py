@@ -13,6 +13,8 @@ from __future__ import annotations
 import time
 from typing import Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["tune", "tune_build"]
@@ -233,6 +235,13 @@ def tune_build(data, queries, k: int = 10, target_recall: float = 0.9,
     two) -- pass ``full_n`` when ``data`` is already a subsample of the
     corpus to be indexed.
 
+    ``data`` may be host rows, a (possibly point-sharded) jax array, or
+    a sharded forest handle (``DataParallelForest`` /
+    ``DistributedForest``) -- the subsample is then gathered on device,
+    so the host never buffers more than ``sample`` rows and the sweep
+    runs at beyond-one-chip corpus scale; ``full_n`` defaults to the
+    sharded corpus size.
+
     ``min_leaf_grid`` defaults to {1/2x, 1x, 2x} of ``sample /
     centers_estimate`` when an estimate is given, else a coarse
     power-of-four ladder.  Returns ``{"n_trees", "min_leaf",
@@ -243,12 +252,36 @@ def tune_build(data, queries, k: int = 10, target_recall: float = 0.9,
     from .models.forest import forest_batch
     from .config import rp_tree_cfg
 
-    x = np.asarray(data, dtype=np.float32)
-    n = x.shape[0]
-    m = min(int(sample), n)
-    if m < n:
-        rng = np.random.default_rng(seed)
-        x = x[rng.choice(n, size=m, replace=False)]
+    if hasattr(data, "mesh") and hasattr(data, "x"):
+        # a sharded forest handle (DataParallelForest / DistributedForest):
+        # tune the BUILD knobs from its dataset without materializing it
+        if data.x is None:
+            raise ValueError("dataset dropped; tune_build samples rows")
+        data = data.x
+    if isinstance(data, jax.Array):
+        # device-side subsample: one small gather on the (possibly
+        # point-sharded) array, so the host never buffers more than the
+        # ``sample`` rows -- tune_build at beyond-one-chip scale
+        # (np.asarray on a sharded dataset would defeat the sharding)
+        n = int(data.shape[0])
+        m = min(int(sample), n)
+        if m < n:
+            rng = np.random.default_rng(seed)
+            idx = np.sort(rng.choice(n, size=m, replace=False))
+            x = np.asarray(
+                jnp.take(data, jnp.asarray(idx.astype(np.int32)), axis=0),
+                dtype=np.float32)
+        else:
+            x = np.asarray(data, dtype=np.float32)
+        if full_n is None:
+            full_n = n  # the sharded corpus IS the indexing target
+    else:
+        x = np.asarray(data, dtype=np.float32)
+        n = x.shape[0]
+        m = min(int(sample), n)
+        if m < n:
+            rng = np.random.default_rng(seed)
+            x = x[rng.choice(n, size=m, replace=False)]
     full = int(full_n) if full_n else n
     if min_leaf_grid is None:
         if centers_estimate:

@@ -67,3 +67,29 @@ import pytest  # noqa: E402
 def _clear_jax_caches_per_module():
     yield
     jax.clear_caches()
+
+
+# Slow tier: tests marked @pytest.mark.rptree_slow run only under
+# RPTREE_SLOW=1 (CI / pre-release).  Policy: ONLY tests whose coverage is
+# substantially duplicated by a faster test or by the driver's own
+# checks belong here -- no oracle-parity or sharded-equality assertion
+# is exclusive to the slow tier.  Suite-wall arithmetic: the wall is
+# XLA:CPU compiles of ~hundreds of distinct programs on ONE host core,
+# and the per-module jax.clear_caches() above (load-bearing: accumulated
+# executables segfault XLA:CPU late in the run, jax 0.9.0) forbids
+# cross-module program reuse, so fixture session-scoping cannot buy
+# compiles back -- only dropping distinct programs (or a multi-core
+# host / fixed jaxlib) moves the total.
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "rptree_slow: long-tail test; runs only with RPTREE_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RPTREE_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: set RPTREE_SLOW=1")
+    for item in items:
+        if "rptree_slow" in item.keywords:
+            item.add_marker(skip)

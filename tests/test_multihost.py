@@ -64,6 +64,10 @@ print(f"proc {proc} ok")
 """
 
 
+@pytest.mark.rptree_slow  # ~80s: two full child-interpreter jax.distributed
+# boots.  Slow-tier rationale: the DCN/process surface it covers is also
+# exercised by examples/multihost_bench.py and the sharding semantics by
+# test_data_parallel.py on the in-process mesh; run with RPTREE_SLOW=1.
 def test_two_process_data_parallel_build(tmp_path):
     child = tmp_path / "child.py"
     child.write_text(_CHILD)
