@@ -40,7 +40,14 @@ def main():
     #                (727k -> 1079k QPS device) for free; budget=1 would
     #                reach 1788k at the -0.0002 recall concession the
     #                bench quality pins refuse)
-    PROBES = 12    # leaf buckets reranked per query (live leaves ~T+forks)
+    PROBES = 10    # leaf buckets reranked per query.  Round-5 sweep on
+    #                32768q: probes 10 and 12 return BIT-IDENTICAL recall
+    #                (0.12318 -- slots 11-12 are duplicate/masked buckets;
+    #                needed tiles don't even change) while the narrower
+    #                selection width serves 27.6 vs 30.4 ms; probes=8
+    #                reaches 23.3 ms (1409k device) at -0.0003 recall,
+    #                declined by the quality pins.  probes=9 LOSES to 10
+    #                (9*64=576-wide tail is not lane-tiled).
     B = 524288     # total query batch (throughput measurement): the wall
     #                is dispatch-RPC-bound (~40ms of host work per call
     #                through the tunnel, pipelining does not help --
