@@ -232,3 +232,31 @@ def test_shared_rows_dp_query_mesh():
     np.testing.assert_array_equal(i0, i)
     dg, ig = map(np.asarray, fq.knn_grouped(q, 5, budget=4))
     np.testing.assert_array_equal(i0, ig)
+
+
+def test_shared_rows_sharded_rebuild_replays_layout():
+    """rebuild() on sharded shared-row forests replays the layout (the
+    remembered pack config carries store='shared' through both sharded
+    rebuild paths)."""
+    from rptree_tpu.parallel import (data_mesh, forest_batch_data_parallel,
+                                    forest_batch_distributed, forest_mesh)
+
+    x, q, cfg, f0 = _mk_sharded_inputs(n=504, trees=4)
+    fd = forest_batch_distributed(SEED, cfg.max_depth, 24, 4,
+                                  cfg.proj_nz_density, x,
+                                  mesh=forest_mesh(4, 2))
+    fd.pack_leaves(store="shared", shard_by="leaf")
+    fd.add(np.zeros((8, x.shape[1]), np.float32))
+    fd.rebuild()
+    assert isinstance(fd._packed[0], SharedRows)
+    assert fd._packed_mode == "leaf" and fd.n_points == 512
+    fp = forest_batch_data_parallel(SEED, cfg.max_depth, 24, 4,
+                                    cfg.proj_nz_density, x,
+                                    mesh=data_mesh(8))
+    fp.pack_leaves(store="shared")
+    fp.add(np.zeros((8, x.shape[1]), np.float32))
+    fp.rebuild()
+    assert isinstance(fp._packed[0], SharedRows)
+    assert fp._shared_all_probes and fp._shared_len_loc is not None
+    d, i = map(np.asarray, fp.knn(q, 3, budget=4))
+    assert (np.asarray(i)[:, 0] >= 0).all()
