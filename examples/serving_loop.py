@@ -21,7 +21,10 @@ MEASURED (v5e, 1M flagship): pipelining buys ~nothing (the ~40ms/call
 is synchronous host-side dispatch RPC, not result latency), chunked
 batching converts it to ~40ms per 4 batches: 351k -> 541k QPS wall.
 The production recipe is therefore: batch as large as latency allows,
-serve with ``chunk=32768``, ``check=False``.
+serve with ``chunk=32768``, ``check=False``, and poll
+``f.grouped_overflow()`` every N batches (the overflow counter stays on
+device; one int fetch tells you if a traffic shift outgrew the learned
+tile capacity -- re-run one checked call to re-learn it).
 
 Run: ``python examples/serving_loop.py [n] [centers] [depth...]``
 Reference analogue: the reference library serves one query at a time
@@ -128,6 +131,14 @@ def main(n=N_DEFAULT, c=C_DEFAULT, depths=(2, 4)):
     results["chunked"] = max(1, REPS // 4) * 4 * BQ / dt
     print(f"chunked: {results['chunked']:10.0f} QPS wall "
           f"(4 batches / dispatch)")
+
+    # production overflow monitoring: the check=False loop above never
+    # host-syncs, but its needed-tile counter rides along on device --
+    # poll it every N batches (one int fetch) and re-learn the capacity
+    # (a checked call) if a traffic shift ever overflows the headroom
+    ov = f.grouped_overflow()
+    print(f"overflow telemetry after the loop: needed={ov['needed']} "
+          f"capacity={ov['capacity']} overflow={ov['overflow']}")
 
     best = max(results.values())
     print(f"\nbest over sync: {best / results['sync']:.2f}x "

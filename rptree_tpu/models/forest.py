@@ -1638,10 +1638,16 @@ class RPForest:
         bounded mode for datasets near HBM capacity (e.g. 10M f32 x
         128-d on one v5e: blocked T=8 needs ~41 GB, shared ~5.8 GB).
         Results are bit-identical to an unquantized blocked pack.  Dense
-        single-device only; exclusive with ``slack``/``fold``, int8 /
+        datasets only; exclusive with ``slack``/``fold``, int8 /
         ``centered`` / ``sub_block``, and :meth:`drop_dataset` (the
         dataset IS the store).  ``dtype=jnp.bfloat16`` stores a casted
-        half-size row copy instead of aliasing the dataset.
+        half-size row copy instead of aliasing the dataset.  Sharded
+        forms exist on both parallel classes: the tree mesh shards the
+        slot tables over one replicated row store
+        (:meth:`DistributedForest.pack_leaves`), and the data mesh
+        serves straight from each shard's dataset slice via per-shard
+        local-member tables
+        (:meth:`DataParallelForest.pack_leaves`).
 
         ELL-sparse datasets pack into :class:`EllBlocks` (leaf-blocked
         padded cols/vals) and serve through the same probe-compacted
