@@ -237,6 +237,22 @@ def _grouped_auto_capacity(f, key, e, tile_m, tile_chunk, nt, run,
     return out
 
 
+def _ell_tile_chunk_cap(x_leaf, dim, tile_m, tile_chunk) -> int:
+    """Bound the grouped ELL scorer's per-``lax.map``-step buffers at
+    vocab-scale dims: each step materializes the tile chunk's DENSE
+    query rows ``[tc, m, dim]`` and the gathered contraction
+    ``[tc, m, lmax, K]`` -- at bag-of-words dims (measured: V=65536,
+    tc=2048, m=16 -> an 8 GB qt buffer alone) the default chunk OOMs
+    HBM outright (BASELINE.md round-5).  Clamp ``tc`` so the larger of
+    the two stays ~64M elements (~256 MB f32); dense blocks are
+    unaffected."""
+    if not isinstance(x_leaf, EllBlocks):
+        return tile_chunk
+    per = max(int(tile_m) * max(int(dim),
+                                x_leaf.shape[-2] * x_leaf.shape[-1]), 1)
+    return max(16, min(int(tile_chunk), (64 << 20) // per))
+
+
 def _pack_sig(f):
     """JSON-safe signature of the serving layout a grouped tile capacity
     was learned under (capacities are a function of the block structure;
@@ -2429,7 +2445,11 @@ class RPForest:
 
         ELL-sparse blocks serve through the same tiling (one
         ``(cols, vals)`` block fetch per tile; the contraction stays
-        gather-based); ``min_votes`` and custom distance callables apply
+        gather-based); at vocab-scale dims ``tile_chunk`` auto-clamps so
+        the per-step dense-query tile fits HBM (measured OOM otherwise,
+        BASELINE.md round-5 -- bag-of-words shapes usually serve FASTER
+        per-pair via :meth:`knn_batched` anyway); ``min_votes`` and
+        custom distance callables apply
         as in :meth:`knn` (callables need dense f32/bf16 blocks).
         Sharded forests serve the leaf-sharded grouped form through
         their own ``knn_grouped`` (``parallel/distributed.py``).
@@ -2474,6 +2494,8 @@ class RPForest:
         sub = getattr(self, "_sub_block", 1)
         x_leaf, sq_leaf, id_leaf = self._packed
         lens = self._lens_global()
+        tile_chunk = _ell_tile_chunk_cap(x_leaf, self.dim, tile_m,
+                                         tile_chunk)
         b = qb.shape[0]
         if chunk is not None:
             chunk = max(1, min(int(chunk), b))

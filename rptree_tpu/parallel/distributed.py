@@ -723,6 +723,10 @@ def _sharded_knn_grouped(f, q, k, metric, budget, dedup, precision,
         qb, b = f._q_repl(q)
     budget = f._budget(budget)
     bl_r, bl_g, sub = _serving_lens(f)
+    from ..models.forest import _ell_tile_chunk_cap
+
+    tile_chunk = _ell_tile_chunk_cap(f._packed[0], f.dim, tile_m,
+                                     tile_chunk)
     if probes is None:
         probes = f.n_trees * budget
     if probes_per_shard is None or getattr(f, "_shared_all_probes", False):
