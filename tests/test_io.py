@@ -125,6 +125,24 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     assert max(s.data.shape[0] for s in g4.x.addressable_shards) == n // 4
     d4, i4 = map(np.asarray, g4.knn(q, 5, budget=8))
     np.testing.assert_array_equal(i1, i4)
+    # learned grouped capacities persist through the SHARDED checkpoint
+    # and reinstall only on a matching mesh + pack layout
+    f.pack_leaves()
+    dg, ig = map(np.asarray, f.knn_grouped(q, 5, budget=8))
+    assert f._grouped_nt
+    d2p = tmp_path / "ckpt2"
+    rt.save_forest_sharded(str(d2p), f)
+    g5 = rt.load_forest_sharded(str(d2p), mesh=mesh)
+    g5.pack_leaves()
+    dg5, ig5 = map(np.asarray, g5.knn_grouped(q, 5, budget=8,
+                                              check=False))
+    np.testing.assert_array_equal(ig, ig5)
+    assert g5._grouped_nt == f._grouped_nt
+    # a different mesh shape must NOT inherit per-shard capacities
+    from rptree_tpu.models.forest import _pack_sig
+    g6 = rt.load_forest_sharded(str(d2p), mesh=data_mesh(4))
+    g6.pack_leaves()
+    assert _pack_sig(g6) != g6._grouped_nt_saved["pack"]
 
 
 def test_sharded_checkpoint_ell_roundtrip(tmp_path):
