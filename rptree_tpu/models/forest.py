@@ -961,6 +961,49 @@ def _knn_packed_many(plan, arrays, x_leaf, sq_leaf, id_leaf, q, k, budget,
     return d.reshape(b, -1), ids.reshape(b, -1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "budget", "k", "probes", "metric", "dedup",
+                     "precision", "bucket_stop", "min_votes", "chunk",
+                     "sub", "selection", "dim"),
+)
+def _knn_packed_many_ellq(plan, arrays, x_leaf, sq_leaf, id_leaf, qcols,
+                          qvals, dim, k, budget, probes, metric, dedup,
+                          precision, bucket_stop, min_votes, block_scale,
+                          block_len, chunk, block_center=None, sub=1,
+                          selection="sort"):
+    """Sparse-QUERY form of :func:`_knn_packed_many`: the query batch
+    arrives as padded-ELL tables ``(qcols, qvals) [B, Kq]`` and each
+    ``lax.map`` chunk densifies only its own ``[chunk, dim]`` strip
+    inside the program -- a giant sparse batch at vocab-scale ``dim``
+    never materializes ``[B, dim]`` anywhere (B=512k x 65536-d would be
+    128 GB dense; per-chunk it is chunk x dim).  The reference's
+    ``innerSS`` query regime (``Internal.hs:100-119``: queries are
+    SVectors too) at TPU batch scale; everything downstream of the
+    densified strip is the measured dense-query pipeline."""
+    b = qcols.shape[0]
+    nc = b // chunk
+    qcc = qcols.reshape(nc, chunk, qcols.shape[-1])
+    qvc = qvals.reshape(nc, chunk, qvals.shape[-1])
+    tabs = _b1_forest_tables(plan, arrays, budget)
+
+    def one(args):
+        ci, vi = args
+        # padded slots are (col 0, val 0): the scatter-add contributes 0
+        qi = jnp.zeros((chunk, dim), jnp.float32).at[
+            jnp.arange(chunk)[:, None], ci.astype(jnp.int32)
+        ].add(vi.astype(jnp.float32))
+        return _knn_packed(plan, arrays, x_leaf, sq_leaf, id_leaf, qi, k,
+                           budget, probes, metric, dedup, precision,
+                           bucket_stop=bucket_stop, min_votes=min_votes,
+                           block_scale=block_scale, block_len=block_len,
+                           block_center=block_center, sub=sub,
+                           selection=selection, tabs=tabs)
+
+    d, ids = lax.map(one, (qcc, qvc))
+    return d.reshape(b, -1), ids.reshape(b, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("plan", "budget", "k"))
 def _knn_h_ids_packed(plan, arrays, id_leaf, q, k, budget, block_len,
                       row_of=None):
@@ -2382,17 +2425,60 @@ class RPForest:
         in chunks of ``chunk`` inside a single ``lax.map`` program, so
         peak rerank memory is per-chunk but the host pays one dispatch
         for the whole batch.  Requires :meth:`pack_leaves`.  Results are
-        identical to chunked :meth:`knn` calls."""
+        identical to chunked :meth:`knn` calls.
+
+        An :class:`EllMatrix` query batch stays SPARSE at the facade:
+        each chunk densifies only its own ``[chunk, dim]`` strip inside
+        the program, so giant sparse batches at vocab-scale dims never
+        materialize ``[B, dim]`` (the reference's sparse-query
+        ``innerSS`` regime, ``Internal.hs:100-119``, at TPU batch
+        scale).  The exact pending merge needs dense rows -- ``fold()``
+        first when pending inserts exist."""
         if self._packed is None:
             raise ValueError("pack_leaves() first: knn_batched runs the "
                              "leaf-blocked pipeline")
         k = self._check_k(k)
-        qb, b, chunk = _pad_to_chunk(_as_dense_queries(q, self.dim), chunk)
         budget = self._budget(budget)
         x_leaf, sq_leaf, id_leaf = self._packed
         if probes is None:
             probes = self.n_trees * budget
         sub = getattr(self, "_sub_block", 1)
+        if isinstance(q, EllMatrix):
+            # sparse-query batch at scale: densify PER CHUNK inside the
+            # one-dispatch loop (the whole-batch [B, dim] buffer the
+            # default path would build is the scaling wall at vocab
+            # dims); the reference's innerSS regime, Internal.hs:100-119
+            if q.dim != self.dim:
+                raise ValueError(f"query dim {q.dim} != index dim "
+                                 f"{self.dim}")
+            if getattr(self, "_pending", None):
+                raise ValueError(
+                    "sparse-query batches do not support the exact "
+                    "pending merge (it needs dense query rows); fold() "
+                    "or rebuild() first")
+            qc, qv = q.cols, q.vals
+            b = qc.shape[0]
+            ch = max(1, min(int(chunk), b))
+            pad = (-b) % ch
+            if pad:
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((pad, qc.shape[1]), qc.dtype)])
+                qv = jnp.concatenate(
+                    [qv, jnp.zeros((pad, qv.shape[1]), qv.dtype)])
+            d, ids = _knn_packed_many_ellq(
+                self.plan, self.arrays, x_leaf, sq_leaf, id_leaf, qc, qv,
+                self.dim, int(k), budget, int(probes), metric, dedup,
+                precision, False, int(min_votes),
+                getattr(self, "_block_scale", None),
+                self._sub_len_dev if sub > 1 else self._block_len_dev,
+                ch, block_center=self._block_center, sub=sub,
+                selection=selection,
+            )
+            d, ids = d[:b], ids[:b]
+            if self._deleted is not None:
+                d, ids = self._mask_deleted(d, ids, int(k))
+            return d, ids
+        qb, b, chunk = _pad_to_chunk(_as_dense_queries(q, self.dim), chunk)
         out = _knn_packed_many(
             self.plan, self.arrays, x_leaf, sq_leaf, id_leaf, qb, int(k),
             budget, int(probes), metric, dedup, precision, False,

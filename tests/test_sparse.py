@@ -2,6 +2,7 @@
 ELL packing, projections, and index build/query over sparse inputs."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import rptree_tpu as rp
@@ -182,3 +183,35 @@ def test_fold_into_ell_blocks():
     # folded-aware oracle on the sparse dataset (merged scan)
     _, bf = map(np.asarray, f.brute_force_knn(q, 1))
     assert (bf[:, 0] >= n).all()
+
+
+def test_sparse_query_batched_stays_sparse():
+    """EllMatrix QUERY batches serve through knn_batched without ever
+    materializing [B, dim]: each chunk densifies its own strip inside
+    the one-dispatch program (the reference's innerSS regime,
+    Internal.hs:100-119, at batch scale).  Results equal the dense
+    facade; tombstones apply; pending inserts raise (the exact merge
+    needs dense rows)."""
+    import rptree_tpu as rt
+    from rptree_tpu.ops.sparse import EllMatrix
+
+    rng = np.random.default_rng(0)
+    n, dim, nnz = 2000, 64, 6
+    cols = np.stack([np.sort(rng.choice(dim, nnz, replace=False))
+                     for _ in range(n)]).astype(np.int32)
+    vals = rng.normal(size=(n, nnz)).astype(np.float32)
+    x = EllMatrix(dim, jnp.asarray(cols), jnp.asarray(vals))
+    f = rt.forest_batch(3, 5, 32, 4, 1.0, x).pack_leaves()
+    qi = rng.integers(0, n, 33)
+    qe = EllMatrix(dim, jnp.asarray(cols[qi]), jnp.asarray(vals[qi]))
+    d0, i0 = map(np.asarray,
+                 f.knn_batched(rt.ell_to_dense(qe), 5, chunk=8))
+    d1, i1 = map(np.asarray, f.knn_batched(qe, 5, chunk=8))
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, atol=1e-6)
+    f.remove([int(i0[0, 0])])
+    _, i2 = map(np.asarray, f.knn_batched(qe, 5, chunk=8))
+    assert int(i0[0, 0]) not in set(i2[0].tolist())
+    f.add(np.zeros((2, dim), np.float32))
+    with pytest.raises(ValueError, match="pending"):
+        f.knn_batched(qe, 5, chunk=8)
