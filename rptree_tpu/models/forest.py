@@ -909,14 +909,30 @@ def _knn_grouped_many(plan, arrays, x_leaf, sq_leaf, id_leaf, lens_global,
     a dispatch through the tunneled backend is ~40ms; see
     ``examples/serving_loop.py``).  Returned ``needed`` is the max over
     chunks."""
-    b = q.shape[0]
-    nc = b // chunk
-    qc = q.reshape(nc, chunk, q.shape[-1])
+    is_ellq = isinstance(q, EllMatrix)
+    if is_ellq:
+        # sparse-QUERY batch: densify one [chunk, dim] strip per map
+        # step (see _knn_packed_many_ellq -- same innerSS-at-scale
+        # rationale; [B, dim] never materializes)
+        b = q.cols.shape[0]
+        nc = b // chunk
+        qc = (q.cols.reshape(nc, chunk, q.cols.shape[-1]),
+              q.vals.reshape(nc, chunk, q.vals.shape[-1]))
+        dim = q.dim
+    else:
+        b = q.shape[0]
+        nc = b // chunk
+        qc = q.reshape(nc, chunk, q.shape[-1])
     # budget=1 superlevel tables: built ONCE here; the chunk body closes
     # over them, so lax.map carries them as loop constants
     tabs = _b1_forest_tables(plan, arrays, budget)
 
     def one(qi):
+        if is_ellq:
+            ci, vi = qi
+            qi = jnp.zeros((chunk, dim), jnp.float32).at[
+                jnp.arange(chunk)[:, None], ci.astype(jnp.int32)
+            ].add(vi.astype(jnp.float32))
         return _knn_grouped(plan, arrays, x_leaf, sq_leaf, id_leaf,
                             lens_global, qi, k, budget, probes, metric,
                             dedup, precision, tile_m, nt, tile_chunk,
@@ -2572,7 +2588,24 @@ class RPForest:
                     "custom distance callables are unsupported on int8-"
                     "quantized blocks (pack with f32/bf16)")
         k = self._check_k(k)
-        qb = _as_dense_queries(q, self.dim)
+        ellq = isinstance(q, EllMatrix)
+        if ellq:
+            # sparse-QUERY batch (see knn_batched): stays (cols, vals)
+            # at the facade; each chunk densifies its own strip inside
+            # the one-dispatch program
+            if q.dim != self.dim:
+                raise ValueError(f"query dim {q.dim} != index dim "
+                                 f"{self.dim}")
+            if getattr(self, "_pending", None):
+                raise ValueError(
+                    "sparse-query batches do not support the exact "
+                    "pending merge (it needs dense query rows); fold() "
+                    "or rebuild() first")
+            if chunk is None:
+                chunk = 4096  # per-chunk densify requires the chunked form
+            qb = q
+        else:
+            qb = _as_dense_queries(q, self.dim)
         budget = self._budget(budget)
         if probes is None:
             probes = self.n_trees * budget
@@ -2586,7 +2619,18 @@ class RPForest:
         if chunk is not None:
             chunk = max(1, min(int(chunk), b))
             pad = (-b) % chunk
-            if pad:
+            if pad and ellq:
+                qb = EllMatrix(
+                    self.dim,
+                    jnp.concatenate(
+                        [qb.cols,
+                         jnp.zeros((pad, qb.cols.shape[1]),
+                                   qb.cols.dtype)]),
+                    jnp.concatenate(
+                        [qb.vals,
+                         jnp.zeros((pad, qb.vals.shape[1]),
+                                   qb.vals.dtype)]))
+            elif pad:
                 qb = jnp.concatenate(
                     [qb, jnp.zeros((pad, qb.shape[1]), qb.dtype)], axis=0)
 
@@ -2616,6 +2660,12 @@ class RPForest:
         d, ids = _grouped_auto_capacity(
             self, key, (chunk or qb.shape[0]) * probes * sub, tile_m,
             tile_chunk, nt, run, check=check)
+        if ellq:
+            # pending raised above; tombstone masking needs no rows
+            d, ids = d[:b], ids[:b]
+            if self._deleted is not None:
+                d, ids = self._mask_deleted(d, ids, int(k))
+            return d, ids
         return self._apply_update_hooks(qb[:b], d[:b], ids[:b], int(k),
                                         metric, precision)
 

@@ -215,3 +215,35 @@ def test_sparse_query_batched_stays_sparse():
     f.add(np.zeros((2, dim), np.float32))
     with pytest.raises(ValueError, match="pending"):
         f.knn_batched(qe, 5, chunk=8)
+
+
+def test_sparse_query_grouped_stays_sparse():
+    """EllMatrix QUERY batches also serve through knn_grouped (the
+    fastest bag-of-words path): per-chunk densify inside the
+    one-dispatch grouped program; parity with the dense facade across
+    the checked, default-chunk, and check=False forms."""
+    import rptree_tpu as rt
+    from rptree_tpu.ops.sparse import EllMatrix
+
+    rng = np.random.default_rng(0)
+    n, dim, nnz = 2000, 64, 6
+    cols = np.stack([np.sort(rng.choice(dim, nnz, replace=False))
+                     for _ in range(n)]).astype(np.int32)
+    vals = rng.normal(size=(n, nnz)).astype(np.float32)
+    x = EllMatrix(dim, jnp.asarray(cols), jnp.asarray(vals))
+    f = rt.forest_batch(3, 5, 32, 4, 1.0, x).pack_leaves()
+    qi = rng.integers(0, n, 33)
+    qe = EllMatrix(dim, jnp.asarray(cols[qi]), jnp.asarray(vals[qi]))
+    d0, i0 = map(np.asarray, f.knn_grouped(rt.ell_to_dense(qe), 5,
+                                           chunk=8))
+    d1, i1 = map(np.asarray, f.knn_grouped(qe, 5, chunk=8))
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, atol=1e-6)
+    d2, i2 = map(np.asarray, f.knn_grouped(qe, 5))  # default chunk
+    np.testing.assert_array_equal(i0, i2)
+    d3, i3 = map(np.asarray, f.knn_grouped(qe, 5, chunk=8, check=False))
+    np.testing.assert_array_equal(i0, i3)
+    assert not f.grouped_overflow()["overflow"]
+    f.add(np.zeros((2, dim), np.float32))
+    with pytest.raises(ValueError, match="pending"):
+        f.knn_grouped(qe, 5, chunk=8)
