@@ -97,12 +97,22 @@ def main(n=N_DEFAULT, v=V_DEFAULT, ml=ML_DEFAULT):
     scan_qps = 256 / (time.perf_counter() - t0)
     print(f"exact sparse scan: {scan_qps:.0f} QPS")
 
+    # sparse-QUERY form: the same documents as (cols, vals) tables --
+    # [B, dim] never materializes (the innerSS regime at batch scale);
+    # grouped + a fat chunk is the measured-fastest sparse path
+    q_ell = EllMatrix(v, jnp.take(cols, qi, axis=0),
+                      jnp.take(vals, qi, axis=0))
+
     for name, run in (
         ("per-pair knn_batched",
          lambda qq: f.knn_batched(qq, K, budget=2, precision="default",
                                   chunk=512)),
         ("grouped knn_grouped",
          lambda qq: f.knn_grouped(qq, K, budget=2, precision="default")),
+        ("grouped SPARSE queries",
+         lambda qq: f.knn_grouped(q_ell, K, budget=2,
+                                  precision="default",
+                                  chunk=min(4096, B))),
     ):
         int(jnp.sum(jnp.clip(run(q)[1], 0, None)))  # warm + capacities
         t0 = time.perf_counter()
